@@ -1,0 +1,100 @@
+"""Headline benchmark: fwd+bwd meshes/sec at ~20k vertices, k_eig=128, 4x128
+DiffusionNet (the BASELINE.json primary metric).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+vs_baseline is relative to REF_BASELINE_MESHES_PER_SEC, an estimate of the PyTorch
+reference's fwd+bwd throughput at this size on a modern datacenter GPU. The
+reference publishes no numbers (SURVEY §6) — it only says it can "easily train on
+meshes of 20k vertices" on a >4GB GPU; 40 meshes/s (25 ms/step) is a generous
+estimate for the CUDA implementation at V=20k, k=128.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REF_BASELINE_MESHES_PER_SEC = 40.0
+V_TARGET = 20164   # 142x142 grid
+V_PAD = 20480
+K_EIG = 128
+C_WIDTH = 128
+N_BLOCK = 4
+BATCH = 8
+
+
+def build_inputs():
+    import jax
+    import jax.numpy as jnp
+    from tests.meshgen import flat_grid
+    from diffusionnet_tpu.geometry import get_operators, pad_operators, stack_operators
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "data", "bench_cache")
+    verts, faces = flat_grid(n=142, jitter=0.4)
+    ops = get_operators(verts, faces, k_eig=K_EIG, op_cache_dir=cache_dir)
+    ops = stack_operators([ops] * BATCH, v_pad=V_PAD)
+    x = np.zeros((BATCH, V_PAD, 3), np.float32)
+    x[:, :verts.shape[0]] = verts.astype(np.float32)
+    return jax.tree.map(jnp.asarray, ops), jnp.asarray(x)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from diffusionnet_tpu.models import DiffusionNet
+
+    ops, x = build_inputs()
+
+    model = DiffusionNet(c_in=3, c_out=8, c_width=C_WIDTH, n_block=N_BLOCK,
+                         dropout=False, outputs_at="vertices")
+    params = model.init(jax.random.PRNGKey(0), x[:1],
+                        jax.tree.map(lambda t: t[:1], ops).mass,
+                        L=jax.tree.map(lambda t: t[:1], ops.L),
+                        evals=ops.evals[:1], evecs=ops.evecs[:1],
+                        gradX=jax.tree.map(lambda t: t[:1], ops.gradX),
+                        gradY=jax.tree.map(lambda t: t[:1], ops.gradY))
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params, x, ops):
+        out = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
+                          evecs=ops.evecs, gradX=ops.gradX, gradY=ops.gradY)
+        mask = (ops.mass > 0)[..., None]
+        return jnp.sum((out * mask) ** 2) / jnp.sum(mask)
+
+    @jax.jit
+    def train_step(params, opt_state, x, ops):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, ops)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # warmup/compile
+    params, opt_state, loss = train_step(params, opt_state, x, ops)
+    jax.block_until_ready(loss)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        params, opt_state, loss = train_step(params, opt_state, x, ops)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    meshes_per_sec = n_iters * BATCH / dt
+    print(json.dumps({
+        "metric": f"fwd+bwd meshes/sec @ {V_TARGET} verts (pad {V_PAD}), "
+                  f"k={K_EIG}, {N_BLOCK}x{C_WIDTH}, batch {BATCH}",
+        "value": round(meshes_per_sec, 3),
+        "unit": "meshes/sec",
+        "vs_baseline": round(meshes_per_sec / REF_BASELINE_MESHES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,28 @@
+"""Host-side geometry precompute: Laplacians, eigenbases, gradients, geodesics,
+mesh IO, and the Operators bundle with caching/padding."""
+
+from .operators import (
+    Operators,
+    compute_operators,
+    get_operators,
+    get_all_operators,
+    pad_operators,
+    stack_operators,
+)
+from .laplacian import cotan_laplacian, vertex_areas, face_areas_np
+from .gradients import build_grad, build_grad_point_cloud
+from .point_cloud import point_cloud_laplacian
+from .eigen import eigensolve_host, eigensolve_device
+from .geodesics import (
+    HeatMethodSolver,
+    get_all_pairs_geodesic_distance,
+    geodesic_label_errors,
+)
+from .io import read_mesh, read_off, read_obj, read_ply, write_off
+from .knn_host import find_knn_host
+from .host_frames import (
+    build_tangent_frames_np,
+    edge_tangent_vectors_np,
+    vertex_normals_np,
+    mesh_vertex_normals_np,
+)

@@ -1,0 +1,197 @@
+"""Geodesic distances and the geodesic-error evaluation metric.
+
+The reference computes exact all-pairs geodesics with libigl's MMP fanned over a
+Python multiprocessing Pool (geometry.py:784-896). TPU-native rebuild: the *heat
+method* (Crane, Weischedel & Wardetzky, "Geodesics in Heat", TOG 2013) — two sparse
+linear solves against prefactorized operators, batched over ALL sources at once as
+dense multi-RHS solves. This turns the all-pairs computation into a handful of
+BLAS-3-shaped operations on host (and is the same discretization family the rest of
+the framework uses), instead of V independent branchy MMP runs.
+
+The disk-cache scheme (SHA1 bucket files with linear probing) matches the
+reference's geodesic cache (geometry.py:818-894).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import scipy.sparse
+import scipy.sparse.linalg as sla
+
+from .. import utils
+from .laplacian import cotan_laplacian, vertex_areas, face_areas_np
+
+
+class HeatMethodSolver:
+    """Prefactorized heat-method geodesic solver for one mesh.
+
+    Usage: solver = HeatMethodSolver(verts, faces); d = solver.distance(sources).
+    """
+
+    def __init__(self, verts: np.ndarray, faces: np.ndarray,
+                 t_coef: float = 1.0):
+        verts = np.asarray(verts, dtype=np.float64)
+        faces = np.asarray(faces, dtype=np.int64)
+        self.verts, self.faces = verts, faces
+        V = verts.shape[0]
+
+        L = cotan_laplacian(verts, faces)
+        mass = vertex_areas(verts, faces)
+
+        # time step: t = t_coef * h^2, h = mean edge length
+        edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                                faces[:, [2, 0]]], axis=0)
+        h = np.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]], axis=1).mean()
+        t = t_coef * h * h
+
+        M = scipy.sparse.diags(mass)
+        self._heat_factor = sla.splu((M + t * L).tocsc())
+        self._poisson_factor = sla.splu(
+            (L + scipy.sparse.identity(V) * 1e-8 * L.diagonal().mean()).tocsc())
+
+        # Per-face geometry for gradient/divergence
+        coords = verts[faces]  # (F,3,3)
+        e0 = coords[:, 2] - coords[:, 1]   # edge opposite corner 0
+        e1 = coords[:, 0] - coords[:, 2]
+        e2 = coords[:, 1] - coords[:, 0]
+        n = np.cross(e2, -e1)
+        self._areas = 0.5 * np.linalg.norm(n, axis=1)
+        n_unit = n / (2.0 * self._areas[:, None] + 1e-300)
+        # rotated (90deg about face normal) opposite edges, pre-scaled by 1/(2A):
+        # grad u = sum_c u_c * rot_edges[c]  (Crane et al. eq. for face gradient)
+        self._rot_edges = np.stack([np.cross(n_unit, e0),
+                                    np.cross(n_unit, e1),
+                                    np.cross(n_unit, e2)],
+                                   axis=1) / (2.0 * self._areas[:, None, None]
+                                              + 1e-300)  # (F,3corner,3)
+        # cotangents for divergence
+        def cot(u, v):
+            cr = np.linalg.norm(np.cross(u, v), axis=1)
+            return np.sum(u * v, axis=1) / (cr + 1e-300)
+        self._cot = np.stack([cot(-e1, e2), cot(-e2, e0), cot(-e0, e1)],
+                             axis=1)  # (F,3) cot at corner i
+        self._edge_vecs = np.stack([e0, e1, e2], axis=1)  # (F,3,3)
+
+    def distance(self, sources: np.ndarray, block: int = 256) -> np.ndarray:
+        """Geodesic distance from each source vertex: returns (S, V)."""
+        sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+        V = self.verts.shape[0]
+        out = np.zeros((sources.shape[0], V), dtype=np.float32)
+
+        for s0 in range(0, sources.shape[0], block):
+            srcs = sources[s0:s0 + block]
+            S = srcs.shape[0]
+            rhs = np.zeros((V, S))
+            rhs[srcs, np.arange(S)] = 1.0
+
+            u = self._heat_factor.solve(rhs)                      # (V,S)
+            X = self._grad_faces(u)                                # (F,3,S)
+            Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-300)
+            Xn = -Xn
+            div = self._divergence(Xn)                             # (V,S)
+            phi = self._poisson_factor.solve(div)                  # (V,S)
+            phi = phi - phi[srcs, np.arange(S)][None, :]
+            # heat-method sign convention can flip on tiny meshes; distances >= 0
+            phi = np.abs(phi)
+            out[s0:s0 + block] = phi.T.astype(np.float32)
+        return out
+
+    def _grad_faces(self, u: np.ndarray) -> np.ndarray:
+        uf = u[self.faces]  # (F,3,S)
+        scale = 1.0 / (2.0 * self._areas[:, None, None] + 1e-300)
+        # rot_edges already includes the 1/(2A)-normalized face normal; multiply
+        # by edge cross terms: grad = 1/(2A) sum_c u_c (N x e_c)
+        return np.einsum("fcd,fcs->fds", self._rot_edges, uf)
+
+    def _divergence(self, X: np.ndarray) -> np.ndarray:
+        """X: (F,3,S) unit face vectors -> (V,S) integrated divergence."""
+        V = self.verts.shape[0]
+        S = X.shape[-1]
+        div = np.zeros((V, S))
+        f = self.faces
+        e = self._edge_vecs   # e[:,c] is edge opposite corner c
+        c = self._cot
+        # At corner i of each face, the two adjacent edges are the ones NOT
+        # opposite corner i. div_i += 0.5 * (cot_a (e1.X) + cot_b (e2.X))
+        for corner in range(3):
+            j = (corner + 1) % 3
+            k = (corner + 2) % 3
+            # edge corner->j is the edge opposite corner k (p_j - p_i = e_k);
+            # edge corner->k is minus the edge opposite corner j.
+            e_ij = e[:, k]
+            e_ik = -e[:, j]
+            # the angle opposite edge (i->j) within the face is at corner k
+            dot_ij = np.einsum("fd,fds->fs", e_ij, X)
+            dot_ik = np.einsum("fd,fds->fs", e_ik, X)
+            contrib = 0.5 * (c[:, k][:, None] * dot_ij + c[:, j][:, None] * dot_ik)
+            np.add.at(div, f[:, corner], contrib)
+        return div
+
+
+def get_all_pairs_geodesic_distance(verts_np: np.ndarray, faces_np: np.ndarray,
+                                    geodesic_cache_dir: str | None = None
+                                    ) -> np.ndarray:
+    """Dense (V,V) geodesic distance matrix, cached on disk like the reference
+    (geometry.py:804-896); symmetrized with fmin of the transpose and NaN/inf
+    repaired to the max finite value."""
+    verts_np = np.asarray(verts_np)
+    faces_np = np.asarray(faces_np)
+
+    search_path = None
+    if geodesic_cache_dir is not None:
+        utils.ensure_dir_exists(geodesic_cache_dir)
+        hash_key_str = str(utils.hash_arrays((verts_np, faces_np)))
+        i_cache_search = 0
+        while True:
+            search_path = os.path.join(
+                geodesic_cache_dir, f"{hash_key_str}_{i_cache_search}.npz")
+            try:
+                npzfile = np.load(search_path, allow_pickle=True)
+                if (not np.array_equal(verts_np, npzfile["verts"])
+                        or not np.array_equal(faces_np, npzfile["faces"])):
+                    i_cache_search += 1
+                    continue
+                return npzfile["dist"]
+            except FileNotFoundError:
+                break
+
+    print("Computing all-pairs geodesic distance (heat method)")
+    solver = HeatMethodSolver(verts_np, faces_np)
+    result_dists = solver.distance(np.arange(verts_np.shape[0]))
+
+    result_dists = np.nan_to_num(result_dists, nan=np.nan, posinf=np.nan,
+                                 neginf=np.nan)
+    result_dists = np.fmin(result_dists, result_dists.T)
+    max_dist = np.nanmax(result_dists)
+    result_dists = np.nan_to_num(result_dists, nan=max_dist, posinf=max_dist,
+                                 neginf=max_dist)
+
+    if search_path is not None:
+        np.savez(search_path, verts=verts_np, faces=faces_np, dist=result_dists)
+    return result_dists
+
+
+def geodesic_label_errors(target_verts, target_faces, pred_labels, gt_labels,
+                          normalization: str = "diameter",
+                          geodesic_cache_dir: str | None = None):
+    """Distances between predicted and ground-truth label vertices, normalized by
+    geodesic diameter or sqrt(total area) (reference geometry.py:754-781)."""
+    target_verts = np.asarray(utils.to_np(target_verts))
+    target_faces = np.asarray(utils.to_np(target_faces))
+    pred_labels = np.asarray(utils.to_np(pred_labels))
+    gt_labels = np.asarray(utils.to_np(gt_labels))
+
+    dists = get_all_pairs_geodesic_distance(target_verts, target_faces,
+                                            geodesic_cache_dir)
+    result_dists = dists[pred_labels, gt_labels]
+
+    if normalization == "diameter":
+        return result_dists / np.max(dists)
+    elif normalization == "area":
+        total_area = face_areas_np(target_verts.astype(np.float64),
+                                   target_faces).sum()
+        return result_dists / np.sqrt(total_area)
+    else:
+        raise ValueError("unrecognized normalization")

@@ -1,0 +1,174 @@
+"""Mesh IO: .off / .obj / .ply (ascii and binary_little_endian) readers.
+
+Replaces the reference's external readers (`pp3d.read_mesh` used by every dataset,
+e.g. shrec11_dataset.py:72, and `plyfile` for the point-cloud split,
+faust_with_robust_test_dataset.py:107-115). Pure numpy; a native C++ fast path can
+be added behind the same API.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def read_mesh(path: str):
+    """Returns (verts (V,3) float64, faces (F,3) int64). faces has 0 rows for a
+    pure point cloud file."""
+    lower = path.lower()
+    if lower.endswith(".off"):
+        return read_off(path)
+    if lower.endswith(".obj"):
+        return read_obj(path)
+    if lower.endswith(".ply"):
+        verts, faces, _ = read_ply(path)
+        return verts, faces
+    raise ValueError(f"unsupported mesh format: {path}")
+
+
+def read_off(path: str):
+    with open(path, "rb") as f:
+        data = f.read().decode("utf-8", errors="replace")
+    tokens_iter = iter(data.split())
+    first = next(tokens_iter)
+    if first.startswith("OFF") and len(first) > 3:
+        # header glued to counts like "OFF492 980 0"
+        rest = first[3:]
+        tokens = [rest] + list(tokens_iter)
+    elif first == "OFF" or first == "COFF" or first == "NOFF":
+        tokens = list(tokens_iter)
+    else:
+        tokens = [first] + list(tokens_iter)
+    nv, nf = int(tokens[0]), int(tokens[1])
+    # tokens[2] = edge count (ignored)
+    vals = np.array(tokens[3:3 + nv * 3], dtype=np.float64)
+    verts = vals.reshape(nv, 3)
+    faces = np.zeros((nf, 3), dtype=np.int64)
+    pos = 3 + nv * 3
+    for i in range(nf):
+        cnt = int(tokens[pos]); pos += 1
+        poly = [int(tokens[pos + j]) for j in range(cnt)]
+        pos += cnt
+        if cnt != 3:
+            raise ValueError("non-triangular face in OFF file")
+        faces[i] = poly
+    return verts, faces
+
+
+def read_obj(path: str):
+    verts, faces = [], []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                parts = line.split()[1:]
+                idx = [int(p.split("/")[0]) - 1 for p in parts]
+                for j in range(1, len(idx) - 1):  # fan-triangulate polygons
+                    faces.append([idx[0], idx[j], idx[j + 1]])
+    return (np.asarray(verts, dtype=np.float64),
+            np.asarray(faces, dtype=np.int64).reshape(-1, 3))
+
+
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
+def read_ply(path: str):
+    """Returns (verts, faces, props) with props a dict of extra per-vertex arrays
+    (e.g. normals nx/ny/nz, used by the sampling-invariance point-cloud split)."""
+    with open(path, "rb") as f:
+        raw = f.read()
+
+    header_end = raw.find(b"end_header\n") + len(b"end_header\n")
+    header = raw[:header_end].decode("ascii", errors="replace").splitlines()
+    body = raw[header_end:]
+
+    fmt = None
+    elements = []  # list of (name, count, [(type, prop_name) or ('list', ct, it, name)])
+    for line in header:
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            fmt = parts[1]
+        elif parts[0] == "element":
+            elements.append([parts[1], int(parts[2]), []])
+        elif parts[0] == "property":
+            if parts[1] == "list":
+                elements[-1][2].append(("list", parts[2], parts[3], parts[4]))
+            else:
+                elements[-1][2].append((parts[1], parts[2]))
+
+    verts = np.zeros((0, 3))
+    faces = np.zeros((0, 3), dtype=np.int64)
+    props: dict[str, np.ndarray] = {}
+
+    if fmt == "ascii":
+        tokens = body.decode("ascii").split()
+        pos = 0
+        for name, count, plist in elements:
+            if all(p[0] != "list" for p in plist):
+                width = len(plist)
+                vals = np.array(tokens[pos:pos + count * width],
+                                dtype=np.float64).reshape(count, width)
+                pos += count * width
+                cols = {p[1]: vals[:, i] for i, p in enumerate(plist)}
+                if name == "vertex":
+                    verts = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
+                    props.update({k: v for k, v in cols.items()
+                                  if k not in ("x", "y", "z")})
+            else:
+                rows = []
+                for _ in range(count):
+                    cnt = int(tokens[pos]); pos += 1
+                    rows.append([int(tokens[pos + j]) for j in range(cnt)])
+                    pos += cnt
+                if name == "face" and rows:
+                    faces = np.asarray(rows, dtype=np.int64)
+    elif fmt == "binary_little_endian":
+        offset = 0
+        for name, count, plist in elements:
+            if all(p[0] != "list" for p in plist):
+                dt = np.dtype([(p[1], "<" + _PLY_TYPES[p[0]]) for p in plist])
+                arr = np.frombuffer(body, dtype=dt, count=count, offset=offset)
+                offset += dt.itemsize * count
+                if name == "vertex":
+                    verts = np.stack([arr["x"], arr["y"], arr["z"]],
+                                     axis=1).astype(np.float64)
+                    props.update({p[1]: np.asarray(arr[p[1]]) for p in plist
+                                  if p[1] not in ("x", "y", "z")})
+            else:
+                # assume uniform triangle lists (common case)
+                _, ct, it, _pname = plist[0]
+                ct_dt = np.dtype("<" + _PLY_TYPES[ct])
+                it_dt = np.dtype("<" + _PLY_TYPES[it])
+                rows = []
+                for _ in range(count):
+                    cnt = int(np.frombuffer(body, dtype=ct_dt, count=1,
+                                            offset=offset)[0])
+                    offset += ct_dt.itemsize
+                    idx = np.frombuffer(body, dtype=it_dt, count=cnt, offset=offset)
+                    offset += it_dt.itemsize * cnt
+                    if cnt == 3 and name == "face":
+                        rows.append(idx.astype(np.int64))
+                if name == "face" and rows:
+                    faces = np.stack(rows)
+    else:
+        raise ValueError(f"unsupported ply format: {fmt}")
+
+    return verts, faces, props
+
+
+def write_off(path: str, verts: np.ndarray, faces: np.ndarray):
+    with open(path, "w") as f:
+        f.write("OFF\n")
+        f.write(f"{len(verts)} {len(faces)} 0\n")
+        for v in verts:
+            f.write(f"{v[0]} {v[1]} {v[2]}\n")
+        for face in faces:
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")

@@ -1,0 +1,277 @@
+"""Operator precompute, the typed Operators bundle, disk caching, and padding.
+
+Capability parity with reference geometry.py:276-570 (compute_operators /
+get_operators / get_all_operators). TPU-first design (SURVEY §7):
+
+  * the 7-tuple (frames, mass, L, evals, evecs, gradX, gradY) becomes a typed
+    pytree `Operators`; sparse operators are stored in ELL layout so applying them
+    on device is a static-shape gather + contraction (ops/sparse.py);
+  * everything is computed in float64 on host, stored float32 (reference
+    geometry.py:429), and padded to bucket sizes for XLA shape stability;
+  * the npz disk-cache format is byte-compatible with the reference
+    (geometry.py:548-568): SHA1 content hash, linear-probe buckets `{hash}_{i}.npz`,
+    k_eig truncation on load, CSC stored as data/indices/indptr/shape. Caches
+    written by the PyTorch reference can be consumed directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import scipy.sparse
+
+from .. import utils
+from ..ops.sparse import Ell, ell_from_coo, ell_pad
+from .eigen import eigensolve_host
+from .gradients import build_grad, build_grad_point_cloud
+from .host_frames import build_tangent_frames_np, edge_tangent_vectors_np
+from .laplacian import cotan_laplacian, vertex_areas
+from .point_cloud import point_cloud_laplacian
+
+
+class Operators(NamedTuple):
+    """The universal operator bundle (mirrors the reference 7-tuple,
+    geometry.py:392). A valid-vertex mask is implicit: mass > 0 (mass is strictly
+    positive on real vertices, reference geometry.py:324, zero on padding)."""
+    frames: np.ndarray   # (V, 3, 3)
+    mass: np.ndarray     # (V,)
+    L: Ell               # (V, V) weak Laplacian
+    evals: np.ndarray    # (K,)
+    evecs: np.ndarray    # (V, K)
+    gradX: Ell           # (V, V) tangent-gradient real part
+    gradY: Ell           # (V, V) tangent-gradient imaginary part
+
+
+def _csc_to_ell(mat: scipy.sparse.spmatrix, dtype=np.float32) -> Ell:
+    coo = mat.tocoo()
+    return ell_from_coo(coo.row, coo.col, coo.data, mat.shape[0], dtype=dtype)
+
+
+def compute_operators(verts, faces, k_eig: int, normals=None,
+                      dtype=np.float32, _return_sparse: bool = False):
+    """Build spectral operators for a mesh or point cloud (numpy in / Operators out).
+
+    verts: (V,3); faces: (F,3) int or empty/None for a point cloud; k_eig: number
+    of eigenpairs. Same pipeline as reference geometry.py:276-392: tangent frames,
+    Laplacian+mass (cotan for meshes, Sharp-Crane-style for clouds), ARPACK-ladder
+    eigendecomposition, least-squares tangent gradients over the Laplacian's edge
+    set (mesh) or a 30-NN graph (cloud).
+    """
+    verts_np = np.asarray(verts, dtype=np.float64)
+    faces_np = (np.asarray(faces, dtype=np.int64)
+                if faces is not None and np.asarray(faces).size else
+                np.zeros((0, 3), dtype=np.int64))
+    is_cloud = faces_np.size == 0
+    eps = 1e-8
+
+    if normals is not None:
+        normals = np.asarray(normals, dtype=np.float64)
+    frames = build_tangent_frames_np(verts_np, faces_np if not is_cloud else None,
+                                     normals=normals)
+
+    # Laplacian + lumped mass
+    if is_cloud:
+        L, massvec_np = point_cloud_laplacian(verts_np)
+    else:
+        L = cotan_laplacian(verts_np, faces_np, denom_eps=1e-10)
+        massvec_np = vertex_areas(verts_np, faces_np)
+        massvec_np = massvec_np + eps * np.mean(massvec_np)
+
+    if np.isnan(L.data).any():
+        raise RuntimeError("NaN Laplace matrix")
+    if np.isnan(massvec_np).any():
+        raise RuntimeError("NaN mass matrix")
+
+    # Eigenbasis (host ARPACK path with the reference retry ladder)
+    evals_np, evecs_np = eigensolve_host(L, massvec_np, k_eig, eps=eps)
+
+    # Gradient operator: mesh edges = Laplacian sparsity (reference
+    # geometry.py:331-334,375); clouds use a 30-NN graph.
+    if is_cloud:
+        grad_mat = build_grad_point_cloud(verts_np, frames)
+    else:
+        L_coo = L.tocoo()
+        edges = np.stack((L_coo.row, L_coo.col), axis=0)
+        edge_vecs = edge_tangent_vectors_np(verts_np, frames, edges)
+        grad_mat = build_grad(verts_np.shape[0], edges, edge_vecs)
+
+    # Split the complex gradient into two real sparse mats (reference
+    # geometry.py:380-382 does the same for torch's benefit; here it maps onto
+    # two real ELL kernels).
+    gradX_sp = grad_mat.copy()
+    gradX_sp.data = np.real(grad_mat.data)
+    gradY_sp = grad_mat.copy()
+    gradY_sp.data = np.imag(grad_mat.data)
+
+    ops = Operators(
+        frames=frames.astype(dtype),
+        mass=massvec_np.astype(dtype),
+        L=_csc_to_ell(L, dtype=dtype),
+        evals=evals_np.astype(dtype),
+        evecs=evecs_np.astype(dtype),
+        gradX=_csc_to_ell(gradX_sp, dtype=dtype),
+        gradY=_csc_to_ell(gradY_sp, dtype=dtype),
+    )
+    if _return_sparse:
+        return ops, (L, gradX_sp, gradY_sp)
+    return ops
+
+
+def _write_cache(search_path, verts_np, faces_np, k_eig, ops, sparse_mats):
+    L, gradX_sp, gradY_sp = sparse_mats
+    f32 = np.float32
+    L_csc = L.tocsc().astype(f32)
+    gX = gradX_sp.tocsc().astype(f32)
+    gY = gradY_sp.tocsc().astype(f32)
+    np.savez(
+        search_path,
+        verts=verts_np.astype(f32),
+        frames=ops.frames.astype(f32),
+        faces=faces_np,
+        k_eig=k_eig,
+        mass=ops.mass.astype(f32),
+        L_data=L_csc.data.astype(f32), L_indices=L_csc.indices,
+        L_indptr=L_csc.indptr, L_shape=L_csc.shape,
+        evals=ops.evals.astype(f32),
+        evecs=ops.evecs.astype(f32),
+        gradX_data=gX.data.astype(f32), gradX_indices=gX.indices,
+        gradX_indptr=gX.indptr, gradX_shape=gX.shape,
+        gradY_data=gY.data.astype(f32), gradY_indices=gY.indices,
+        gradY_indptr=gY.indptr, gradY_shape=gY.shape,
+    )
+
+
+def _read_sp_mat(npzfile, prefix) -> scipy.sparse.csc_matrix:
+    return scipy.sparse.csc_matrix(
+        (npzfile[prefix + "_data"], npzfile[prefix + "_indices"],
+         npzfile[prefix + "_indptr"]), shape=npzfile[prefix + "_shape"])
+
+
+def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = None,
+                  normals=None, overwrite_cache: bool = False,
+                  dtype=np.float32) -> Operators:
+    """compute_operators with reference-compatible disk caching
+    (geometry.py:426-570): SHA1-of-bytes key, linear probing on collision, exact
+    array-equality verification, k_eig truncation on load, race-tolerant writes."""
+    verts_np = np.asarray(verts)
+    faces_np = (np.asarray(faces) if faces is not None and np.asarray(faces).size
+                else np.zeros((0, 3), dtype=np.int64))
+    if np.isnan(verts_np).any():
+        raise RuntimeError("tried to construct operators from NaN verts")
+
+    search_path = None
+    if op_cache_dir is not None:
+        utils.ensure_dir_exists(op_cache_dir)
+        hash_key_str = str(utils.hash_arrays((verts_np, faces_np)))
+        i_cache_search = 0
+        while True:
+            search_path = os.path.join(
+                op_cache_dir, f"{hash_key_str}_{i_cache_search}.npz")
+            try:
+                npzfile = np.load(search_path, allow_pickle=True)
+                cache_verts = npzfile["verts"]
+                cache_faces = npzfile["faces"]
+                cache_k_eig = npzfile["k_eig"].item()
+                if (not np.array_equal(verts_np.astype(np.float32), cache_verts)
+                        or not np.array_equal(faces_np, cache_faces)):
+                    i_cache_search += 1
+                    print("hash collision! searching next.")
+                    continue
+                if overwrite_cache:
+                    os.remove(search_path)
+                    break
+                if cache_k_eig < k_eig:
+                    print("  overwriting cache --- not enough eigenvalues")
+                    os.remove(search_path)
+                    break
+                if "L_data" not in npzfile:
+                    print("  overwriting cache --- entries are absent")
+                    os.remove(search_path)
+                    break
+
+                return Operators(
+                    frames=npzfile["frames"].astype(dtype),
+                    mass=npzfile["mass"].astype(dtype),
+                    L=_csc_to_ell(_read_sp_mat(npzfile, "L"), dtype=dtype),
+                    evals=npzfile["evals"][:k_eig].astype(dtype),
+                    evecs=npzfile["evecs"][:, :k_eig].astype(dtype),
+                    gradX=_csc_to_ell(_read_sp_mat(npzfile, "gradX"), dtype=dtype),
+                    gradY=_csc_to_ell(_read_sp_mat(npzfile, "gradY"), dtype=dtype),
+                )
+            except FileNotFoundError:
+                break
+            except Exception as E:
+                print("unexpected error loading file: " + str(E))
+                print("-- constructing operators")
+                break
+
+    ops, sparse_mats = compute_operators(verts_np, faces_np, k_eig,
+                                         normals=normals, dtype=dtype,
+                                         _return_sparse=True)
+    if search_path is not None:
+        _write_cache(search_path, np.asarray(verts_np, dtype=np.float64),
+                     faces_np, k_eig, ops, sparse_mats)
+    return ops
+
+
+def get_all_operators(verts_list, faces_list, k_eig: int,
+                      op_cache_dir: str | None = None,
+                      normals=None) -> list[Operators]:
+    """Batch precompute over a list of shapes (reference geometry.py:395-424).
+    Returns a list of Operators (vs the reference's 7 parallel lists)."""
+    out = []
+    N = len(verts_list)
+    for i in range(N):
+        print(f"get_all_operators() processing {i} / {N} {i / N * 100:.3f}%")
+        ni = None if normals is None else normals[i]
+        out.append(get_operators(verts_list[i], faces_list[i], k_eig,
+                                 op_cache_dir, normals=ni))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Padding / batching (TPU static-shape machinery — new capability)
+# ---------------------------------------------------------------------------
+
+def pad_operators(ops: Operators, v_pad: int, k_eig: int | None = None,
+                  d_max_l: int | None = None, d_max_grad: int | None = None
+                  ) -> Operators:
+    """Pad an Operators bundle to static shapes.
+
+    Padded vertices have mass == 0 (the implicit validity mask), zero rows in
+    evecs/frames, and all-zero ELL rows; padded ELL entries are exact no-ops.
+    global_mean outputs are exactly invariant to this padding because they are
+    mass-weighted (reference layers.py:393-397).
+    """
+    V = ops.mass.shape[0]
+    if v_pad < V:
+        raise ValueError(f"v_pad={v_pad} < V={V}")
+    K = ops.evals.shape[0]
+    k_eig = k_eig if k_eig is not None else K
+
+    frames = utils.pad_to(ops.frames, v_pad, axis=0)
+    mass = utils.pad_to(ops.mass, v_pad, axis=0)
+    evals = utils.pad_to(ops.evals, k_eig, axis=0)
+    evecs = utils.pad_to(utils.pad_to(ops.evecs, v_pad, axis=0), k_eig, axis=1)
+    L = ell_pad(ops.L, v_pad, d_max_l)
+    gradX = ell_pad(ops.gradX, v_pad, d_max_grad)
+    gradY = ell_pad(ops.gradY, v_pad, d_max_grad)
+    return Operators(frames=frames, mass=mass, L=L, evals=evals, evecs=evecs,
+                     gradX=gradX, gradY=gradY)
+
+
+def stack_operators(ops_list: Sequence[Operators],
+                    v_pad: int | None = None,
+                    k_eig: int | None = None) -> Operators:
+    """Stack a list of Operators into one batched bundle with common padding."""
+    import jax
+    v_pad = v_pad if v_pad is not None else max(o.mass.shape[0] for o in ops_list)
+    k_eig = k_eig if k_eig is not None else min(o.evals.shape[0] for o in ops_list)
+    d_l = max(o.L.max_degree for o in ops_list)
+    d_g = max(max(o.gradX.max_degree, o.gradY.max_degree) for o in ops_list)
+    padded = [pad_operators(o._replace(evals=o.evals[:k_eig],
+                                       evecs=o.evecs[:, :k_eig]),
+                            v_pad, k_eig, d_l, d_g) for o in ops_list]
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *padded)

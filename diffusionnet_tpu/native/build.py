@@ -1,0 +1,89 @@
+"""Build + ctypes bindings for the native host kernels.
+
+Compiles dnet_native.cpp with g++ on first use (a few seconds, cached as
+libdnet_native.so next to the source). All callers have pure-Python fallbacks,
+so a missing compiler degrades gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "dnet_native.cpp")
+_SO = os.path.join(_HERE, "libdnet_native.so")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def get_lib() -> ctypes.CDLL:
+    """Compile (if needed) and load the native library."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                   _SRC, "-o", _SO]
+            subprocess.run(cmd, check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+
+        lib.dnet_knn.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.dnet_knn.restype = None
+
+        lib.dnet_dijkstra_geodesics.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.dnet_dijkstra_geodesics.restype = None
+
+        _lib = lib
+        return _lib
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def knn_native(points_target: np.ndarray, points_source: np.ndarray, k: int):
+    """KD-tree kNN: returns (dists (N,k) float64, inds (N,k) int64), sorted."""
+    lib = get_lib()
+    tgt = np.ascontiguousarray(points_target, dtype=np.float64)
+    src = np.ascontiguousarray(points_source, dtype=np.float64)
+    n_t, n_s = tgt.shape[0], src.shape[0]
+    k = min(k, n_t)
+    dists = np.empty((n_s, k), dtype=np.float64)
+    inds = np.empty((n_s, k), dtype=np.int64)
+    lib.dnet_knn(_ptr(tgt, ctypes.c_double), n_t, _ptr(src, ctypes.c_double),
+                 n_s, k, _ptr(dists, ctypes.c_double), _ptr(inds, ctypes.c_int64))
+    return dists, inds
+
+
+def dijkstra_geodesics_native(verts: np.ndarray, faces: np.ndarray,
+                              sources: np.ndarray) -> np.ndarray:
+    """Graph (edge-path) geodesic distances: (S, V) float32."""
+    lib = get_lib()
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    sources = np.ascontiguousarray(sources, dtype=np.int64)
+    out = np.empty((sources.shape[0], verts.shape[0]), dtype=np.float32)
+    lib.dnet_dijkstra_geodesics(
+        _ptr(verts, ctypes.c_double), verts.shape[0],
+        _ptr(faces, ctypes.c_int64), faces.shape[0],
+        _ptr(sources, ctypes.c_int64), sources.shape[0],
+        _ptr(out, ctypes.c_float))
+    return out

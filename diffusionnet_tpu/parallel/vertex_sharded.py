@@ -1,0 +1,60 @@
+"""Vertex-sharded inference for very large surfaces (200k+ vertices).
+
+The reference handles large meshes on one GPU by spectral truncation alone
+(README.md:4). On TPU we additionally shard the V axis of the per-vertex arrays
+(x, mass, evecs rows, ELL operator rows) across the `vert` mesh axis and let XLA
+insert the collectives: the spectral projection phi^T(Mx) becomes a local matmul +
+psum (reduce over V shards); the back-projection is fully local; the ELL gather
+over a V-sharded activation lowers to an all-gather of x. This follows the
+annotate-shardings-and-let-XLA-partition recipe rather than hand-written NCCL-style
+code.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geometry.operators import Operators
+from ..ops.sparse import Ell
+
+
+def shard_operators_by_vertex(ops: Operators, mesh: Mesh) -> Operators:
+    """device_put an (unbatched, padded) Operators bundle with its V axes sharded
+    over the `vert` mesh axis. evals (K,) are replicated; evecs (V,K) row-sharded;
+    ELL operators row-sharded (their column indices stay global)."""
+    vshard = NamedSharding(mesh, P("vert"))
+    repl = NamedSharding(mesh, P())
+
+    def put_v(x):
+        return jax.device_put(x, vshard)
+
+    return Operators(
+        frames=put_v(ops.frames),
+        mass=put_v(ops.mass),
+        L=Ell(put_v(ops.L.idx), put_v(ops.L.val)),
+        evals=jax.device_put(ops.evals, repl),
+        evecs=put_v(ops.evecs),
+        gradX=Ell(put_v(ops.gradX.idx), put_v(ops.gradX.val)),
+        gradY=Ell(put_v(ops.gradY.idx), put_v(ops.gradY.val)),
+    )
+
+
+def vertex_sharded_forward(model, params, x_in, ops: Operators, mesh: Mesh,
+                           **call_kwargs):
+    """Run model.apply with the V axis sharded over the `vert` mesh axis.
+
+    x_in: (V, C_in) for ONE large surface (no batch dim). Returns the output with
+    XLA-chosen output sharding (per-vertex outputs come back V-sharded)."""
+    vshard = NamedSharding(mesh, P("vert"))
+    x_in = jax.device_put(x_in, vshard)
+    ops = shard_operators_by_vertex(ops, mesh)
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    @jax.jit
+    def fwd(params, x_in, ops):
+        return model.apply(params, x_in, ops.mass, L=ops.L, evals=ops.evals,
+                           evecs=ops.evecs, gradX=ops.gradX, gradY=ops.gradY,
+                           **call_kwargs)
+
+    return fwd(params, x_in, ops)

@@ -1,0 +1,11 @@
+"""Training harness: optimizers/schedules, jitted train/eval steps, fit loop,
+checkpointing."""
+
+from .fit import (  # noqa: F401
+    TrainState,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    step_decay_schedule,
+)
+from .checkpoint import save_checkpoint, restore_checkpoint  # noqa: F401

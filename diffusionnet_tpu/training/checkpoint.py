@@ -1,0 +1,49 @@
+"""Checkpointing with optimizer state and step counter (Orbax).
+
+The reference saves only a final model state_dict with torch.save (e.g.
+human_segmentation_original.py:209) — no optimizer state, no resume. Here:
+full-train-state checkpoints, restorable mid-run.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(ckpt_dir: str, state: Any, step: int | None = None) -> str:
+    """Save a pytree checkpoint. Uses Orbax if available; falls back to a
+    flat .npz of leaves (structure re-derived on restore from a template)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    try:
+        import orbax.checkpoint as ocp
+        path = os.path.join(os.path.abspath(ckpt_dir),
+                            f"step_{step if step is not None else 0}")
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, _to_host(state), force=True)
+        ckptr.wait_until_finished()
+        return path
+    except Exception:
+        leaves, _ = jax.tree.flatten(_to_host(state))
+        path = os.path.join(ckpt_dir, f"step_{step if step is not None else 0}.npz")
+        np.savez(path, *leaves)
+        return path
+
+
+def restore_checkpoint(path: str, template: Any) -> Any:
+    """Restore a checkpoint saved by save_checkpoint into `template`'s structure."""
+    if path.endswith(".npz"):
+        npz = np.load(path, allow_pickle=True)
+        leaves = [npz[k] for k in npz.files]
+        treedef = jax.tree.structure(template)
+        return jax.tree.unflatten(treedef, leaves)
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, target=_to_host(template))

@@ -1,0 +1,196 @@
+"""Shared experiment harness.
+
+The reference duplicates one train/eval skeleton across its five drivers
+(argparse -> Adam(lr=1e-3) -> manual lr*0.5 every 50 epochs -> per-mesh loop; e.g.
+classification_shrec11.py:99-217). Here the skeleton is a single jitted,
+fixed-shape, batched harness shared by every suite.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from dataclasses import dataclass
+from functools import partial
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import diffusionnet_tpu as dnt
+from diffusionnet_tpu.data import make_padded_batches
+from diffusionnet_tpu.data.features import FEATURE_DIMS, get_features
+from diffusionnet_tpu.models import DiffusionNet
+from diffusionnet_tpu.training import (
+    step_decay_schedule, save_checkpoint, restore_checkpoint,
+)
+
+
+@dataclass
+class FitConfig:
+    n_epoch: int = 200
+    lr: float = 1e-3
+    decay_every: int = 50          # epochs (reference semantics)
+    decay_rate: float = 0.5
+    batch_size: int = 8
+    input_features: str = "hks"    # 'xyz' or 'hks'
+    augment_rotate: bool = False   # random SO(3) rotation of xyz features
+    rotate_axis: str = "full"      # 'full' or 'y'
+    label_smoothing: float = 0.0
+    labels_kind: str = "global"    # 'global' | 'vertex' | 'face'
+    seed: int = 0
+
+
+def build_model(n_class: int, c_width: int, outputs_at: str,
+                dropout: bool, input_features: str, n_block: int = 4):
+    return DiffusionNet(
+        c_in=FEATURE_DIMS[input_features], c_out=n_class, c_width=c_width,
+        n_block=n_block, dropout=dropout, outputs_at=outputs_at,
+        last_activation=jax.nn.log_softmax)
+
+
+def _augment(verts, rng, cfg: FitConfig):
+    if not (cfg.augment_rotate and cfg.input_features == "xyz"):
+        return verts
+    keys = jax.random.split(rng, verts.shape[0])
+    rot = (dnt.utils.random_rotate_points_y if cfg.rotate_axis == "y"
+           else dnt.utils.random_rotate_points)
+    return jax.vmap(rot)(verts, keys)
+
+
+def _apply_model(model, params, batch, rng, cfg: FitConfig,
+                 deterministic: bool):
+    verts = batch.verts
+    if rng is not None:
+        rng_rot, rng_drop = jax.random.split(rng)
+        verts = _augment(verts, rng_rot, cfg)
+        rngs = {"dropout": rng_drop}
+    else:
+        rngs = None
+    feats = get_features(cfg.input_features, verts, batch.ops.evals,
+                         batch.ops.evecs)
+    kwargs = dict(L=batch.ops.L, evals=batch.ops.evals, evecs=batch.ops.evecs,
+                  gradX=batch.ops.gradX, gradY=batch.ops.gradY,
+                  deterministic=deterministic)
+    if cfg.labels_kind == "face":
+        kwargs["faces"] = batch.faces
+    return model.apply(params, feats, batch.ops.mass, rngs=rngs, **kwargs)
+
+
+def _loss_and_counts(preds, batch, cfg: FitConfig):
+    """Masked loss + (correct, total) counts. Padding labels are -1."""
+    labels = batch.labels
+    if cfg.labels_kind == "global":
+        valid = labels >= 0
+        safe = jnp.maximum(labels, 0)
+        n_class = preds.shape[-1]
+        s = cfg.label_smoothing
+        one_hot = jax.nn.one_hot(safe, n_class, dtype=preds.dtype)
+        one_hot = one_hot * (1.0 - s) + (1.0 - one_hot) * s / (n_class - 1)
+        per = -jnp.sum(one_hot * preds, axis=-1)
+        loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1)
+        correct = jnp.sum((jnp.argmax(preds, -1) == labels) & valid)
+        total = jnp.sum(valid)
+    else:
+        # per-element (vertex/face) NLL with -1 = ignore
+        valid = labels >= 0
+        if cfg.labels_kind == "face":
+            valid = valid & batch.face_mask
+        safe = jnp.maximum(labels, 0)
+        per = -jnp.take_along_axis(preds, safe[..., None], axis=-1)[..., 0]
+        loss = jnp.sum(per * valid) / jnp.maximum(jnp.sum(valid), 1)
+        correct = jnp.sum((jnp.argmax(preds, -1) == labels) & valid)
+        total = jnp.sum(valid)
+    return loss, (correct, total)
+
+
+def fit(model, train_ds, test_ds, cfg: FitConfig,
+        model_save_path: str | None = None,
+        params=None, eval_every: int = 1,
+        geodesic_eval=None, verbose: bool = True):
+    """Train `model` on train_ds, evaluating on test_ds each epoch.
+
+    Returns (params, history). `geodesic_eval(params, predict_fn)` is an
+    optional extra per-epoch metric hook (used by sampling_invariance).
+    """
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    # init from the first batch
+    first = next(iter(make_padded_batches(train_ds, cfg.batch_size,
+                                          shuffle=False)))
+    first = jax.tree.map(jnp.asarray, first)
+    if params is None:
+        rng, init_rng = jax.random.split(rng)
+        feats = get_features(cfg.input_features, first.verts,
+                             first.ops.evals, first.ops.evecs)
+        kwargs = dict(L=first.ops.L, evals=first.ops.evals,
+                      evecs=first.ops.evecs, gradX=first.ops.gradX,
+                      gradY=first.ops.gradY)
+        if cfg.labels_kind == "face":
+            kwargs["faces"] = first.faces
+        params = model.init({"params": init_rng}, feats, first.ops.mass,
+                            **kwargs)
+
+    steps_per_epoch = max(1, -(-len(train_ds) // cfg.batch_size))
+    optimizer = optax.adam(step_decay_schedule(
+        cfg.lr, cfg.decay_every * steps_per_epoch, cfg.decay_rate))
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        def loss_fn(p):
+            preds = _apply_model(model, p, batch, rng, cfg, deterministic=False)
+            loss, counts = _loss_and_counts(preds, batch, cfg)
+            return loss, counts
+
+        (loss, counts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, counts
+
+    @jax.jit
+    def eval_step(params, batch):
+        preds = _apply_model(model, params, batch, None, cfg,
+                             deterministic=True)
+        _, counts = _loss_and_counts(preds, batch, cfg)
+        return counts, preds
+
+    def evaluate(params, ds):
+        correct = total = 0
+        for batch in make_padded_batches(ds, cfg.batch_size, shuffle=False):
+            batch = jax.tree.map(jnp.asarray, batch)
+            (c, t), _ = eval_step(params, batch)
+            correct += int(c)
+            total += int(t)
+        return correct / max(total, 1)
+
+    history = []
+    for epoch in range(cfg.n_epoch):
+        correct = total = 0
+        for batch in make_padded_batches(train_ds, cfg.batch_size,
+                                         shuffle=True, seed=cfg.seed + epoch):
+            batch = jax.tree.map(jnp.asarray, batch)
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss, (c, t) = train_step(
+                params, opt_state, batch, step_rng)
+            correct += int(c)
+            total += int(t)
+        train_acc = correct / max(total, 1)
+
+        test_acc = evaluate(params, test_ds) if (epoch % eval_every == 0) else None
+        history.append((epoch, train_acc, test_acc))
+        if verbose:
+            ta = f"{100 * test_acc:06.3f}%" if test_acc is not None else "--"
+            print(f"Epoch {epoch} - Train overall: {100 * train_acc:06.3f}%  "
+                  f"Test overall: {ta}")
+
+    if model_save_path is not None:
+        save_checkpoint(os.path.dirname(model_save_path) or ".", params,
+                        step=cfg.n_epoch)
+        print(" ==> saved model checkpoint near " + model_save_path)
+
+    return params, history, evaluate

@@ -1,0 +1,54 @@
+"""RNA mesh segmentation: 260-class per-vertex labels on ~15k-vertex RNA surfaces
+(reference experiments/rna_mesh_segmentation/rna_mesh_segmentation.py).
+
+Same configuration: C_width=128, 4 blocks, outputs_at='vertices', dropout on,
+xyz default features, Adam 1e-3 halved every 50 epochs.
+
+Usage: python rna_mesh_segmentation.py [--input_features xyz]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..")))
+from exp_common import FitConfig, build_model, fit  # noqa: E402
+
+from rna_mesh_dataset import RNAMeshDataset  # noqa: E402
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input_features", type=str, default="xyz")
+    parser.add_argument("--n_epoch", type=int, default=200)
+    parser.add_argument("--batch_size", type=int, default=2)
+    args = parser.parse_args()
+
+    base_path = os.path.dirname(__file__)
+    op_cache_dir = os.path.join(base_path, "data", "op_cache")
+    dataset_path = os.path.join(base_path, "data")
+    model_save_path = os.path.join(
+        base_path, "data", "saved_models", f"rna_seg_{args.input_features}_4x128")
+
+    k_eig = 128
+    train_dataset = RNAMeshDataset(dataset_path, train=True, k_eig=k_eig,
+                                   op_cache_dir=op_cache_dir)
+    test_dataset = RNAMeshDataset(dataset_path, train=False, k_eig=k_eig,
+                                  op_cache_dir=op_cache_dir)
+
+    cfg = FitConfig(
+        n_epoch=args.n_epoch, lr=1e-3, decay_every=50, decay_rate=0.5,
+        batch_size=args.batch_size, input_features=args.input_features,
+        augment_rotate=(args.input_features == "xyz"), labels_kind="vertex")
+
+    model = build_model(n_class=260, c_width=128, outputs_at="vertices",
+                        dropout=True, input_features=args.input_features)
+
+    params, history, evaluate = fit(model, train_dataset, test_dataset, cfg,
+                                    model_save_path=model_save_path)
+    print(f"Overall test accuracy: {100 * evaluate(params, test_dataset):06.3f}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Tests for the host geometry precompute: Laplacian, gradients, eigen, cache,
+point clouds, geodesics — against analytic ground truth where possible."""
+
+import os
+
+import numpy as np
+import pytest
+import scipy.sparse
+
+from diffusionnet_tpu import geometry
+from diffusionnet_tpu.geometry import (
+    cotan_laplacian, vertex_areas, build_grad, compute_operators, get_operators,
+    eigensolve_host, point_cloud_laplacian, HeatMethodSolver,
+)
+from diffusionnet_tpu.geometry.host_frames import (
+    build_tangent_frames_np, edge_tangent_vectors_np,
+)
+
+
+def test_cotan_laplacian_basic_properties(sphere_mesh):
+    verts, faces = sphere_mesh
+    L = cotan_laplacian(verts, faces)
+    # symmetric
+    assert abs(L - L.T).max() < 1e-10
+    # constant functions in the kernel (row sums zero)
+    assert np.abs(L @ np.ones(verts.shape[0])).max() < 1e-10
+    # PSD: smallest eigenvalue ~ 0
+    evals = np.linalg.eigvalsh(L.toarray())
+    assert evals.min() > -1e-9
+
+
+def test_vertex_areas_sum_to_total_area(sphere_mesh):
+    verts, faces = sphere_mesh
+    mass = vertex_areas(verts, faces)
+    total = geometry.face_areas_np(verts, faces).sum()
+    np.testing.assert_allclose(mass.sum(), total, rtol=1e-12)
+    assert (mass > 0).all()
+
+
+def test_sphere_spectrum(sphere_mesh):
+    """Unit-sphere Laplace-Beltrami eigenvalues are l(l+1) with multiplicity
+    2l+1: [0, 2,2,2, 6,6,6,6,6, ...]."""
+    verts, faces = sphere_mesh
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    evals, evecs = eigensolve_host(L, mass, k_eig=9)
+    expected = np.array([0.0] + [2.0] * 3 + [6.0] * 5)
+    np.testing.assert_allclose(evals, expected, atol=0.15)
+    # M-orthonormality of eigenvectors
+    G = evecs.T @ (mass[:, None] * evecs)
+    np.testing.assert_allclose(G, np.eye(9), atol=1e-8)
+
+
+def test_grid_spectrum_dirichlet_free():
+    """Flat unit square with natural (Neumann) boundary: eigenvalues pi^2 (m^2+n^2)."""
+    from tests.meshgen import flat_grid
+    verts, faces = flat_grid(n=24)
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    evals, _ = eigensolve_host(L, mass, k_eig=4)
+    expected = np.pi ** 2 * np.array([0.0, 1.0, 1.0, 2.0])
+    np.testing.assert_allclose(evals, expected, atol=0.3)
+
+
+def test_build_grad_exact_on_linear_function():
+    """On a planar mesh, the tangent gradient of a linear function is exact."""
+    from tests.meshgen import flat_grid
+    verts, faces = flat_grid(n=10, jitter=0.3)
+    frames = build_tangent_frames_np(verts, faces)
+    L = cotan_laplacian(verts, faces)
+    coo = L.tocoo()
+    edges = np.stack([coo.row, coo.col])
+    etv = edge_tangent_vectors_np(verts, frames, edges)
+    G = build_grad(verts.shape[0], edges, etv)
+
+    # f(x,y) = 3x - 2y; true gradient (3, -2) expressed in each vertex frame
+    f = 3.0 * verts[:, 0] - 2.0 * verts[:, 1]
+    g = G @ f  # complex: X + iY components in the tangent frame
+    true_grad = np.array([3.0, -2.0, 0.0])
+    gx_true = frames[:, 0, :] @ true_grad
+    gy_true = frames[:, 1, :] @ true_grad
+    # exact up to the eps_reg=1e-5 Tikhonov bias of the stencil; with edge
+    # lengths ~0.1 the normal matrix has entries ~1e-2, so the relative bias is
+    # ~eps/1e-2 = 1e-3 of the gradient magnitude
+    np.testing.assert_allclose(np.real(g), gx_true, atol=5e-3)
+    np.testing.assert_allclose(np.imag(g), gy_true, atol=5e-3)
+
+
+def test_build_grad_matches_naive_reference_algorithm(rng):
+    """Independent check of the vectorized assembly against a direct per-vertex
+    least-squares solve (the mathematical spec of reference geometry.py:209-273)."""
+    from tests.meshgen import icosphere
+    verts, faces = icosphere(subdivisions=1)
+    frames = build_tangent_frames_np(verts, faces)
+    L = cotan_laplacian(verts, faces)
+    coo = L.tocoo()
+    edges = np.stack([coo.row, coo.col])
+    etv = edge_tangent_vectors_np(verts, frames, edges)
+    G = build_grad(verts.shape[0], edges, etv).toarray()
+
+    N = verts.shape[0]
+    G_naive = np.zeros((N, N), dtype=np.complex128)
+    eps = 1e-5
+    for iV in range(N):
+        out_edges = [e for e in range(edges.shape[1])
+                     if edges[0, e] == iV and edges[1, e] != iV]
+        T = etv[out_edges]  # (n,2)
+        A = T.T @ T + eps * np.eye(2)
+        lhs_inv = np.linalg.inv(A) @ T.T  # (2,n)
+        for col, e in enumerate(out_edges):
+            c = lhs_inv[:, col]
+            G_naive[iV, edges[1, e]] += c[0] + 1j * c[1]
+            G_naive[iV, iV] -= c[0] + 1j * c[1]
+    np.testing.assert_allclose(G, G_naive, atol=1e-10)
+
+
+def test_compute_operators_bundle(sphere_mesh):
+    verts, faces = sphere_mesh
+    ops = compute_operators(verts, faces, k_eig=16)
+    V = verts.shape[0]
+    assert ops.frames.shape == (V, 3, 3)
+    assert ops.mass.shape == (V,)
+    assert ops.evals.shape == (16,)
+    assert ops.evecs.shape == (V, 16)
+    assert ops.gradX.idx.shape == ops.gradY.idx.shape
+    assert np.isfinite(ops.evecs).all()
+    # evals sorted ascending, first ~0
+    assert ops.evals[0] < 1e-4
+    assert (np.diff(ops.evals) >= -1e-5).all()
+
+
+def test_operator_cache_roundtrip(tmp_path, sphere_mesh):
+    verts, faces = sphere_mesh
+    cache = str(tmp_path / "opcache")
+    ops1 = get_operators(verts, faces, k_eig=12, op_cache_dir=cache)
+    files = os.listdir(cache)
+    assert len(files) == 1
+    ops2 = get_operators(verts, faces, k_eig=12, op_cache_dir=cache)
+    np.testing.assert_allclose(ops1.evals, ops2.evals, rtol=1e-6)
+    np.testing.assert_allclose(ops1.evecs, ops2.evecs, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ops1.mass, ops2.mass, rtol=1e-6)
+    # k truncation on load
+    ops3 = get_operators(verts, faces, k_eig=8, op_cache_dir=cache)
+    assert ops3.evals.shape == (8,)
+    np.testing.assert_allclose(ops3.evals, ops1.evals[:8], rtol=1e-6)
+    assert len(os.listdir(cache)) == 1  # no new bucket
+    # more eigenvalues than cached -> recompute + overwrite
+    ops4 = get_operators(verts, faces, k_eig=16, op_cache_dir=cache)
+    assert ops4.evals.shape == (16,)
+
+
+def test_point_cloud_laplacian_grid():
+    from tests.meshgen import flat_grid
+    verts, _ = flat_grid(n=12, jitter=0.2)
+    L, mass = point_cloud_laplacian(verts)
+    assert (mass > 0).all()
+    assert abs(L - L.T).max() < 1e-9
+    assert np.abs(L @ np.ones(verts.shape[0])).max() < 1e-8
+    # spectrum should approximate the square's: first nonzero ~ pi^2
+    evals, _ = eigensolve_host(L, mass, k_eig=3)
+    assert evals[0] < 0.2
+    assert 0.4 * np.pi ** 2 < evals[1] < 2.5 * np.pi ** 2
+
+
+def test_point_cloud_operators(sphere_mesh):
+    verts, _ = sphere_mesh
+    ops = compute_operators(verts, np.zeros((0, 3), np.int64), k_eig=9)
+    # sphere spectrum from the point cloud alone, looser tolerance
+    expected = np.array([0.0] + [2.0] * 3 + [6.0] * 5)
+    np.testing.assert_allclose(ops.evals, expected, atol=0.8)
+
+
+def test_heat_geodesics_flat(grid_mesh):
+    verts, faces = grid_mesh
+    solver = HeatMethodSolver(verts, faces)
+    d = solver.distance(np.array([0]))[0]  # from corner (0,0)
+    euclid = np.linalg.norm(verts - verts[0], axis=1)
+    # heat method on a flat sheet ~ euclidean distance (few % error)
+    err = np.abs(d - euclid)[euclid > 0.2] / euclid[euclid > 0.2]
+    assert np.median(err) < 0.05
+
+
+def test_heat_geodesics_sphere(sphere_mesh):
+    verts, faces = sphere_mesh
+    solver = HeatMethodSolver(verts, faces)
+    src = 0
+    d = solver.distance(np.array([src]))[0]
+    v0 = verts[src] / np.linalg.norm(verts[src])
+    vn = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    arc = np.arccos(np.clip(vn @ v0, -1, 1))
+    sel = arc > 0.3
+    err = np.abs(d[sel] - arc[sel]) / arc[sel]
+    assert np.median(err) < 0.08
+
+
+def test_geodesic_label_errors_and_cache(tmp_path, sphere_mesh):
+    verts, faces = sphere_mesh
+    cache = str(tmp_path / "geo")
+    pred = np.array([0, 5, 10])
+    gt = np.array([0, 5, 11])
+    errs = geometry.geodesic_label_errors(verts, faces, pred, gt,
+                                          geodesic_cache_dir=cache)
+    assert errs[0] == 0 and errs[1] == 0 and errs[2] > 0
+    assert len(os.listdir(cache)) == 1
+    errs2 = geometry.geodesic_label_errors(verts, faces, pred, gt,
+                                           geodesic_cache_dir=cache)
+    np.testing.assert_allclose(errs, errs2)
+
+
+def test_mesh_io_roundtrip(tmp_path, sphere_mesh):
+    verts, faces = sphere_mesh
+    path = str(tmp_path / "m.off")
+    geometry.write_off(path, verts, faces)
+    v2, f2 = geometry.read_mesh(path)
+    np.testing.assert_allclose(v2, verts, atol=1e-10)
+    np.testing.assert_array_equal(f2, faces)
+
+
+def test_native_knn_matches_scipy(rng):
+    pytest.importorskip("ctypes")
+    from diffusionnet_tpu.native import knn_native
+    from scipy.spatial import cKDTree
+    tgt = rng.randn(500, 3)
+    src = rng.randn(100, 3)
+    try:
+        d, i = knn_native(tgt, src, 8)
+    except Exception:
+        pytest.skip("native build unavailable")
+    d_ref, i_ref = cKDTree(tgt).query(src, k=8)
+    np.testing.assert_array_equal(i, i_ref)
+    np.testing.assert_allclose(d, d_ref, rtol=1e-10)
+
+
+def test_native_dijkstra(grid_mesh):
+    from diffusionnet_tpu.native import dijkstra_geodesics_native
+    verts, faces = grid_mesh
+    try:
+        d = dijkstra_geodesics_native(verts, faces, np.array([0]))
+    except Exception:
+        pytest.skip("native build unavailable")
+    assert d.shape == (1, verts.shape[0])
+    assert d[0, 0] == 0
+    # graph distance upper-bounds euclidean, within sqrt(2) stretch on a grid
+    euclid = np.linalg.norm(verts - verts[0], axis=1)
+    assert (d[0] >= euclid - 1e-5).all()
+    assert (d[0] <= euclid * 1.5 + 1e-5).all()

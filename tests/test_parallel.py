@@ -1,0 +1,94 @@
+"""Multi-device tests on the 8-way virtual CPU mesh: data-parallel training via
+shard_map and vertex-sharded large-mesh inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from diffusionnet_tpu.geometry import compute_operators, stack_operators
+from diffusionnet_tpu.models import DiffusionNet
+from diffusionnet_tpu.parallel import (
+    make_mesh, make_dp_train_step, vertex_sharded_forward,
+)
+
+
+@pytest.fixture(scope="module")
+def batch8():
+    from tests.meshgen import icosphere, torus
+    vs, fs = icosphere(subdivisions=1)   # 42 verts
+    vt, ft = torus(n_major=8, n_minor=6)  # 48 verts
+    ops_s = compute_operators(vs, fs, k_eig=8)
+    ops_t = compute_operators(vt, ft, k_eig=8)
+    ops = stack_operators([ops_s, ops_t] * 4, v_pad=64)
+    x = np.zeros((8, 64, 3), np.float32)
+    x[0::2, :42] = vs.astype(np.float32)
+    x[1::2, :48] = vt.astype(np.float32)
+    y = np.array([0, 1] * 4, np.int64)
+    return jax.tree.map(jnp.asarray, ops), jnp.asarray(x), jnp.asarray(y)
+
+
+def test_requires_8_devices(cpu_devices):
+    assert len(cpu_devices) == 8
+
+
+def test_dp_train_step_learns(batch8, cpu_devices):
+    ops, x, y = batch8
+    mesh = make_mesh(data=8, vert=1, devices=cpu_devices)
+    model = DiffusionNet(c_in=3, c_out=2, c_width=16, n_block=1, dropout=False,
+                         outputs_at="global_mean",
+                         last_activation=jax.nn.log_softmax)
+
+    def fwd(params, batch):
+        ops, x, y = batch
+        logp = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
+                           evecs=ops.evecs, gradX=ops.gradX, gradY=ops.gradY)
+        return logp
+
+    def loss_fn(params, batch, rng):
+        ops, x, y = batch
+        logp = fwd(params, batch)
+        return -jnp.mean(jnp.take_along_axis(logp, y[:, None], axis=-1))
+
+    params = model.init(jax.random.PRNGKey(0), x[:1], ops.mass[:1],
+                        L=jax.tree.map(lambda t: t[:1], ops.L),
+                        evals=ops.evals[:1], evecs=ops.evecs[:1],
+                        gradX=jax.tree.map(lambda t: t[:1], ops.gradX),
+                        gradY=jax.tree.map(lambda t: t[:1], ops.gradY))
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    train_step = make_dp_train_step(loss_fn, optimizer, mesh, donate=False)
+    batch = (ops, x, y)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(20):
+        params, opt_state, loss = train_step(params, opt_state, batch, rng)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert losses[-1] < 0.2
+
+
+def test_vertex_sharded_forward_matches_single(batch8, cpu_devices):
+    from tests.meshgen import icosphere
+    verts, faces = icosphere(subdivisions=2)  # 162 verts
+    ops = compute_operators(verts, faces, k_eig=16)
+    from diffusionnet_tpu.geometry import pad_operators
+    ops = pad_operators(ops, v_pad=256)  # 256 = 8 * 32, divisible by mesh
+    jops = jax.tree.map(jnp.asarray, ops)
+    x = jnp.concatenate([jnp.asarray(verts.astype(np.float32)),
+                         jnp.zeros((256 - 162, 3), jnp.float32)])
+
+    model = DiffusionNet(c_in=3, c_out=4, c_width=16, n_block=2, dropout=False)
+    params = model.init(jax.random.PRNGKey(0), x, jops.mass, L=jops.L,
+                        evals=jops.evals, evecs=jops.evecs, gradX=jops.gradX,
+                        gradY=jops.gradY)
+    out_single = np.asarray(model.apply(params, x, jops.mass, L=jops.L,
+                                        evals=jops.evals, evecs=jops.evecs,
+                                        gradX=jops.gradX, gradY=jops.gradY))
+
+    mesh = make_mesh(data=1, vert=8, devices=cpu_devices)
+    out_sharded = np.asarray(vertex_sharded_forward(model, params, x, jops, mesh))
+    np.testing.assert_allclose(out_sharded[:162], out_single[:162],
+                               rtol=5e-4, atol=5e-5)
