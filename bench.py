@@ -53,19 +53,22 @@ def main():
 
     model = DiffusionNet(c_in=3, c_out=8, c_width=C_WIDTH, n_block=N_BLOCK,
                          dropout=False, outputs_at="vertices")
+    from diffusionnet_tpu.geometry import grad_operators
+    gX, gY = grad_operators(ops)
     params = model.init(jax.random.PRNGKey(0), x[:1],
-                        jax.tree.map(lambda t: t[:1], ops).mass,
+                        ops.mass[:1],
                         L=jax.tree.map(lambda t: t[:1], ops.L),
                         evals=ops.evals[:1], evecs=ops.evecs[:1],
-                        gradX=jax.tree.map(lambda t: t[:1], ops.gradX),
-                        gradY=jax.tree.map(lambda t: t[:1], ops.gradY))
+                        gradX=gX[:1], gradY=gY[:1])
 
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
     def loss_fn(params, x, ops):
+        from diffusionnet_tpu.geometry import grad_operators
+        gX, gY = grad_operators(ops)
         out = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
-                          evecs=ops.evecs, gradX=ops.gradX, gradY=ops.gradY)
+                          evecs=ops.evecs, gradX=gX, gradY=gY)
         mask = (ops.mass > 0)[..., None]
         return jnp.sum((out * mask) ** 2) / jnp.sum(mask)
 
@@ -75,18 +78,28 @@ def main():
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    # warmup/compile
+    # warmup/compile (the float() fetch forces real execution; on this
+    # platform block_until_ready does not reliably wait)
     params, opt_state, loss = train_step(params, opt_state, x, ops)
-    jax.block_until_ready(loss)
+    float(loss)
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        params, opt_state, loss = train_step(params, opt_state, x, ops)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    # slope timing: wall clock of N vs 3N chained steps, each ending in a
+    # scalar fetch, cancels dispatch/fetch overhead
+    def run(n):
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            params, opt_state, loss = train_step(params, opt_state, x, ops)
+        float(loss)
+        return time.perf_counter() - t0
 
-    meshes_per_sec = n_iters * BATCH / dt
+    n1, n2 = 5, 15
+    t1 = run(n1)
+    t2 = run(n2)
+    dt = max((t2 - t1) / (n2 - n1), 1e-9)
+
+    meshes_per_sec = BATCH / dt
     print(json.dumps({
         "metric": f"fwd+bwd meshes/sec @ {V_TARGET} verts (pad {V_PAD}), "
                   f"k={K_EIG}, {N_BLOCK}x{C_WIDTH}, batch {BATCH}",

@@ -8,6 +8,8 @@ from .operators import (
     get_all_operators,
     pad_operators,
     stack_operators,
+    spectral_gradients,
+    grad_operators,
 )
 from .laplacian import cotan_laplacian, vertex_areas, face_areas_np
 from .gradients import build_grad, build_grad_point_cloud

@@ -34,7 +34,16 @@ from .point_cloud import point_cloud_laplacian
 class Operators(NamedTuple):
     """The universal operator bundle (mirrors the reference 7-tuple,
     geometry.py:392). A valid-vertex mask is implicit: mass > 0 (mass is strictly
-    positive on real vertices, reference geometry.py:324, zero on padding)."""
+    positive on real vertices, reference geometry.py:324, zero on padding).
+
+    gradX_spec/gradY_spec are the TPU-native *spectral gradient operators*
+    GX = gradX @ evecs, GY = gradY @ evecs, each (V, K). Because spectral
+    diffusion produces x_diffuse = evecs @ (e^{-lambda t} (.) x_hat), the
+    gradient of the diffused signal reassociates EXACTLY as
+        gradX @ x_diffuse = GX @ (e^{-lambda t} (.) x_hat),
+    turning the block's sparse gather/SpMM into a dense (V,K)x(K,C) MXU matmul
+    with a matmul backward (no scatter-add). The ELL operators remain for the
+    implicit_dense path and k_eig=0."""
     frames: np.ndarray   # (V, 3, 3)
     mass: np.ndarray     # (V,)
     L: Ell               # (V, V) weak Laplacian
@@ -42,6 +51,29 @@ class Operators(NamedTuple):
     evecs: np.ndarray    # (V, K)
     gradX: Ell           # (V, V) tangent-gradient real part
     gradY: Ell           # (V, V) tangent-gradient imaginary part
+    gradX_spec: np.ndarray | None = None  # (V, K) gradX @ evecs
+    gradY_spec: np.ndarray | None = None  # (V, K) gradY @ evecs
+
+
+def spectral_gradients(gradX: Ell, gradY: Ell, evecs: np.ndarray):
+    """Host computation of GX = gradX @ evecs, GY = gradY @ evecs (see
+    Operators docstring). O(V * D * K) — negligible next to the eigensolve."""
+    evecs = np.asarray(evecs)
+
+    def apply(ell: Ell):
+        gathered = evecs[np.asarray(ell.idx)]          # (V, D, K)
+        return np.einsum("vd,vdk->vk", np.asarray(ell.val), gathered)
+
+    return (apply(gradX).astype(evecs.dtype),
+            apply(gradY).astype(evecs.dtype))
+
+
+def grad_operators(ops: "Operators", prefer_spectral: bool = True):
+    """(gradX, gradY) to feed the model: the dense spectral operators when
+    available (fast path, see Operators docstring), else the ELL operators."""
+    if prefer_spectral and ops.gradX_spec is not None:
+        return ops.gradX_spec, ops.gradY_spec
+    return ops.gradX, ops.gradY
 
 
 def _csc_to_ell(mat: scipy.sparse.spmatrix, dtype=np.float32) -> Ell:
@@ -105,14 +137,20 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
     gradY_sp = grad_mat.copy()
     gradY_sp.data = np.imag(grad_mat.data)
 
+    gradX_ell = _csc_to_ell(gradX_sp, dtype=dtype)
+    gradY_ell = _csc_to_ell(gradY_sp, dtype=dtype)
+    gX_spec, gY_spec = spectral_gradients(gradX_ell, gradY_ell,
+                                          evecs_np.astype(dtype))
     ops = Operators(
         frames=frames.astype(dtype),
         mass=massvec_np.astype(dtype),
         L=_csc_to_ell(L, dtype=dtype),
         evals=evals_np.astype(dtype),
         evecs=evecs_np.astype(dtype),
-        gradX=_csc_to_ell(gradX_sp, dtype=dtype),
-        gradY=_csc_to_ell(gradY_sp, dtype=dtype),
+        gradX=gradX_ell,
+        gradY=gradY_ell,
+        gradX_spec=gX_spec,
+        gradY_spec=gY_spec,
     )
     if _return_sparse:
         return ops, (L, gradX_sp, gradY_sp)
@@ -191,14 +229,23 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
                     os.remove(search_path)
                     break
 
+                gradX_ell = _csc_to_ell(_read_sp_mat(npzfile, "gradX"),
+                                        dtype=dtype)
+                gradY_ell = _csc_to_ell(_read_sp_mat(npzfile, "gradY"),
+                                        dtype=dtype)
+                evecs = npzfile["evecs"][:, :k_eig].astype(dtype)
+                gX_spec, gY_spec = spectral_gradients(gradX_ell, gradY_ell,
+                                                      evecs)
                 return Operators(
                     frames=npzfile["frames"].astype(dtype),
                     mass=npzfile["mass"].astype(dtype),
                     L=_csc_to_ell(_read_sp_mat(npzfile, "L"), dtype=dtype),
                     evals=npzfile["evals"][:k_eig].astype(dtype),
-                    evecs=npzfile["evecs"][:, :k_eig].astype(dtype),
-                    gradX=_csc_to_ell(_read_sp_mat(npzfile, "gradX"), dtype=dtype),
-                    gradY=_csc_to_ell(_read_sp_mat(npzfile, "gradY"), dtype=dtype),
+                    evecs=evecs,
+                    gradX=gradX_ell,
+                    gradY=gradY_ell,
+                    gradX_spec=gX_spec,
+                    gradY_spec=gY_spec,
                 )
             except FileNotFoundError:
                 break
@@ -258,8 +305,16 @@ def pad_operators(ops: Operators, v_pad: int, k_eig: int | None = None,
     L = ell_pad(ops.L, v_pad, d_max_l)
     gradX = ell_pad(ops.gradX, v_pad, d_max_grad)
     gradY = ell_pad(ops.gradY, v_pad, d_max_grad)
+
+    def pad_spec(g):
+        if g is None:
+            return None
+        return utils.pad_to(utils.pad_to(g, v_pad, axis=0), k_eig, axis=1)
+
     return Operators(frames=frames, mass=mass, L=L, evals=evals, evecs=evecs,
-                     gradX=gradX, gradY=gradY)
+                     gradX=gradX, gradY=gradY,
+                     gradX_spec=pad_spec(ops.gradX_spec),
+                     gradY_spec=pad_spec(ops.gradY_spec))
 
 
 def stack_operators(ops_list: Sequence[Operators],
@@ -271,7 +326,11 @@ def stack_operators(ops_list: Sequence[Operators],
     k_eig = k_eig if k_eig is not None else min(o.evals.shape[0] for o in ops_list)
     d_l = max(o.L.max_degree for o in ops_list)
     d_g = max(max(o.gradX.max_degree, o.gradY.max_degree) for o in ops_list)
-    padded = [pad_operators(o._replace(evals=o.evals[:k_eig],
-                                       evecs=o.evecs[:, :k_eig]),
-                            v_pad, k_eig, d_l, d_g) for o in ops_list]
+    def trunc(o: Operators) -> Operators:
+        return o._replace(
+            evals=o.evals[:k_eig], evecs=o.evecs[:, :k_eig],
+            gradX_spec=None if o.gradX_spec is None else o.gradX_spec[:, :k_eig],
+            gradY_spec=None if o.gradY_spec is None else o.gradY_spec[:, :k_eig])
+
+    padded = [pad_operators(trunc(o), v_pad, k_eig, d_l, d_g) for o in ops_list]
     return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *padded)

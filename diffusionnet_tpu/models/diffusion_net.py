@@ -38,7 +38,9 @@ class LearnedTimeDiffusion(nn.Module):
     method: str = "spectral"
 
     @nn.compact
-    def __call__(self, x, L, mass, evals, evecs):
+    def __call__(self, x, L, mass, evals, evecs, return_spectral: bool = False):
+        if return_spectral and self.method != "spectral":
+            raise ValueError("return_spectral requires method='spectral'")
         if x.shape[-1] != self.c_inout:
             raise ValueError(
                 f"Tensor has wrong shape = {x.shape}. Last dim shape should have "
@@ -53,6 +55,8 @@ class LearnedTimeDiffusion(nn.Module):
             coefs = jnp.exp(-evals[..., :, None] * t)             # (..., K, C)
             x_diffuse_spec = coefs * x_spec
             x_diffuse = from_basis(x_diffuse_spec, evecs)         # (..., V, C)
+            if return_spectral:
+                return x_diffuse, x_diffuse_spec
 
         elif self.method == "implicit_dense":
             V = x.shape[-2]
@@ -126,7 +130,17 @@ class MiniMLP(nn.Module):
 
 class DiffusionNetBlock(nn.Module):
     """diffusion -> tangent gradients -> gradient features -> MLP -> residual
-    (reference layers.py:167-241). The gradient SpMM is batched ELL."""
+    (reference layers.py:167-241).
+
+    Two gradient paths:
+      * gradX/gradY given as Ell: batched ELL gather/SpMM (general; required for
+        implicit_dense diffusion).
+      * gradX/gradY given as dense (V, K) *spectral gradient operators*
+        (Operators.gradX_spec): gradients of the diffused signal are computed as
+        GX @ (e^{-lambda t} (.) x_hat) — an exact reassociation that turns the
+        whole block into dense MXU matmuls with no gathers (see
+        geometry.operators.spectral_gradients).
+    """
     c_width: int
     mlp_hidden_dims: Sequence[int]
     dropout: bool = True
@@ -142,13 +156,33 @@ class DiffusionNetBlock(nn.Module):
                 f"Tensor has wrong shape = {x_in.shape}. Last dim shape should "
                 f"have number of channels = {self.c_width}")
 
-        x_diffuse = LearnedTimeDiffusion(
-            self.c_width, method=self.diffusion_method,
-            name="diffusion")(x_in, L, mass, evals, evecs)
+        spectral_grads = (self.with_gradient_features
+                          and gradX is not None and not isinstance(gradX, Ell))
+        if spectral_grads and self.diffusion_method != "spectral":
+            raise ValueError(
+                "dense spectral gradient operators require "
+                "diffusion_method='spectral'; pass Ell gradX/gradY instead")
+
+        diffusion = LearnedTimeDiffusion(
+            self.c_width, method=self.diffusion_method, name="diffusion")
+        if spectral_grads:
+            x_diffuse, x_diffuse_spec = diffusion(
+                x_in, L, mass, evals, evecs, return_spectral=True)
+        else:
+            x_diffuse = diffusion(x_in, L, mass, evals, evecs)
 
         if self.with_gradient_features:
-            x_gradX = ell_matvec(gradX, x_diffuse)
-            x_gradY = ell_matvec(gradY, x_diffuse)
+            if spectral_grads:
+                # (..., V, K) @ (..., K, C): dense MXU matmuls, matmul backward
+                x_gradX = jnp.einsum("...vk,...kc->...vc", gradX,
+                                     x_diffuse_spec,
+                                     preferred_element_type=x_in.dtype)
+                x_gradY = jnp.einsum("...vk,...kc->...vc", gradY,
+                                     x_diffuse_spec,
+                                     preferred_element_type=x_in.dtype)
+            else:
+                x_gradX = ell_matvec(gradX, x_diffuse)
+                x_gradY = ell_matvec(gradY, x_diffuse)
             x_grad = jnp.stack((x_gradX, x_gradY), axis=-1)  # (..., V, C, 2)
 
             x_grad_features = SpatialGradientFeatures(

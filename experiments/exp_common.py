@@ -74,8 +74,9 @@ def _apply_model(model, params, batch, rng, cfg: FitConfig,
         rngs = None
     feats = get_features(cfg.input_features, verts, batch.ops.evals,
                          batch.ops.evecs)
+    gX, gY = dnt.geometry.grad_operators(batch.ops)
     kwargs = dict(L=batch.ops.L, evals=batch.ops.evals, evecs=batch.ops.evecs,
-                  gradX=batch.ops.gradX, gradY=batch.ops.gradY,
+                  gradX=gX, gradY=gY,
                   deterministic=deterministic)
     if cfg.labels_kind == "face":
         kwargs["faces"] = batch.faces

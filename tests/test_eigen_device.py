@@ -1,0 +1,65 @@
+"""TPU/device LOBPCG eigensolver vs the host ARPACK path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusionnet_tpu.geometry import (
+    cotan_laplacian, vertex_areas, eigensolve_host, eigensolve_device,
+)
+from diffusionnet_tpu.ops.sparse import Ell, ell_from_coo, ell_pad
+
+
+def _ell_of(L, v_pad=None):
+    coo = L.tocoo()
+    ell = ell_from_coo(coo.row, coo.col, coo.data, L.shape[0])
+    if v_pad:
+        ell = ell_pad(ell, v_pad)
+    return Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val))
+
+
+def test_device_lobpcg_matches_host(sphere_mesh):
+    verts, faces = sphere_mesh
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    k = 9
+
+    evals_h, evecs_h = eigensolve_host(L, mass, k_eig=k)
+    evals_d, evecs_d = eigensolve_device(
+        _ell_of(L), jnp.asarray(mass.astype(np.float32)), k_eig=k, n_iter=120)
+    evals_d = np.asarray(evals_d)
+    evecs_d = np.asarray(evecs_d)
+
+    # eigenvalues match (sphere spectrum 0,2,2,2,6,...)
+    np.testing.assert_allclose(evals_d, evals_h, atol=0.05)
+
+    # eigenvectors are gauge-dependent; compare the subspace projectors
+    # P = Phi Phi^T M on the degenerate blocks (0 | 1-3 | 4-8)
+    M = mass[:, None]
+    for lo, hi in [(0, 1), (1, 4), (4, 9)]:
+        Ph = evecs_h[:, lo:hi] @ (evecs_h[:, lo:hi].T * M.T)
+        Pd = evecs_d[:, lo:hi] @ (evecs_d[:, lo:hi].T * M.T)
+        np.testing.assert_allclose(Pd, Ph, atol=5e-3)
+
+    # M-orthonormality
+    G = evecs_d.T @ (mass[:, None] * evecs_d)
+    np.testing.assert_allclose(G, np.eye(k), atol=1e-2)
+
+
+def test_device_lobpcg_with_padding(sphere_mesh):
+    """Padded rows (mass=0, zero operator rows) must not pollute the smallest-k."""
+    verts, faces = sphere_mesh
+    V = verts.shape[0]
+    v_pad = V + 62
+    L = cotan_laplacian(verts, faces)
+    mass = np.zeros(v_pad, np.float32)
+    mass[:V] = vertex_areas(verts, faces)
+    k = 6
+
+    evals_h, _ = eigensolve_host(L, mass[:V], k_eig=k)
+    evals_d, evecs_d = eigensolve_device(
+        _ell_of(L, v_pad=v_pad), jnp.asarray(mass), k_eig=k, n_iter=120)
+    np.testing.assert_allclose(np.asarray(evals_d), evals_h, atol=0.05)
+    # padded rows of evecs are exactly zero (scaled by 1/sqrt(mass)=0 rule)
+    assert np.abs(np.asarray(evecs_d)[V:]).max() == 0.0
