@@ -28,3 +28,4 @@ from .host_frames import (
     vertex_normals_np,
     mesh_vertex_normals_np,
 )
+from .parallel_precompute import get_all_operators_parallel

@@ -36,8 +36,21 @@ class LearnedTimeDiffusion(nn.Module):
     """
     c_inout: int
     method: str = "spectral"
+    compute_dtype: Optional[Any] = None
 
-    @nn.compact
+    def setup(self):
+        self.diffusion_time = self.param(
+            "diffusion_time", nn.initializers.zeros, (self.c_inout,))
+
+    def _time(self):
+        t = self.diffusion_time
+        # positive projection with identity gradient (see module docstring)
+        return t + jax.lax.stop_gradient(jnp.maximum(t, 1e-8) - t)
+
+    def coefs(self, evals):
+        """Per-channel diffusion coefficients exp(-evals t): (..., K, C)."""
+        return jnp.exp(-evals[..., :, None] * self._time())
+
     def __call__(self, x, L, mass, evals, evecs, return_spectral: bool = False):
         if return_spectral and self.method != "spectral":
             raise ValueError("return_spectral requires method='spectral'")
@@ -46,15 +59,15 @@ class LearnedTimeDiffusion(nn.Module):
                 f"Tensor has wrong shape = {x.shape}. Last dim shape should have "
                 f"number of channels = {self.c_inout}")
 
-        t = self.param("diffusion_time", nn.initializers.zeros, (self.c_inout,))
-        # positive projection with identity gradient (see module docstring)
-        t = t + jax.lax.stop_gradient(jnp.maximum(t, 1e-8) - t)
+        t = self._time()
 
         if self.method == "spectral":
-            x_spec = to_basis(x, evecs, mass)                     # (..., K, C)
+            x_spec = to_basis(x, evecs, mass,
+                              compute_dtype=self.compute_dtype)   # (..., K, C)
             coefs = jnp.exp(-evals[..., :, None] * t)             # (..., K, C)
             x_diffuse_spec = coefs * x_spec
-            x_diffuse = from_basis(x_diffuse_spec, evecs)         # (..., V, C)
+            x_diffuse = from_basis(x_diffuse_spec, evecs,
+                                   compute_dtype=self.compute_dtype)
             if return_spectral:
                 return x_diffuse, x_diffuse_spec
 
@@ -147,6 +160,9 @@ class DiffusionNetBlock(nn.Module):
     diffusion_method: str = "spectral"
     with_gradient_features: bool = True
     with_gradient_rotations: bool = True
+    compute_dtype: Optional[Any] = None
+    use_pallas_fused: bool = False
+    pallas_tile_v: int = 1024
 
     @nn.compact
     def __call__(self, x_in, mass, L, evals, evecs, gradX, gradY,
@@ -164,21 +180,41 @@ class DiffusionNetBlock(nn.Module):
                 "diffusion_method='spectral'; pass Ell gradX/gradY instead")
 
         diffusion = LearnedTimeDiffusion(
-            self.c_width, method=self.diffusion_method, name="diffusion")
-        if spectral_grads:
+            self.c_width, method=self.diffusion_method,
+            compute_dtype=self.compute_dtype, name="diffusion")
+
+        V = x_in.shape[-2]
+        fused = (spectral_grads and self.use_pallas_fused
+                 and V % self.pallas_tile_v == 0)
+        if fused:
+            from ..ops.pallas_fused import (
+                fused_spectral_block, fused_spectral_block_batched)
+            coefs = diffusion.coefs(evals)
+            if x_in.ndim == 3:
+                x_diffuse, x_gradX, x_gradY = fused_spectral_block_batched(
+                    x_in, evecs, gradX, gradY, mass, coefs, self.pallas_tile_v)
+            else:
+                x_diffuse, x_gradX, x_gradY = fused_spectral_block(
+                    x_in, evecs, gradX, gradY, mass, coefs, self.pallas_tile_v)
+        elif spectral_grads:
             x_diffuse, x_diffuse_spec = diffusion(
                 x_in, L, mass, evals, evecs, return_spectral=True)
         else:
             x_diffuse = diffusion(x_in, L, mass, evals, evecs)
 
         if self.with_gradient_features:
-            if spectral_grads:
+            if fused:
+                pass  # x_gradX / x_gradY already computed by the fused kernel
+            elif spectral_grads:
                 # (..., V, K) @ (..., K, C): dense MXU matmuls, matmul backward
-                x_gradX = jnp.einsum("...vk,...kc->...vc", gradX,
-                                     x_diffuse_spec,
+                gX, gY, s_spec = gradX, gradY, x_diffuse_spec
+                if self.compute_dtype is not None:
+                    gX = gX.astype(self.compute_dtype)
+                    gY = gY.astype(self.compute_dtype)
+                    s_spec = s_spec.astype(self.compute_dtype)
+                x_gradX = jnp.einsum("...vk,...kc->...vc", gX, s_spec,
                                      preferred_element_type=x_in.dtype)
-                x_gradY = jnp.einsum("...vk,...kc->...vc", gradY,
-                                     x_diffuse_spec,
+                x_gradY = jnp.einsum("...vk,...kc->...vc", gY, s_spec,
                                      preferred_element_type=x_in.dtype)
             else:
                 x_gradX = ell_matvec(gradX, x_diffuse)
@@ -231,6 +267,10 @@ class DiffusionNet(nn.Module):
     with_gradient_features: bool = True
     with_gradient_rotations: bool = True
     diffusion_method: str = "spectral"
+    compute_dtype: Optional[Any] = None  # e.g. jnp.bfloat16: cast the big
+    # (V,K)x(K,C) matmul operands for MXU speed; accumulation stays float32
+    use_pallas_fused: bool = False  # fused Pallas spectral-block kernel
+    pallas_tile_v: int = 1024
 
     def setup(self):
         if self.outputs_at not in ("vertices", "edges", "faces", "global_mean"):
@@ -250,6 +290,9 @@ class DiffusionNet(nn.Module):
                 diffusion_method=self.diffusion_method,
                 with_gradient_features=self.with_gradient_features,
                 with_gradient_rotations=self.with_gradient_rotations,
+                compute_dtype=self.compute_dtype,
+                use_pallas_fused=self.use_pallas_fused,
+                pallas_tile_v=self.pallas_tile_v,
                 name=f"block_{i}")
             for i in range(self.n_block)
         ]

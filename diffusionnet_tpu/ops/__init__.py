@@ -27,3 +27,4 @@ from .spectral import (
 from .sparse import Ell, ell_from_coo, ell_matvec, ell_to_dense, ell_pad
 from .knn import find_knn, farthest_point_sampling
 from .transforms import normalize_positions
+from .pallas_fused import fused_spectral_block, fused_spectral_block_batched

@@ -19,16 +19,31 @@ from .transforms import normalize_positions
 
 
 def find_knn(points_source, points_target, k: int, largest: bool = False,
-             omit_diagonal: bool = False, chunk_size: int = 2048):
+             omit_diagonal: bool = False, method: str = "brute",
+             chunk_size: int = 2048):
     """k nearest neighbors of each source point among target points.
 
     Returns (dists, inds), sorted by increasing distance (decreasing if largest).
     omit_diagonal requires source and target to be the same set (same shape), as in
-    reference geometry.py:671-672.
+    reference geometry.py:671-672. method='brute' runs on device (chunked);
+    method='cpu_kd' uses the host KD-tree (native C++ or scipy) like the
+    reference's sklearn path (geometry.py:695-721).
     """
     if omit_diagonal and points_source.shape[0] != points_target.shape[0]:
         raise ValueError(
             "omit_diagonal can only be used when source and target are same shape")
+
+    if method == "cpu_kd":
+        if largest:
+            raise ValueError("can't do largest with cpu_kd")
+        import numpy as np
+        from ..geometry.knn_host import find_knn_host
+        d, i = find_knn_host(np.asarray(points_source),
+                             np.asarray(points_target), k,
+                             omit_diagonal=omit_diagonal)
+        return jnp.asarray(d.astype(np.float32)), jnp.asarray(i)
+    elif method != "brute":
+        raise ValueError("unrecognized method")
 
     N = points_source.shape[0]
     chunk = min(chunk_size, N)

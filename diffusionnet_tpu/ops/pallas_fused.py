@@ -1,0 +1,141 @@
+"""Fused Pallas TPU kernel for the DiffusionNet spectral block core.
+
+One kernel launch computes, for a single surface:
+
+    x_hat = Phi^T (m . x)            (spectral projection, mass-weighted)
+    s     = coefs . x_hat            (learned per-channel heat diffusion)
+    y     = Phi s                    (back-projection = diffused signal)
+    ygx   = GX s                     (tangent-gradient X of the diffused signal)
+    ygy   = GY s                     (tangent-gradient Y)
+
+with Phi = evecs (V,K), GX/GY the spectral gradient operators
+(geometry.operators.spectral_gradients), coefs = exp(-evals t) (K,C).
+
+Structure: a 2-phase sequential grid (phase, tile). Phase 0 streams (Phi, m.x)
+tiles and accumulates x_hat in a VMEM scratch; phase 1 multiplies in the
+diffusion coefficients once, then streams (Phi, GX, GY) tiles emitting all three
+outputs. The (K,C) intermediates never touch HBM, the mass-weighting and
+exponential are fused, and inputs not needed in a phase are pinned to tile 0 by
+their index maps so they cost one redundant tile, not a full pass.
+
+The backward pass is plain XLA einsums (transposed matmuls — already optimal),
+wired through jax.custom_vjp; operator inputs get symbolic zero cotangents.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TILE_V = 1024
+
+
+def _kernel(x_ref, evecs_ref, gx_ref, gy_ref, mass_ref, coefs_ref,
+            y_ref, ygx_ref, ygy_ref, acc_ref):
+    phase = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when((phase == 0) & (i == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(phase == 0)
+    def _():
+        xm = x_ref[:] * mass_ref[:]  # (T, C) * (T, 1)
+        acc_ref[:] += jax.lax.dot_general(
+            evecs_ref[:], xm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (K, C)
+
+    @pl.when(phase == 1)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = coefs_ref[:] * acc_ref[:]  # s = coefs . x_hat
+        s = acc_ref[:]
+        y_ref[:] = jnp.dot(evecs_ref[:], s, preferred_element_type=jnp.float32)
+        ygx_ref[:] = jnp.dot(gx_ref[:], s, preferred_element_type=jnp.float32)
+        ygy_ref[:] = jnp.dot(gy_ref[:], s, preferred_element_type=jnp.float32)
+
+
+def _fused_fwd_impl(x, evecs, gX, gY, mass, coefs, tile_v: int,
+                    interpret: bool = False):
+    V, C = x.shape
+    K = evecs.shape[1]
+    n_tiles = V // tile_v
+
+    grid = (2, n_tiles)
+    row_in_phase0 = lambda p, i: (i * (1 - p), 0)   # real tiles in phase 0 only
+    row_in_phase1 = lambda p, i: (i * p, 0)         # real tiles in phase 1 only
+    every_phase = lambda p, i: (i, 0)
+
+    out_shape = [jax.ShapeDtypeStruct((V, C), x.dtype) for _ in range(3)]
+    y, ygx, ygy = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_v, C), row_in_phase0),   # x
+            pl.BlockSpec((tile_v, K), every_phase),     # evecs
+            pl.BlockSpec((tile_v, K), row_in_phase1),   # gX
+            pl.BlockSpec((tile_v, K), row_in_phase1),   # gY
+            pl.BlockSpec((tile_v, 1), row_in_phase0),   # mass (V,1)
+            pl.BlockSpec((K, C), lambda p, i: (0, 0)),  # coefs
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_v, C), row_in_phase1),
+            pl.BlockSpec((tile_v, C), row_in_phase1),
+            pl.BlockSpec((tile_v, C), row_in_phase1),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((K, C), jnp.float32)],
+        interpret=interpret,
+    )(x, evecs, gX, gY, mass[:, None], coefs)
+    return y, ygx, ygy
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def fused_spectral_block(x, evecs, gX, gY, mass, coefs,
+                         tile_v: int = DEFAULT_TILE_V,
+                         interpret: bool = False):
+    """(y, ygx, ygy) for ONE surface; x (V,C), evecs/gX/gY (V,K), mass (V,),
+    coefs (K,C). V must be a multiple of tile_v (use padded buckets). vmap over
+    a leading batch axis for batches."""
+    return _fused_fwd_impl(x, evecs, gX, gY, mass, coefs, tile_v, interpret)
+
+
+def _fwd(x, evecs, gX, gY, mass, coefs, tile_v, interpret):
+    outs = _fused_fwd_impl(x, evecs, gX, gY, mass, coefs, tile_v, interpret)
+    # Residuals: x_hat is cheap to recompute from x; keep it instead of x to
+    # shorten the backward chain: x_hat = Phi^T (m x).
+    x_hat = jnp.einsum("vk,vc->kc", evecs, x * mass[:, None],
+                       preferred_element_type=jnp.float32)
+    return outs, (x, evecs, gX, gY, mass, coefs, x_hat)
+
+
+def _bwd(tile_v, interpret, res, cts):
+    x, evecs, gX, gY, mass, coefs, x_hat = res
+    dy, dgx, dgy = cts
+    # ds = Phi^T dy + GX^T dgx + GY^T dgy  (K,C)
+    ds = (jnp.einsum("vk,vc->kc", evecs, dy)
+          + jnp.einsum("vk,vc->kc", gX, dgx)
+          + jnp.einsum("vk,vc->kc", gY, dgy))
+    dcoefs = ds * x_hat
+    dxhat = ds * coefs
+    dx = mass[:, None] * jnp.einsum("vk,kc->vc", evecs, dxhat)
+    zeros_like = jax.tree.map(jnp.zeros_like, (evecs, gX, gY, mass))
+    return (dx, *zeros_like, dcoefs)
+
+
+fused_spectral_block.defvjp(_fwd, _bwd)
+
+
+def fused_spectral_block_batched(x, evecs, gX, gY, mass, coefs,
+                                 tile_v: int = DEFAULT_TILE_V,
+                                 interpret: bool = False):
+    """Batched wrapper: all args carry a leading batch dim (coefs included)."""
+    return jax.vmap(
+        lambda *a: fused_spectral_block(*a, tile_v, interpret))(
+            x, evecs, gX, gY, mass, coefs)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def to_basis(values, basis, massvec):
+def to_basis(values, basis, massvec, compute_dtype=None):
     """Project into the mass-orthonormal basis: phi^T (M (.) x).
 
     values: (..., V, D); basis: (..., V, K); massvec: (..., V) -> (..., K, D).
@@ -19,19 +19,30 @@ def to_basis(values, basis, massvec):
     contribute nothing.
     """
     weighted = values * massvec[..., None]
+    out_dtype = values.dtype
+    if compute_dtype is not None:
+        basis = basis.astype(compute_dtype)
+        weighted = weighted.astype(compute_dtype)
     return jnp.einsum("...vk,...vd->...kd", basis, weighted,
-                      preferred_element_type=values.dtype)
+                      preferred_element_type=out_dtype)
 
 
-def from_basis(values, basis):
+def from_basis(values, basis, compute_dtype=None):
     """Back-project out of the basis: phi x_hat.
 
     values: (..., K, D); basis: (..., V, K) -> (..., V, D).
-    Complex support mirrors reference geometry.py:586-598."""
+    Complex support mirrors reference geometry.py:586-598. compute_dtype casts
+    matmul operands (e.g. bfloat16 for the MXU); accumulation stays float32."""
     if jnp.iscomplexobj(values) or jnp.iscomplexobj(basis):
         basis = basis.astype(jnp.complex64) if not jnp.iscomplexobj(basis) else basis
         values = values.astype(jnp.complex64) if not jnp.iscomplexobj(values) else values
-    return jnp.einsum("...vk,...kd->...vd", basis, values)
+        return jnp.einsum("...vk,...kd->...vd", basis, values)
+    out_dtype = values.dtype
+    if compute_dtype is not None:
+        basis = basis.astype(compute_dtype)
+        values = values.astype(compute_dtype)
+    return jnp.einsum("...vk,...kd->...vd", basis, values,
+                      preferred_element_type=out_dtype)
 
 
 def compute_hks(evals, evecs, scales):

@@ -9,3 +9,4 @@ from .fit import (  # noqa: F401
     step_decay_schedule,
 )
 from .checkpoint import save_checkpoint, restore_checkpoint  # noqa: F401
+from .profiling import StageTimer, device_trace, slope_throughput  # noqa: F401
