@@ -244,3 +244,19 @@ def test_native_dijkstra(grid_mesh):
     euclid = np.linalg.norm(verts - verts[0], axis=1)
     assert (d[0] >= euclid - 1e-5).all()
     assert (d[0] <= euclid * 1.5 + 1e-5).all()
+
+
+def test_compute_operators_normals_override(sphere_mesh):
+    """The sampling-invariance cloud path passes externally-supplied normals
+    through to precompute (reference geometry.py:395,415; dataset.py:107-115)."""
+    verts, faces = sphere_mesh
+    normals = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    ops = compute_operators(verts, np.zeros((0, 3), np.int64), k_eig=4,
+                            normals=normals)
+    # frames' normal row must be exactly the provided normals
+    np.testing.assert_allclose(ops.frames[:, 2, :], normals.astype(np.float32),
+                               atol=1e-6)
+    # and the frame stays orthonormal
+    eye = np.einsum("vij,vkj->vik", ops.frames, ops.frames)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-4)
