@@ -54,52 +54,103 @@ def _gershgorin_bound(ell: Ell) -> jnp.ndarray:
     return jnp.max(jnp.sum(jnp.abs(ell.val), axis=-1))
 
 
-def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = None,
-                      eps: float = 1e-8, n_iter: int = 200):
-    """TPU LOBPCG for the k smallest generalized eigenpairs.
+def _cheb_coeffs(fn, lo: float, hi: float, degree: int) -> np.ndarray:
+    """Chebyshev expansion coefficients of fn on [lo, hi] (host, tiny)."""
+    j = np.arange(degree + 1)
+    nodes = np.cos(np.pi * (j + 0.5) / (degree + 1))          # in [-1, 1]
+    x = 0.5 * (hi - lo) * (nodes + 1.0) + lo
+    fvals = fn(x)
+    k = np.arange(degree + 1)[:, None]
+    T = np.cos(k * np.arccos(nodes)[None, :])                  # (deg+1, deg+1)
+    c = 2.0 / (degree + 1) * (T * fvals[None, :]).sum(axis=1)
+    c[0] *= 0.5
+    return c
 
-    L_ell: symmetric PSD weak Laplacian in ELL layout (padded rows must be zero).
-    massvec: (V,) strictly positive on valid rows, 0 on padding.
-    Returns (evals (k,), evecs (V, k)) with evecs M-orthonormal, matching the
-    normalization ARPACK returns for the generalized problem.
+
+def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = None,
+                      eps: float = 1e-8, n_iter: int = 100,
+                      lambda_cut: float | None = None,
+                      cheb_degree: int | None = None):
+    """TPU eigensolver for the k smallest generalized eigenpairs of
+    L phi = lambda M phi — Chebyshev heat-filtered LOBPCG.
+
+    The naive shift trick (largest of mu I - C) is numerically hopeless at scale
+    in float32: for a fine mesh the spectral radius of C = M^-1/2 L M^-1/2 is
+    ~1e5 while the wanted bottom eigenvalues are separated by O(1), so relative
+    gaps are ~1e-5. Instead we run LOBPCG on the *heat filter* F = exp(-t C)
+    (evaluated matrix-free by a Chebyshev polynomial of C over the ELL kernel):
+    the bottom of C becomes the top of F with exponentially amplified gaps.
+    t is chosen from Weyl's law (lambda_j ~ 4 pi j / Area for a surface), and
+    eigenvalues are recovered by a final Rayleigh-Ritz with C itself.
+
+    L_ell: symmetric PSD weak Laplacian in ELL layout (padded rows all-zero).
+    massvec: (V,) strictly positive on valid rows, 0 on padding. Returns
+    (evals (k,), evecs (V,k)), evecs M-orthonormal, padded rows exactly zero.
     """
     V = L_ell.idx.shape[0]
     mask = massvec > 0
     inv_sqrt_m = jnp.where(mask, 1.0 / jnp.sqrt(jnp.where(mask, massvec, 1.0)), 0.0)
-
-    # C = M^-1/2 (L + eps I) M^-1/2 restricted to valid rows; padded rows are
-    # decoupled identity rows pinned at the TOP of the spectrum (eigenvalue
-    # `big` ~= Gershgorin bound) so they never pollute the smallest-k window.
     row_scale = inv_sqrt_m
-    bound = _gershgorin_bound(
-        Ell(L_ell.idx, L_ell.val * row_scale[:, None]
-            * row_scale[L_ell.idx])) + eps
-    big = bound
-    mu = bound * 1.05 + 1.0
 
-    def matvec(x):  # x: (V, m); C x = r (L (r x)) + eps r^2 x, r = M^-1/2
+    # spectral radius bound of C (Gershgorin over the normalized entries)
+    bound = float(_gershgorin_bound(
+        Ell(L_ell.idx, L_ell.val * row_scale[:, None]
+            * row_scale[L_ell.idx]))) + eps
+    big = bound  # padded rows act as big*I -> filtered to ~0, auto-excluded
+
+    def matvec_C(x):  # x: (V, m); C x = r (L (r x)) + eps r^2 x, r = M^-1/2
         y = row_scale[:, None] * x
         y = ell_matvec(L_ell, y)
         y = row_scale[:, None] * y + eps * (row_scale[:, None] ** 2) * x
-        # padded rows: act as big * I to push them out of the smallest-k window
         return jnp.where(mask[:, None], y, big * x)
 
-    # Shift: smallest-k of C == largest-k of (mu I - C)
+    # Weyl's law cutoff estimate: lambda_j ~= 4 pi j / Area for a 2-manifold
+    if lambda_cut is None:
+        area = float(jnp.sum(massvec))
+        lambda_cut = max(4.0 * np.pi * (k_eig + 1) / max(area, 1e-30), eps)
+    t = 3.0 / lambda_cut
+    if cheb_degree is None:
+        cheb_degree = int(1.8 * np.sqrt(max(t * bound, 1.0))) + 12
+    coeffs = jnp.asarray(_cheb_coeffs(lambda x: np.exp(-t * x), 0.0, bound,
+                                      cheb_degree), dtype=jnp.float32)
 
-    def shifted(x):
-        return mu * x - matvec(x)
+    # F(x) = exp(-t C) x via the Chebyshev recurrence on u = (2/b) C - I
+    two_over_b = 2.0 / bound
+
+    def matvec_U(x):
+        return two_over_b * matvec_C(x) - x
+
+    def filter_apply(x):
+        t0 = x
+        t1 = matvec_U(x)
+        acc = coeffs[0] * t0 + coeffs[1] * t1
+
+        def body(i, carry):
+            tm1, tm0, acc = carry
+            tn = 2.0 * matvec_U(tm0) - tm1
+            acc = acc + coeffs[i] * tn
+            return (tm0, tn, acc)
+
+        _, _, acc = jax.lax.fori_loop(2, cheb_degree + 1, body, (t0, t1, acc))
+        return acc
 
     key = jax.random.PRNGKey(0)
     X0 = jax.random.normal(key, (V, k_eig), dtype=jnp.float32)
+    X0 = jnp.where(mask[:, None], X0, 0.0)
 
     from jax.experimental.sparse.linalg import lobpcg_standard
-    theta, U, _ = lobpcg_standard(shifted, X0, m=n_iter)
+    _, U, _ = lobpcg_standard(filter_apply, X0, m=n_iter)
 
-    evals = mu - theta - eps
-    evals = jnp.clip(evals, 0.0, None)
+    # Rayleigh-Ritz with C itself to recover eigenvalues (and de-rotate within
+    # the filtered subspace, since F compresses eigenvalue information)
+    CU = matvec_C(U)
+    T = U.T @ CU
+    T = 0.5 * (T + T.T)
+    w, S = jnp.linalg.eigh(T)
+    evals = jnp.clip(w - eps, 0.0, None)
+    U = U @ S
+
     # back-transform: generalized evecs = M^-1/2 U; M-orthonormal by construction
     evecs = inv_sqrt_m[:, None] * U
-    # sort ascending (lobpcg returns descending theta -> ascending evals already,
-    # but sort defensively)
     order = jnp.argsort(evals)
     return evals[order], evecs[:, order]
