@@ -10,3 +10,4 @@ from .fit import (  # noqa: F401
 )
 from .checkpoint import save_checkpoint, restore_checkpoint  # noqa: F401
 from .profiling import StageTimer, device_trace, slope_throughput  # noqa: F401
+from .inference import InferenceSession  # noqa: F401

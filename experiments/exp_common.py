@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 import diffusionnet_tpu as dnt
-from diffusionnet_tpu.data import make_padded_batches
+from diffusionnet_tpu.data import make_padded_batches, prefetch_to_device
 from diffusionnet_tpu.data.features import FEATURE_DIMS, get_features
 from diffusionnet_tpu.models import DiffusionNet
 from diffusionnet_tpu.training import (
@@ -113,7 +113,8 @@ def _loss_and_counts(preds, batch, cfg: FitConfig):
 def fit(model, train_ds, test_ds, cfg: FitConfig,
         model_save_path: str | None = None,
         params=None, eval_every: int = 1,
-        geodesic_eval=None, verbose: bool = True):
+        geodesic_eval=None, verbose: bool = True,
+        log_path: str | None = None):
     """Train `model` on train_ds, evaluating on test_ds each epoch.
 
     Returns (params, history). `geodesic_eval(params, predict_fn)` is an
@@ -162,8 +163,8 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
 
     def evaluate(params, ds):
         correct = total = 0
-        for batch in make_padded_batches(ds, cfg.batch_size, shuffle=False):
-            batch = jax.tree.map(jnp.asarray, batch)
+        for batch in prefetch_to_device(
+                make_padded_batches(ds, cfg.batch_size, shuffle=False)):
             (c, t), _ = eval_step(params, batch)
             correct += int(c)
             total += int(t)
@@ -172,9 +173,9 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
     history = []
     for epoch in range(cfg.n_epoch):
         correct = total = 0
-        for batch in make_padded_batches(train_ds, cfg.batch_size,
-                                         shuffle=True, seed=cfg.seed + epoch):
-            batch = jax.tree.map(jnp.asarray, batch)
+        for batch in prefetch_to_device(
+                make_padded_batches(train_ds, cfg.batch_size,
+                                    shuffle=True, seed=cfg.seed + epoch)):
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, (c, t) = train_step(
                 params, opt_state, batch, step_rng)
@@ -188,6 +189,11 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
             ta = f"{100 * test_acc:06.3f}%" if test_acc is not None else "--"
             print(f"Epoch {epoch} - Train overall: {100 * train_acc:06.3f}%  "
                   f"Test overall: {ta}")
+        if log_path is not None:
+            import json
+            with open(log_path, "a") as f:
+                f.write(json.dumps({"epoch": epoch, "train_acc": train_acc,
+                                    "test_acc": test_acc}) + "\n")
 
     if model_save_path is not None:
         save_checkpoint(os.path.dirname(model_save_path) or ".", params,

@@ -138,3 +138,37 @@ def test_face_segmentation_batching():
     params, history, evaluate = fit(model, train_ds, train_ds, cfg,
                                     verbose=False)
     assert history[-1][1] >= 0.85, history
+
+
+@pytest.mark.e2e
+def test_inference_session(tmp_path):
+    """Mesh-in/predictions-out through the high-level InferenceSession."""
+    import jax
+    import jax.numpy as jnp
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.models import DiffusionNet
+    from diffusionnet_tpu.training import InferenceSession
+    from diffusionnet_tpu.geometry import compute_operators, grad_operators
+
+    verts, faces = icosphere(subdivisions=2)
+    model = DiffusionNet(c_in=16, c_out=4, c_width=16, n_block=1,
+                         dropout=False, outputs_at="vertices",
+                         last_activation=jax.nn.log_softmax)
+    ops = compute_operators(verts, faces, k_eig=16)
+    from diffusionnet_tpu.data.features import get_features
+    jo = jax.tree.map(jnp.asarray, ops)
+    feats = get_features("hks", jnp.asarray(verts.astype(np.float32)),
+                         jo.evals, jo.evecs)
+    gX, gY = grad_operators(ops)
+    params = model.init(jax.random.PRNGKey(0), feats, jo.mass, evals=jo.evals,
+                        evecs=jo.evecs, gradX=jnp.asarray(gX),
+                        gradY=jnp.asarray(gY))
+
+    session = InferenceSession(model, params, k_eig=16, input_features="hks",
+                               op_cache_dir=str(tmp_path), buckets=(1024,))
+    preds = session(verts, faces)
+    assert preds.shape == (verts.shape[0], 4)
+    assert np.isfinite(preds).all()
+    np.testing.assert_allclose(np.exp(preds).sum(-1), 1.0, rtol=1e-4)
+    preds2 = session(verts, faces)  # cached precompute, compiled fn reuse
+    np.testing.assert_allclose(preds, preds2, rtol=1e-6)
