@@ -131,11 +131,16 @@ class HeatMethodSolver:
 
 
 def get_all_pairs_geodesic_distance(verts_np: np.ndarray, faces_np: np.ndarray,
-                                    geodesic_cache_dir: str | None = None
-                                    ) -> np.ndarray:
+                                    geodesic_cache_dir: str | None = None,
+                                    method: str = "heat") -> np.ndarray:
     """Dense (V,V) geodesic distance matrix, cached on disk like the reference
     (geometry.py:804-896); symmetrized with fmin of the transpose and NaN/inf
-    repaired to the max finite value."""
+    repaired to the max finite value.
+
+    method='heat' (default): heat-method multi-RHS solves (smooth, fast,
+    approximate). method='steiner': native C++ Dijkstra over a Steiner-refined
+    graph (error ~ O(1/k) to the true polyhedral geodesic; ~0.3% at k=4).
+    method='graph': plain edge-graph Dijkstra (fastest, ~5-8% stretch)."""
     verts_np = np.asarray(verts_np)
     faces_np = np.asarray(faces_np)
 
@@ -157,9 +162,20 @@ def get_all_pairs_geodesic_distance(verts_np: np.ndarray, faces_np: np.ndarray,
             except FileNotFoundError:
                 break
 
-    print("Computing all-pairs geodesic distance (heat method)")
-    solver = HeatMethodSolver(verts_np, faces_np)
-    result_dists = solver.distance(np.arange(verts_np.shape[0]))
+    print(f"Computing all-pairs geodesic distance ({method} method)")
+    if method == "graph":
+        from ..native import dijkstra_geodesics_native
+        result_dists = dijkstra_geodesics_native(
+            verts_np.astype(np.float64), faces_np.astype(np.int64),
+            np.arange(verts_np.shape[0]))
+    elif method == "steiner":
+        from ..native import steiner_geodesics_native
+        result_dists = steiner_geodesics_native(
+            verts_np.astype(np.float64), faces_np.astype(np.int64),
+            np.arange(verts_np.shape[0]))
+    else:
+        solver = HeatMethodSolver(verts_np, faces_np)
+        result_dists = solver.distance(np.arange(verts_np.shape[0]))
 
     result_dists = np.nan_to_num(result_dists, nan=np.nan, posinf=np.nan,
                                  neginf=np.nan)

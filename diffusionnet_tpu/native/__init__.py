@@ -5,4 +5,6 @@ exist for every entry point, so the framework works without the native library;
 the native paths accelerate large precompute jobs.
 """
 
-from .build import get_lib, knn_native, dijkstra_geodesics_native  # noqa: F401
+from .build import (  # noqa: F401
+    get_lib, knn_native, dijkstra_geodesics_native, steiner_geodesics_native,
+)

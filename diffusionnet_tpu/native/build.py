@@ -51,6 +51,15 @@ def get_lib() -> ctypes.CDLL:
         ]
         lib.dnet_dijkstra_geodesics.restype = None
 
+        lib.dnet_steiner_geodesics.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.dnet_steiner_geodesics.restype = None
+
         _lib = lib
         return _lib
 
@@ -86,4 +95,22 @@ def dijkstra_geodesics_native(verts: np.ndarray, faces: np.ndarray,
         _ptr(faces, ctypes.c_int64), faces.shape[0],
         _ptr(sources, ctypes.c_int64), sources.shape[0],
         _ptr(out, ctypes.c_float))
+    return out
+
+
+def steiner_geodesics_native(verts: np.ndarray, faces: np.ndarray,
+                             sources: np.ndarray,
+                             k_steiner: int = 4) -> np.ndarray:
+    """Steiner-refined graph geodesics: (S, V) float32; error ~ O(1/k_steiner)
+    to the true polyhedral geodesic."""
+    lib = get_lib()
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    sources = np.ascontiguousarray(sources, dtype=np.int64)
+    out = np.empty((sources.shape[0], verts.shape[0]), dtype=np.float32)
+    lib.dnet_steiner_geodesics(
+        _ptr(verts, ctypes.c_double), verts.shape[0],
+        _ptr(faces, ctypes.c_int64), faces.shape[0],
+        _ptr(sources, ctypes.c_int64), sources.shape[0],
+        k_steiner, _ptr(out, ctypes.c_float))
     return out

@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <unordered_map>
 #include <limits>
 #include <queue>
 #include <vector>
@@ -187,6 +188,107 @@ void dnet_dijkstra_geodesics(const double* verts, int64_t V, const int64_t* face
   }
 
   std::vector<float> dist(V);
+  using QE = std::pair<float, int32_t>;
+  for (int64_t s = 0; s < S; ++s) {
+    std::fill(dist.begin(), dist.end(), std::numeric_limits<float>::infinity());
+    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+    dist[sources[s]] = 0.0f;
+    pq.emplace(0.0f, static_cast<int32_t>(sources[s]));
+    while (!pq.empty()) {
+      auto [d, u] = pq.top();
+      pq.pop();
+      if (d > dist[u]) continue;
+      for (auto [v, w] : adj[u]) {
+        float nd = d + w;
+        if (nd < dist[v]) {
+          dist[v] = nd;
+          pq.emplace(nd, v);
+        }
+      }
+    }
+    std::memcpy(out + s * V, dist.data(), V * sizeof(float));
+  }
+}
+
+// Steiner-point geodesics: Dijkstra over a refined graph with k extra nodes per
+// edge and complete connections among the (3 + 3k) nodes bordering each face.
+// Converges to the true polyhedral geodesic as k grows (error ~ O(1/k));
+// substantially more accurate than vertex-graph Dijkstra for few-source queries.
+// verts: (V,3) float64; faces: (F,3) int64; sources: (S,) int64 (vertex ids);
+// out: (S, V) float32 distances at original vertices.
+void dnet_steiner_geodesics(const double* verts, int64_t V, const int64_t* faces,
+                            int64_t F, const int64_t* sources, int64_t S,
+                            int32_t k_steiner, float* out) {
+  const int32_t k = k_steiner;
+  // ---- node table: originals [0, V); Steiner nodes appended per unique edge
+  struct PairHash {
+    size_t operator()(const std::pair<int64_t, int64_t>& p) const {
+      return std::hash<int64_t>()(p.first * 0x9e3779b97f4a7c15LL + p.second);
+    }
+  };
+  std::unordered_map<std::pair<int64_t, int64_t>, int64_t, PairHash> edge_base;
+  std::vector<double> pos(verts, verts + 3 * V);
+
+  auto edge_key = [](int64_t a, int64_t b) {
+    return std::make_pair(std::min(a, b), std::max(a, b));
+  };
+
+  // first pass: allocate Steiner nodes on unique edges
+  for (int64_t f = 0; f < F; ++f) {
+    for (int c = 0; c < 3; ++c) {
+      int64_t a = faces[3 * f + c], b = faces[3 * f + (c + 1) % 3];
+      auto key = edge_key(a, b);
+      if (edge_base.count(key)) continue;
+      int64_t base = pos.size() / 3;
+      edge_base[key] = base;
+      for (int32_t s = 1; s <= k; ++s) {
+        double t = double(s) / (k + 1);
+        for (int d = 0; d < 3; ++d)
+          pos.push_back((1.0 - t) * verts[3 * key.first + d]
+                        + t * verts[3 * key.second + d]);
+      }
+    }
+  }
+  int64_t N = pos.size() / 3;
+
+  auto dist3 = [&](int64_t a, int64_t b) {
+    double d2 = 0.0;
+    for (int d = 0; d < 3; ++d) {
+      double dd = pos[3 * a + d] - pos[3 * b + d];
+      d2 += dd * dd;
+    }
+    return static_cast<float>(std::sqrt(d2));
+  };
+
+  // second pass: complete graph among each face's boundary nodes
+  std::vector<std::vector<std::pair<int32_t, float>>> adj(N);
+  std::vector<int64_t> ring;
+  for (int64_t f = 0; f < F; ++f) {
+    ring.clear();
+    for (int c = 0; c < 3; ++c) {
+      int64_t a = faces[3 * f + c], b = faces[3 * f + (c + 1) % 3];
+      ring.push_back(a);
+      auto key = edge_key(a, b);
+      int64_t base = edge_base[key];
+      if (a <= b) {
+        for (int32_t s = 0; s < k; ++s) ring.push_back(base + s);
+      } else {
+        for (int32_t s = k - 1; s >= 0; --s) ring.push_back(base + s);
+      }
+    }
+    for (size_t i = 0; i < ring.size(); ++i)
+      for (size_t j = i + 1; j < ring.size(); ++j) {
+        float w = dist3(ring[i], ring[j]);
+        adj[ring[i]].emplace_back(static_cast<int32_t>(ring[j]), w);
+        adj[ring[j]].emplace_back(static_cast<int32_t>(ring[i]), w);
+      }
+  }
+  for (auto& nbrs : adj) {
+    std::sort(nbrs.begin(), nbrs.end());
+    nbrs.erase(std::unique(nbrs.begin(), nbrs.end()), nbrs.end());
+  }
+
+  std::vector<float> dist(N);
   using QE = std::pair<float, int32_t>;
   for (int64_t s = 0; s < S; ++s) {
     std::fill(dist.begin(), dist.end(), std::numeric_limits<float>::infinity());

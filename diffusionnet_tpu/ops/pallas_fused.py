@@ -132,10 +132,93 @@ def _bwd(tile_v, interpret, res, cts):
 fused_spectral_block.defvjp(_fwd, _bwd)
 
 
+def _kernel_batched(x_ref, evecs_ref, gx_ref, gy_ref, mass_ref, coefs_ref,
+                    y_ref, ygx_ref, ygy_ref, acc_ref):
+    phase = pl.program_id(1)
+    i = pl.program_id(2)
+
+    @pl.when((phase == 0) & (i == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(phase == 0)
+    def _():
+        xm = x_ref[0] * mass_ref[0]
+        acc_ref[:] += jax.lax.dot_general(
+            evecs_ref[0], xm, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(phase == 1)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            acc_ref[:] = coefs_ref[0] * acc_ref[:]
+        s = acc_ref[:]
+        y_ref[0] = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
+        ygx_ref[0] = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
+        ygy_ref[0] = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
+
+
+def _fused_fwd_batched_impl(x, evecs, gX, gY, mass, coefs, tile_v: int,
+                            interpret: bool = False):
+    B, V, C = x.shape
+    K = evecs.shape[-1]
+    n_tiles = V // tile_v
+    grid = (B, 2, n_tiles)
+
+    p0 = lambda b, p, i: (b, i * (1 - p), 0)
+    p1 = lambda b, p, i: (b, i * p, 0)
+    both = lambda b, p, i: (b, i, 0)
+
+    out_shape = [jax.ShapeDtypeStruct((B, V, C), x.dtype) for _ in range(3)]
+    return pl.pallas_call(
+        _kernel_batched,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_v, C), p0),                 # x
+            pl.BlockSpec((1, tile_v, K), both),               # evecs
+            pl.BlockSpec((1, tile_v, K), p1),                 # gX
+            pl.BlockSpec((1, tile_v, K), p1),                 # gY
+            pl.BlockSpec((1, tile_v, 1), p0),                 # mass
+            pl.BlockSpec((1, K, C), lambda b, p, i: (b, 0, 0)),  # coefs
+        ],
+        out_specs=[pl.BlockSpec((1, tile_v, C), p1) for _ in range(3)],
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((K, C), jnp.float32)],
+        interpret=interpret,
+    )(x, evecs, gX, gY, mass[..., None], coefs)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def fused_spectral_block_batched(x, evecs, gX, gY, mass, coefs,
                                  tile_v: int = DEFAULT_TILE_V,
                                  interpret: bool = False):
-    """Batched wrapper: all args carry a leading batch dim (coefs included)."""
-    return jax.vmap(
-        lambda *a: fused_spectral_block(*a, tile_v, interpret))(
-            x, evecs, gX, gY, mass, coefs)
+    """Batched version: all args carry a leading batch dim (coefs included).
+    Batch is a leading grid dimension of ONE kernel (not vmap — vmapping a
+    pallas_call compiles pathologically slowly on some toolchains)."""
+    return _fused_fwd_batched_impl(x, evecs, gX, gY, mass, coefs, tile_v,
+                                   interpret)
+
+
+def _fwd_b(x, evecs, gX, gY, mass, coefs, tile_v, interpret):
+    outs = _fused_fwd_batched_impl(x, evecs, gX, gY, mass, coefs, tile_v,
+                                   interpret)
+    x_hat = jnp.einsum("bvk,bvc->bkc", evecs, x * mass[..., None],
+                       preferred_element_type=jnp.float32)
+    return outs, (x, evecs, gX, gY, mass, coefs, x_hat)
+
+
+def _bwd_b(tile_v, interpret, res, cts):
+    x, evecs, gX, gY, mass, coefs, x_hat = res
+    dy, dgx, dgy = cts
+    ds = (jnp.einsum("bvk,bvc->bkc", evecs, dy)
+          + jnp.einsum("bvk,bvc->bkc", gX, dgx)
+          + jnp.einsum("bvk,bvc->bkc", gY, dgy))
+    dcoefs = ds * x_hat
+    dxhat = ds * coefs
+    dx = mass[..., None] * jnp.einsum("bvk,bkc->bvc", evecs, dxhat)
+    zeros_like = jax.tree.map(jnp.zeros_like, (evecs, gX, gY, mass))
+    return (dx, *zeros_like, dcoefs)
+
+
+fused_spectral_block_batched.defvjp(_fwd_b, _bwd_b)

@@ -30,6 +30,9 @@ def main():
 
     base_path = os.path.dirname(__file__)
     op_cache_dir = os.path.join(base_path, "data", "op_cache")
+    pretrain_path = os.path.join(
+        base_path, "pretrained_models",
+        f"human_seg_{args.input_features}_4x128.npz")
     dataset_path = os.path.join(base_path, "data", "sig17_seg_benchmark")
     model_save_path = os.path.join(
         base_path, "data", "saved_models",
@@ -48,6 +51,8 @@ def main():
                         dropout=True, input_features=args.input_features)
 
     if args.evaluate:
+        if not args.load_model and os.path.exists(pretrain_path):
+            args.load_model = pretrain_path  # converted reference weights
         if not args.load_model:
             raise ValueError("--evaluate requires --load_model")
         # build a params template via a 0-epoch fit on the test set, then restore
@@ -55,7 +60,12 @@ def main():
                              input_features=cfg.input_features,
                              labels_kind="face")
         params, _, evaluate = fit(model, test_dataset, test_dataset, eval_cfg)
-        params = restore_checkpoint(args.load_model, params)
+        if args.load_model.endswith(".npz"):
+            sys.path.insert(0, os.path.join(base_path, "..", "tools"))
+            from convert_torch_checkpoint import load_converted
+            params = load_converted(args.load_model)
+        else:
+            params = restore_checkpoint(args.load_model, params)
         print(f"Overall test accuracy: "
               f"{100 * evaluate(params, test_dataset):06.3f}%")
         return

@@ -260,3 +260,21 @@ def test_compute_operators_normals_override(sphere_mesh):
     eye = np.einsum("vij,vkj->vik", ops.frames, ops.frames)
     np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
                                atol=1e-4)
+
+
+def test_steiner_geodesics_accuracy(sphere_mesh):
+    """Steiner-refined graph geodesics converge to the true geodesic
+    (~0.3% median error at k=4 on the sphere, vs ~7% for edge-graph Dijkstra)."""
+    verts, faces = sphere_mesh
+    try:
+        from diffusionnet_tpu.native import steiner_geodesics_native
+        d = steiner_geodesics_native(verts, faces, np.array([0]), k_steiner=4)[0]
+    except Exception:
+        pytest.skip("native build unavailable")
+    vn = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    arc = np.arccos(np.clip(vn @ vn[0], -1, 1))
+    sel = arc > 0.3
+    rel = np.abs(d[sel] - arc[sel]) / arc[sel]
+    assert np.median(rel) < 0.01
+    # graph distances upper-bound the true geodesic
+    assert (d[sel] >= arc[sel] * 0.999).all()
