@@ -99,10 +99,9 @@ class HeatMethodSolver:
         return out
 
     def _grad_faces(self, u: np.ndarray) -> np.ndarray:
+        # grad u = sum_c u_c * rot_edges[c]; the 1/(2A) scale and the unit
+        # normal are pre-baked into self._rot_edges
         uf = u[self.faces]  # (F,3,S)
-        scale = 1.0 / (2.0 * self._areas[:, None, None] + 1e-300)
-        # rot_edges already includes the 1/(2A)-normalized face normal; multiply
-        # by edge cross terms: grad = 1/(2A) sum_c u_c (N x e_c)
         return np.einsum("fcd,fcs->fds", self._rot_edges, uf)
 
     def _divergence(self, X: np.ndarray) -> np.ndarray:

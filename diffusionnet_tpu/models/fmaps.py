@@ -9,14 +9,10 @@ here all rows are ONE batched linear solve (jnp.linalg.solve over a stacked
 
 from __future__ import annotations
 
-from typing import Optional
-
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from .diffusion_net import DiffusionNet
-from ..ops.spectral import to_basis
 
 
 def compute_fmap(feat_x, feat_y, evals_x, evals_y, evecs_trans_x, evecs_trans_y,

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .vector import norm, norm2
+from .vector import norm2
 from .transforms import normalize_positions
 
 

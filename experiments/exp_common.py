@@ -143,7 +143,7 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         cfg.lr, cfg.decay_every * steps_per_epoch, cfg.decay_rate))
     opt_state = optimizer.init(params)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
         def loss_fn(p):
             preds = _apply_model(model, p, batch, rng, cfg, deterministic=False)

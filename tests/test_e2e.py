@@ -172,3 +172,32 @@ def test_inference_session(tmp_path):
     np.testing.assert_allclose(np.exp(preds).sum(-1), 1.0, rtol=1e-4)
     preds2 = session(verts, faces)  # cached precompute, compiled fn reuse
     np.testing.assert_allclose(preds, preds2, rtol=1e-6)
+
+
+@pytest.mark.e2e
+def test_point_cloud_classification_pipeline():
+    """Full pipeline on POINT CLOUDS (no faces): point-cloud Laplacian + kNN
+    tangent gradients through the batcher and trainer (the sampling_invariance
+    cloud path, reference dataset.py:85-138)."""
+    from exp_common import FitConfig, build_model, fit
+    from tests.meshgen import icosphere, torus
+    rs = np.random.RandomState(3)
+
+    def make(n_each, ds):
+        for cls in range(2):
+            for i in range(n_each):
+                v, _ = (icosphere(subdivisions=2) if cls == 0
+                        else torus(n_major=14, n_minor=10))
+                v = v * (1.0 + 0.04 * rs.randn(*v.shape))
+                ds.add(v, None, cls)  # None faces -> point cloud
+        ds.precompute(k_eig=12, verbose=False)
+        return ds
+
+    train_ds = make(4, SurfaceDataset(labels_kind="global"))
+    cfg = FitConfig(n_epoch=10, lr=1e-2, batch_size=4, input_features="hks",
+                    labels_kind="global")
+    model = build_model(n_class=2, c_width=16, outputs_at="global_mean",
+                        dropout=False, input_features="hks", n_block=2)
+    params, history, evaluate = fit(model, train_ds, train_ds, cfg,
+                                    verbose=False)
+    assert history[-1][1] >= 0.9, history
