@@ -196,3 +196,27 @@ def test_ell_matvec_batched(rng):
         np.testing.assert_allclose(
             y[b], mats[b].toarray().astype(np.float32) @ x[b],
             rtol=1e-4, atol=1e-5)
+
+
+def test_padded_batches_remainder_filler():
+    """Partial final batch: filler samples get labels=-1 (all kinds) and are
+    excluded from metrics."""
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.data import SurfaceDataset, make_padded_batches
+
+    for kind, label_fn in [
+        ("global", lambda v: 1),
+        ("vertex", lambda v: np.zeros(v.shape[0], np.int32)),
+    ]:
+        ds = SurfaceDataset(labels_kind=kind)
+        for i in range(5):
+            v, f = icosphere(subdivisions=1)
+            ds.add(v, f, label_fn(v))
+        ds.precompute(k_eig=4, verbose=False)
+        batches = list(make_padded_batches(ds, 4, shuffle=False))
+        assert len(batches) == 2
+        last = batches[1]
+        assert last.labels.shape[0] == 4
+        # 1 real + 3 filler rows with label -1 everywhere
+        filler = last.labels[1:]
+        assert (np.asarray(filler) == -1).all()
