@@ -92,3 +92,37 @@ def test_vertex_sharded_forward_matches_single(batch8, cpu_devices):
     out_sharded = np.asarray(vertex_sharded_forward(model, params, x, jops, mesh))
     np.testing.assert_allclose(out_sharded[:162], out_single[:162],
                                rtol=5e-4, atol=5e-5)
+
+
+def test_dp_eval_step_psums_counts(batch8, cpu_devices):
+    from diffusionnet_tpu.parallel.data_parallel import make_dp_eval_step
+    ops, x, y = batch8
+    mesh = make_mesh(data=8, vert=1, devices=cpu_devices)
+    model = DiffusionNet(c_in=3, c_out=2, c_width=8, n_block=1, dropout=False,
+                         outputs_at="global_mean")
+    params = model.init(jax.random.PRNGKey(0), x[:1], ops.mass[:1],
+                        L=jax.tree.map(lambda t: t[:1], ops.L),
+                        evals=ops.evals[:1], evecs=ops.evecs[:1],
+                        gradX=jax.tree.map(lambda t: t[:1], ops.gradX),
+                        gradY=jax.tree.map(lambda t: t[:1], ops.gradY))
+
+    def metric_fn(params, batch):
+        ops, x, y = batch
+        logits = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
+                             evecs=ops.evecs, gradX=ops.gradX, gradY=ops.gradY)
+        pred = jnp.argmax(logits, -1)
+        return {"correct": jnp.sum(pred == y), "total": y.shape[0]}
+
+    eval_step = make_dp_eval_step(metric_fn, mesh)
+    out = eval_step(params, (ops, x, y))
+    assert int(out["total"]) == 8           # psum over 8 single-sample shards
+    assert 0 <= int(out["correct"]) <= 8
+
+
+def test_make_pod_mesh_divisibility(cpu_devices):
+    import pytest as _pytest
+    from diffusionnet_tpu.parallel import make_pod_mesh
+    # current process devices: the 8 virtual CPUs aren't the default backend's,
+    # so just exercise the divisibility guard via make_mesh
+    with _pytest.raises(ValueError):
+        make_mesh(data=3, vert=2, devices=cpu_devices)
