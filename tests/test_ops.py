@@ -220,3 +220,26 @@ def test_padded_batches_remainder_filler():
         # 1 real + 3 filler rows with label -1 everywhere
         filler = last.labels[1:]
         assert (np.asarray(filler) == -1).all()
+
+
+def test_padded_batches_multibucket():
+    """Mixed-size datasets group into vertex buckets, bounding padding waste."""
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.data import SurfaceDataset, make_padded_batches
+
+    ds = SurfaceDataset(labels_kind="global")
+    for i in range(3):
+        ds.add(*icosphere(subdivisions=1), 0)   # 42 verts
+    for i in range(3):
+        ds.add(*icosphere(subdivisions=3), 1)   # 642 verts
+    ds.precompute(k_eig=4, verbose=False)
+
+    batches = list(make_padded_batches(ds, 3, shuffle=False,
+                                       buckets=(64, 1024)))
+    shapes = sorted(b.verts.shape[1] for b in batches)
+    assert shapes == [64, 1024]
+    for b in batches:
+        if b.verts.shape[1] == 64:
+            assert (np.asarray(b.labels) == 0).all()
+        else:
+            assert (np.asarray(b.labels) == 1).all()
