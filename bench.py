@@ -48,6 +48,8 @@ def main():
     import jax.numpy as jnp
     import optax
     from diffusionnet_tpu.models import DiffusionNet
+    from diffusionnet_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
 
     ops, x = build_inputs()
 

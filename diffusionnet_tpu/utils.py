@@ -37,6 +37,15 @@ def ensure_dir_exists(d: str) -> None:
     os.makedirs(d, exist_ok=True)
 
 
+def enable_compilation_cache(path: str = "~/.cache/jax_compilation") -> None:
+    """Enable JAX's persistent compilation cache (large jitted programs on slow
+    toolchains recompile in seconds instead of minutes across processes)."""
+    import jax
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+
+
 def to_np(x) -> np.ndarray:
     """Definitely convert a jax/numpy array to a host numpy array
     (analogue of reference utils.py:12-16 ``toNP``)."""

@@ -23,6 +23,7 @@ import numpy as np
 import optax
 
 import diffusionnet_tpu as dnt
+dnt.utils.enable_compilation_cache()
 from diffusionnet_tpu.data import make_padded_batches, prefetch_to_device
 from diffusionnet_tpu.data.features import FEATURE_DIMS, get_features
 from diffusionnet_tpu.models import DiffusionNet
@@ -43,6 +44,7 @@ class FitConfig:
     rotate_axis: str = "full"      # 'full' or 'y'
     label_smoothing: float = 0.0
     labels_kind: str = "global"    # 'global' | 'vertex' | 'face'
+    buckets: tuple | None = None   # vertex buckets for mixed-size datasets
     seed: int = 0
 
 
@@ -164,7 +166,8 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
     def evaluate(params, ds):
         correct = total = 0
         for batch in prefetch_to_device(
-                make_padded_batches(ds, cfg.batch_size, shuffle=False)):
+                make_padded_batches(ds, cfg.batch_size, shuffle=False,
+                                    buckets=cfg.buckets)):
             (c, t), _ = eval_step(params, batch)
             correct += int(c)
             total += int(t)
@@ -175,7 +178,8 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         correct = total = 0
         for batch in prefetch_to_device(
                 make_padded_batches(train_ds, cfg.batch_size,
-                                    shuffle=True, seed=cfg.seed + epoch)):
+                                    shuffle=True, seed=cfg.seed + epoch,
+                                    buckets=cfg.buckets)):
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, (c, t) = train_step(
                 params, opt_state, batch, step_rng)
