@@ -271,6 +271,9 @@ class DiffusionNet(nn.Module):
     # (V,K)x(K,C) matmul operands for MXU speed; accumulation stays float32
     use_pallas_fused: bool = False  # fused Pallas spectral-block kernel
     pallas_tile_v: int = 1024
+    remat_blocks: bool = False  # rematerialize blocks in the backward pass:
+    # trades recompute FLOPs for saved-activation HBM traffic (helps when
+    # training is bandwidth-bound at large V)
 
     def setup(self):
         if self.outputs_at not in ("vertices", "edges", "faces", "global_mean"):
@@ -282,8 +285,12 @@ class DiffusionNet(nn.Module):
                   else [self.c_width, self.c_width])
         self.first_lin = nn.Dense(self.c_width, name="first_lin")
         self.last_lin = nn.Dense(self.c_out, name="last_lin")
+        # flax offsets static_argnums by one for the module object;
+        # index 7 -> the `deterministic` python bool
+        block_cls = (nn.remat(DiffusionNetBlock, static_argnums=(7,))
+                     if self.remat_blocks else DiffusionNetBlock)
         self.blocks = [
-            DiffusionNetBlock(
+            block_cls(
                 c_width=self.c_width,
                 mlp_hidden_dims=tuple(hidden),
                 dropout=self.dropout,

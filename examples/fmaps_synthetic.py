@@ -70,11 +70,11 @@ def gt_fmap(ops1, ops2, n_fmap):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n_epoch", type=int, default=6)
+    ap.add_argument("--n_epoch", type=int, default=4)
     args = ap.parse_args()
 
     n_fmap, k_eig, n_feat = 12, 32, 32
-    shapes = build_shapes(n=8, k_eig=k_eig)
+    shapes = build_shapes(n=6, k_eig=k_eig)
     v_pad = 256
 
     model = FunctionalMapCorrespondence(c_in=16, c_out=n_feat, c_width=n_feat,
@@ -97,7 +97,7 @@ def main():
         return optax.apply_updates(params, updates), opt_state, loss
 
     from itertools import permutations
-    pairs = list(permutations(range(6), 2))  # train on shapes 0-5
+    pairs = list(permutations(range(4), 2))  # train on shapes 0-3
     print(f"training on {len(pairs)} pairs x {args.n_epoch} epochs")
     for epoch in range(args.n_epoch):
         losses = []
@@ -110,7 +110,7 @@ def main():
         print(f"epoch {epoch}: train fmap L2 {np.mean(losses):.4e}")
 
     # --- test on held-out pair (6, 7): induced vertex map accuracy
-    i, j = 6, 7
+    i, j = 4, 5
     C_gt = jnp.asarray(gt_fmap(shapes[i][2], shapes[j][2], n_fmap))
     C_pred, _, _ = model.apply(params, dicts[i], dicts[j])
     test_loss = float(jnp.mean((C_pred - C_gt) ** 2))

@@ -91,10 +91,12 @@ def main():
     template, train_ds, tests = build_sets()
     n_class = template.shape[0]
 
-    cfg = FitConfig(n_epoch=args.n_epoch, lr=1e-3, decay_every=50,
+    # small config: this is a property demo; compile time dominates on slow
+    # toolchains, so keep the jitted programs small
+    cfg = FitConfig(n_epoch=args.n_epoch, lr=2e-3, decay_every=50,
                     batch_size=6, input_features="xyz", labels_kind="vertex")
-    model = build_model(n_class=n_class, c_width=64, outputs_at="vertices",
-                        dropout=True, input_features="xyz", n_block=4)
+    model = build_model(n_class=n_class, c_width=32, outputs_at="vertices",
+                        dropout=False, input_features="xyz", n_block=2)
     params, history, evaluate = fit(model, train_ds, tests["orig"], cfg,
                                     verbose=False)
 

@@ -1,0 +1,93 @@
+"""Degenerate-input robustness: the reference's recovery ladders
+(SURVEY §4.3 — NaN-normal wiggle, eigensolver eps-ladder, guard raises)."""
+
+import numpy as np
+import pytest
+
+from diffusionnet_tpu.geometry import compute_operators, eigensolve_host
+from diffusionnet_tpu.geometry.host_frames import vertex_normals_np
+from diffusionnet_tpu.geometry.laplacian import cotan_laplacian, vertex_areas
+
+
+def test_degenerate_normals_recovery():
+    """Duplicate-vertex faces produce zero face normals; the seed-777 wiggle
+    ladder (reference geometry.py:128-141) must still yield unit normals."""
+    from tests.meshgen import icosphere
+    verts, faces = icosphere(subdivisions=1)
+    # collapse one vertex onto another -> its incident faces degenerate
+    verts = verts.copy()
+    verts[1] = verts[0]
+    normals = vertex_normals_np(verts, faces)
+    assert np.isfinite(normals).all()
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-6)
+
+
+def test_unreferenced_vertex_gets_random_normal():
+    """An unreferenced vertex has no incident faces: the second recovery stage
+    assigns a deterministic random unit normal."""
+    from tests.meshgen import icosphere
+    verts, faces = icosphere(subdivisions=1)
+    verts = np.concatenate([verts, [[5.0, 5.0, 5.0]]])  # orphan vertex
+    normals = vertex_normals_np(verts, faces)
+    assert np.isfinite(normals).all()
+    np.testing.assert_allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-6)
+
+
+def test_operators_on_degenerate_mesh():
+    """compute_operators end-to-end on a mesh with a collapsed vertex and an
+    orphan vertex (degenerate cotans + zero-area corners)."""
+    from tests.meshgen import icosphere
+    verts, faces = icosphere(subdivisions=1)
+    verts = verts.copy()
+    verts[1] = verts[0] + 1e-12
+    verts = np.concatenate([verts, [[3.0, 0.0, 0.0]]])
+    ops = compute_operators(verts, faces, k_eig=4)
+    assert np.isfinite(ops.evals).all()
+    assert np.isfinite(ops.evecs).all()
+    assert (ops.mass > 0).all()  # the +eps*mean shift keeps mass positive
+
+
+def test_eigensolver_ladder_on_singular_matrix():
+    """A graph with isolated components / zero rows exercises the eps-ladder
+    retry (reference geometry.py:345-361): it must converge, not crash."""
+    import scipy.sparse
+    from tests.meshgen import flat_grid
+    verts, faces = flat_grid(n=6)
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    # append a fully isolated vertex: zero row/col in L, tiny mass
+    V = L.shape[0]
+    L2 = scipy.sparse.bmat([[L, None], [None, scipy.sparse.csc_matrix((1, 1))]],
+                           format="csc")
+    mass2 = np.concatenate([mass, [mass.mean() * 1e-8]])
+    evals, evecs = eigensolve_host(L2, mass2, k_eig=3)
+    assert np.isfinite(evals).all()
+    assert np.isfinite(evecs).all()
+
+
+def test_hash_collision_probing(tmp_path, monkeypatch):
+    """Two different meshes forced to the same hash key must linear-probe into
+    distinct cache buckets (reference geometry.py:455-474)."""
+    import diffusionnet_tpu.utils as utils
+    from diffusionnet_tpu.geometry import get_operators
+    from tests.meshgen import icosphere, torus
+
+    monkeypatch.setattr(utils, "hash_arrays", lambda arrs: "FIXEDHASH")
+    # operators module imported `utils` as module attribute — patch there too
+    import diffusionnet_tpu.geometry.operators as op_mod
+    monkeypatch.setattr(op_mod.utils, "hash_arrays", lambda arrs: "FIXEDHASH",
+                        raising=True)
+
+    cache = str(tmp_path)
+    v1, f1 = icosphere(subdivisions=1)
+    v2, f2 = torus(n_major=8, n_minor=6)
+    o1 = get_operators(v1, f1, k_eig=4, op_cache_dir=cache)
+    o2 = get_operators(v2, f2, k_eig=4, op_cache_dir=cache)
+    import os
+    assert len(os.listdir(cache)) == 2  # two buckets under one hash
+    # both load back correctly
+    o1b = get_operators(v1, f1, k_eig=4, op_cache_dir=cache)
+    o2b = get_operators(v2, f2, k_eig=4, op_cache_dir=cache)
+    np.testing.assert_allclose(o1.evals, o1b.evals, rtol=1e-6)
+    np.testing.assert_allclose(o2.evals, o2b.evals, rtol=1e-6)
+    assert len(os.listdir(cache)) == 2
