@@ -30,7 +30,7 @@ def get_lib() -> ctypes.CDLL:
             return _lib
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
                    _SRC, "-o", _SO]
             subprocess.run(cmd, check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)

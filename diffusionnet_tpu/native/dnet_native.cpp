@@ -18,6 +18,7 @@
 #include <unordered_map>
 #include <limits>
 #include <queue>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -187,26 +188,40 @@ void dnet_dijkstra_geodesics(const double* verts, int64_t V, const int64_t* face
     nbrs.erase(std::unique(nbrs.begin(), nbrs.end()), nbrs.end());
   }
 
-  std::vector<float> dist(V);
-  using QE = std::pair<float, int32_t>;
-  for (int64_t s = 0; s < S; ++s) {
-    std::fill(dist.begin(), dist.end(), std::numeric_limits<float>::infinity());
-    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
-    dist[sources[s]] = 0.0f;
-    pq.emplace(0.0f, static_cast<int32_t>(sources[s]));
-    while (!pq.empty()) {
-      auto [d, u] = pq.top();
-      pq.pop();
-      if (d > dist[u]) continue;
-      for (auto [v, w] : adj[u]) {
-        float nd = d + w;
-        if (nd < dist[v]) {
-          dist[v] = nd;
-          pq.emplace(nd, v);
+  // independent per-source Dijkstras fanned over hardware threads
+  // (replaces the reference's Python multiprocessing.Pool, geometry.py:862)
+  unsigned n_threads = std::max<unsigned>(1, std::thread::hardware_concurrency());
+  auto worker = [&](int64_t begin, int64_t step) {
+    std::vector<float> dist(V);
+    using QE = std::pair<float, int32_t>;
+    for (int64_t s = begin; s < S; s += step) {
+      std::fill(dist.begin(), dist.end(),
+                std::numeric_limits<float>::infinity());
+      std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+      dist[sources[s]] = 0.0f;
+      pq.emplace(0.0f, static_cast<int32_t>(sources[s]));
+      while (!pq.empty()) {
+        auto [d, u] = pq.top();
+        pq.pop();
+        if (d > dist[u]) continue;
+        for (auto [v, w] : adj[u]) {
+          float nd = d + w;
+          if (nd < dist[v]) {
+            dist[v] = nd;
+            pq.emplace(nd, v);
+          }
         }
       }
+      std::memcpy(out + s * V, dist.data(), V * sizeof(float));
     }
-    std::memcpy(out + s * V, dist.data(), V * sizeof(float));
+  };
+  if (n_threads <= 1 || S <= 1) {
+    worker(0, 1);
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < n_threads; ++t)
+      pool.emplace_back(worker, t, n_threads);
+    for (auto& th : pool) th.join();
   }
 }
 
@@ -288,26 +303,40 @@ void dnet_steiner_geodesics(const double* verts, int64_t V, const int64_t* faces
     nbrs.erase(std::unique(nbrs.begin(), nbrs.end()), nbrs.end());
   }
 
-  std::vector<float> dist(N);
-  using QE = std::pair<float, int32_t>;
-  for (int64_t s = 0; s < S; ++s) {
-    std::fill(dist.begin(), dist.end(), std::numeric_limits<float>::infinity());
-    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
-    dist[sources[s]] = 0.0f;
-    pq.emplace(0.0f, static_cast<int32_t>(sources[s]));
-    while (!pq.empty()) {
-      auto [d, u] = pq.top();
-      pq.pop();
-      if (d > dist[u]) continue;
-      for (auto [v, w] : adj[u]) {
-        float nd = d + w;
-        if (nd < dist[v]) {
-          dist[v] = nd;
-          pq.emplace(nd, v);
+  // independent per-source Dijkstras fanned over hardware threads
+  // (replaces the reference's Python multiprocessing.Pool, geometry.py:862)
+  unsigned n_threads = std::max<unsigned>(1, std::thread::hardware_concurrency());
+  auto worker = [&](int64_t begin, int64_t step) {
+    std::vector<float> dist(N);
+    using QE = std::pair<float, int32_t>;
+    for (int64_t s = begin; s < S; s += step) {
+      std::fill(dist.begin(), dist.end(),
+                std::numeric_limits<float>::infinity());
+      std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+      dist[sources[s]] = 0.0f;
+      pq.emplace(0.0f, static_cast<int32_t>(sources[s]));
+      while (!pq.empty()) {
+        auto [d, u] = pq.top();
+        pq.pop();
+        if (d > dist[u]) continue;
+        for (auto [v, w] : adj[u]) {
+          float nd = d + w;
+          if (nd < dist[v]) {
+            dist[v] = nd;
+            pq.emplace(nd, v);
+          }
         }
       }
+      std::memcpy(out + s * V, dist.data(), V * sizeof(float));
     }
-    std::memcpy(out + s * V, dist.data(), V * sizeof(float));
+  };
+  if (n_threads <= 1 || S <= 1) {
+    worker(0, 1);
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < n_threads; ++t)
+      pool.emplace_back(worker, t, n_threads);
+    for (auto& th : pool) th.join();
   }
 }
 

@@ -54,6 +54,10 @@ class Shrec11MeshDataset_Simplified(SurfaceDataset):
         super().__init__(labels_kind="global")
         self.entries = {}
         raw_path = os.path.join(root_dir, "raw", "shrec_16")
+        if not os.path.isdir(raw_path):
+            raise FileNotFoundError(
+                f"SHREC11 simplified data not found at {raw_path}; see the"
+                " README in this directory for download instructions")
 
         for class_idx, class_name in enumerate(SIMPLIFIED_CLASS_NAMES):
             mesh_files = []

@@ -42,6 +42,10 @@ class FaustScapeDataset:
             self.combinations = list(combinations(range(n_train, n_train + 20), 2))
 
         mesh_dirpath = os.path.join(root_dir, name, "off_2")
+        if not os.path.isdir(mesh_dirpath):
+            raise FileNotFoundError(
+                f"{name} meshes not found at {mesh_dirpath}; see the README"
+                " in this directory for download instructions")
         vts_dirpath = os.path.join(root_dir, name, "corres")
         mesh_files = sorted(os.path.join(mesh_dirpath, f)
                             for f in os.listdir(mesh_dirpath))

@@ -27,6 +27,10 @@ class HumanSegOrigDataset(SurfaceDataset):
         super().__init__(labels_kind="face")
         self.n_class = 8
 
+        if not os.path.isdir(root_dir):
+            raise FileNotFoundError(
+                f"human segmentation data not found at {root_dir}; see the"
+                " README in this directory for download instructions")
         mesh_files, label_files = [], []
         if train:
             for sub, label_name in [("adobe", None), ("faust", "faust_corrected.txt"),

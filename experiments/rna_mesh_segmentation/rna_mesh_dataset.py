@@ -27,6 +27,10 @@ class RNAMeshDataset(SurfaceDataset):
         self.n_class = 260  # (includes -1, shifted to 0)
 
         split_file = os.path.join(root_dir, "train.txt" if train else "test.txt")
+        if not os.path.exists(split_file):
+            raise FileNotFoundError(
+                f"RNA dataset split list not found at {split_file}; see the"
+                " README in this directory for download instructions")
         with open(split_file) as f:
             this_files = [line.rstrip() for line in f]
         print(f"loading {len(this_files)} files: {this_files}")

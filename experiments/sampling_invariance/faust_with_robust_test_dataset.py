@@ -32,6 +32,10 @@ class FaustWithRobustTestDataset(SurfaceDataset):
         self.mut_list = []
         normals_list = []
 
+        if not os.path.isdir(root_dir):
+            raise FileNotFoundError(
+                f"FAUST robust-benchmark data not found at {root_dir}; see"
+                " the README in this directory for download instructions")
         train_dirpath = os.path.join(root_dir, "train", "MPI-FAUST",
                                      "training", "registrations")
         test_dirpath = os.path.join(root_dir, "test", "data")
