@@ -45,6 +45,8 @@ class FitConfig:
     label_smoothing: float = 0.0
     labels_kind: str = "global"    # 'global' | 'vertex' | 'face'
     buckets: tuple | None = None   # vertex buckets for mixed-size datasets
+    data_parallel: bool = False    # shard the batch over all devices (batch
+    # size must be divisible by the device count); params stay replicated
     seed: int = 0
 
 
@@ -116,13 +118,29 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         model_save_path: str | None = None,
         params=None, eval_every: int = 1,
         geodesic_eval=None, verbose: bool = True,
-        log_path: str | None = None):
+        log_path: str | None = None, devices=None):
     """Train `model` on train_ds, evaluating on test_ds each epoch.
 
     Returns (params, history). `geodesic_eval(params, predict_fn)` is an
     optional extra per-epoch metric hook (used by sampling_invariance).
+    With cfg.data_parallel, batches are sharded over `devices` (default: all)
+    and XLA auto-parallelizes the step (gradient all-reduce over ICI).
     """
     rng = jax.random.PRNGKey(cfg.seed)
+
+    shard_batch = None
+    if cfg.data_parallel:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        devs = list(devices) if devices is not None else jax.devices()
+        if cfg.batch_size % len(devs) != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"{len(devs)} devices")
+        dp_mesh = Mesh(np.asarray(devs), axis_names=("data",))
+        batch_sharding = NamedSharding(dp_mesh, P("data"))
+
+        def shard_batch(batch):
+            return jax.device_put(batch, batch_sharding)
 
     # init from the first batch
     first = next(iter(make_padded_batches(train_ds, cfg.batch_size,
@@ -180,6 +198,8 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
                 make_padded_batches(train_ds, cfg.batch_size,
                                     shuffle=True, seed=cfg.seed + epoch,
                                     buckets=cfg.buckets)):
+            if shard_batch is not None:
+                batch = shard_batch(batch)
             rng, step_rng = jax.random.split(rng)
             params, opt_state, loss, (c, t) = train_step(
                 params, opt_state, batch, step_rng)

@@ -126,3 +126,31 @@ def test_make_pod_mesh_divisibility(cpu_devices):
     # so just exercise the divisibility guard via make_mesh
     with _pytest.raises(ValueError):
         make_mesh(data=3, vert=2, devices=cpu_devices)
+
+
+def test_fit_data_parallel(cpu_devices):
+    """The generic fit() harness with cfg.data_parallel: batch sharded over the
+    8-device CPU mesh, XLA auto-parallelizes the train step."""
+    import os, sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "experiments"))
+    from exp_common import FitConfig, build_model, fit
+    from diffusionnet_tpu.data import SurfaceDataset
+    from tests.meshgen import icosphere, torus
+
+    rs = np.random.RandomState(0)
+    ds = SurfaceDataset(labels_kind="global")
+    for cls in range(2):
+        for i in range(8):
+            v, f = (icosphere(subdivisions=1) if cls == 0
+                    else torus(n_major=8, n_minor=6))
+            ds.add(v * (1 + 0.05 * rs.randn(*v.shape)), f, cls)
+    ds.precompute(k_eig=8, verbose=False)
+
+    cfg = FitConfig(n_epoch=8, lr=1e-2, batch_size=8, input_features="xyz",
+                    labels_kind="global", data_parallel=True)
+    model = build_model(n_class=2, c_width=16, outputs_at="global_mean",
+                        dropout=False, input_features="xyz", n_block=1)
+    params, history, evaluate = fit(model, ds, ds, cfg, verbose=False,
+                                    devices=cpu_devices)
+    assert history[-1][1] >= 0.9, history
