@@ -209,3 +209,60 @@ def test_label_smoothing_loss_parity(rng):
     mine = float(label_smoothing_log_loss(jnp.asarray(logprobs),
                                           jnp.asarray(label), smoothing=0.2))
     assert abs(ref - mine) < 1e-6
+
+
+def test_edges_output_parity(mesh_ops):
+    """outputs_at='edges' gather/mean remap vs torch (reference layers.py:379-384)."""
+    verts, faces, jops, _ = mesh_ops
+    edges_np = np.stack([faces[:, 0], faces[:, 1]], axis=1)  # (E,2)
+
+    tmodel = ref_layers.DiffusionNet(C_in=3, C_out=4, C_width=16, N_block=1,
+                                     dropout=False, outputs_at="edges",
+                                     with_gradient_features=False)
+    _randomize_torch_model(tmodel)
+    tmodel.eval()
+    with torch.no_grad():
+        out_ref = tmodel(torch.tensor(verts), torch.tensor(jops.mass),
+                         L=None, evals=torch.tensor(jops.evals),
+                         evecs=torch.tensor(jops.evecs), gradX=None, gradY=None,
+                         edges=torch.tensor(edges_np)).numpy()
+
+    fmodel = DiffusionNet(c_in=3, c_out=4, c_width=16, n_block=1,
+                          dropout=False, outputs_at="edges",
+                          with_gradient_features=False)
+    kw = dict(evals=jnp.asarray(jops.evals), evecs=jnp.asarray(jops.evecs),
+              edges=jnp.asarray(edges_np))
+    fparams = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(verts),
+                          jnp.asarray(jops.mass), **kw)
+    fparams = _copy_weights_to_flax(tmodel, fparams, 1, with_grad=False)
+    out = np.asarray(fmodel.apply(fparams, jnp.asarray(verts),
+                                  jnp.asarray(jops.mass), **kw))
+    np.testing.assert_allclose(out, out_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_custom_mlp_hidden_dims_parity(mesh_ops):
+    """Non-default mlp_hidden_dims (3 layers, mixed widths) vs torch."""
+    verts, faces, jops, (L_sp, gX_sp, gY_sp) = mesh_ops
+    hidden = [24, 40, 16]
+    tmodel = ref_layers.DiffusionNet(C_in=3, C_out=5, C_width=16, N_block=1,
+                                     dropout=False, mlp_hidden_dims=hidden)
+    _randomize_torch_model(tmodel)
+    tmodel.eval()
+    with torch.no_grad():
+        out_ref = tmodel(torch.tensor(verts), torch.tensor(jops.mass),
+                         L=None, evals=torch.tensor(jops.evals),
+                         evecs=torch.tensor(jops.evecs),
+                         gradX=_scipy_to_torch_sparse(gX_sp),
+                         gradY=_scipy_to_torch_sparse(gY_sp)).numpy()
+
+    fmodel = DiffusionNet(c_in=3, c_out=5, c_width=16, n_block=1,
+                          dropout=False, mlp_hidden_dims=tuple(hidden))
+    kw = dict(evals=jnp.asarray(jops.evals), evecs=jnp.asarray(jops.evecs),
+              gradX=jax.tree.map(jnp.asarray, jops.gradX),
+              gradY=jax.tree.map(jnp.asarray, jops.gradY))
+    fparams = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(verts),
+                          jnp.asarray(jops.mass), **kw)
+    fparams = _copy_weights_to_flax(tmodel, fparams, 1)
+    out = np.asarray(fmodel.apply(fparams, jnp.asarray(verts),
+                                  jnp.asarray(jops.mass), **kw))
+    np.testing.assert_allclose(out, out_ref, rtol=1e-5, atol=1e-5)
