@@ -24,7 +24,7 @@ V_PAD = 20480
 K_EIG = 128
 C_WIDTH = 128
 N_BLOCK = 4
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 
 def build_inputs():
@@ -96,10 +96,14 @@ def main():
         float(loss)
         return time.perf_counter() - t0
 
-    n1, n2 = 5, 15
-    t1 = run(n1)
-    t2 = run(n2)
-    dt = max((t2 - t1) / (n2 - n1), 1e-9)
+    run(3)  # discard residual warmup
+    n1, n2 = 6, 18
+    dts = []
+    for _ in range(2):
+        t1 = run(n1)
+        t2 = run(n2)
+        dts.append((t2 - t1) / (n2 - n1))
+    dt = max(min(dts), 1e-9)
 
     meshes_per_sec = BATCH / dt
     print(json.dumps({

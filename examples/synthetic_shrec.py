@@ -80,6 +80,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_epoch", type=int, default=40)
     ap.add_argument("--per_class", type=int, default=10)
+    ap.add_argument("--input_features", type=str, default="hks")
     args = ap.parse_args()
 
     print("building synthetic datasets...")
@@ -87,11 +88,13 @@ def main():
     test_ds = build_dataset(max(3, args.per_class // 3), seed=1)
 
     cfg = FitConfig(n_epoch=args.n_epoch, lr=1e-3, decay_every=50,
-                    decay_rate=0.5, batch_size=10, input_features="hks",
-                    augment_rotate=False, label_smoothing=0.2,
-                    labels_kind="global")
+                    decay_rate=0.5, batch_size=10,
+                    input_features=args.input_features,
+                    augment_rotate=(args.input_features == "xyz"),
+                    label_smoothing=0.2, labels_kind="global")
     model = build_model(n_class=10, c_width=64, outputs_at="global_mean",
-                        dropout=False, input_features="hks", n_block=4)
+                        dropout=False, input_features=args.input_features,
+                        n_block=4)
     params, history, evaluate = fit(model, train_ds, test_ds, cfg)
     acc = evaluate(params, test_ds)
     print(f"Overall test accuracy: {100 * acc:06.3f}%")

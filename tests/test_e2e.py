@@ -201,3 +201,20 @@ def test_point_cloud_classification_pipeline():
     params, history, evaluate = fit(model, train_ds, train_ds, cfg,
                                     verbose=False)
     assert history[-1][1] >= 0.9, history
+
+
+@pytest.mark.e2e
+def test_rotation_augmentation_path():
+    """xyz features + random SO(3) rotation augmentation through the jitted
+    train step (the reference's augment_random_rotate flow)."""
+    from exp_common import FitConfig, build_model, fit
+    train_ds, test_ds = _make_classification_sets(n_per_class=4, n_test=1)
+    cfg = FitConfig(n_epoch=30, lr=1e-2, batch_size=6, input_features="xyz",
+                    augment_rotate=True, labels_kind="global")
+    model = build_model(n_class=3, c_width=16, outputs_at="global_mean",
+                        dropout=False, input_features="xyz", n_block=2)
+    params, history, evaluate = fit(model, train_ds, test_ds, cfg,
+                                    verbose=False)
+    # rotation augmentation makes xyz classification rotation-invariant-hard;
+    # expect clearly-above-chance learning in a short run (chance = 1/3)
+    assert history[-1][1] >= 0.6, history
