@@ -154,3 +154,59 @@ def test_fit_data_parallel(cpu_devices):
     params, history, evaluate = fit(model, ds, ds, cfg, verbose=False,
                                     devices=cpu_devices)
     assert history[-1][1] >= 0.9, history
+
+
+def test_two_axis_sharded_train_step(cpu_devices):
+    """dp x vertex-sharded training via XLA auto-partitioning on a
+    (data=2, vert=4) mesh — the dryrun_multichip path as a suite test."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.geometry import compute_operators, stack_operators, grad_operators
+
+    mesh = make_mesh(data=2, vert=4, devices=cpu_devices)
+    verts, faces = icosphere(subdivisions=1)  # 42 verts
+    ops1 = compute_operators(verts, faces, k_eig=8)
+    B, v_pad = 4, 128  # v_pad divisible by vert=4
+    ops = stack_operators([ops1] * B, v_pad=v_pad)
+    gX, gY = grad_operators(ops)
+    x = np.zeros((B, v_pad, 3), np.float32)
+    x[:, :42] = verts
+    y = np.zeros((B, v_pad), np.int32)
+
+    def put(a, spec):
+        return jax.device_put(jnp.asarray(a), NamedSharding(mesh, spec))
+
+    xs = put(x, P("data", "vert", None))
+    ys = put(y, P("data", "vert"))
+    mass = put(ops.mass, P("data", "vert"))
+    evals = put(ops.evals, P("data", None))
+    evecs = put(ops.evecs, P("data", "vert", None))
+    gXs = put(gX, P("data", "vert", None))
+    gYs = put(gY, P("data", "vert", None))
+
+    model = DiffusionNet(c_in=3, c_out=4, c_width=16, n_block=1, dropout=False)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(ops.mass),
+                        evals=jnp.asarray(ops.evals), evecs=jnp.asarray(ops.evecs),
+                        gradX=jnp.asarray(gX), gradY=jnp.asarray(gY))
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    optimizer = optax.adam(1e-3)
+    opt_state = jax.device_put(optimizer.init(params), NamedSharding(mesh, P()))
+
+    def loss_fn(p, x, mass, evals, evecs, gX, gY, y):
+        logits = model.apply(p, x, mass, evals=evals, evecs=evecs,
+                             gradX=gX, gradY=gY)
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(logp, y[..., None], axis=-1)[..., 0]
+        m = mass > 0
+        return jnp.sum(nll * m) / jnp.sum(m)
+
+    @jax.jit
+    def step(p, o, *args):
+        l, g = jax.value_and_grad(loss_fn)(p, *args)
+        u, o = optimizer.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    p2, o2, l1 = step(params, opt_state, xs, mass, evals, evecs, gXs, gYs, ys)
+    p3, o3, l2 = step(p2, o2, xs, mass, evals, evecs, gXs, gYs, ys)
+    assert np.isfinite(float(l1)) and float(l2) < float(l1)
