@@ -30,11 +30,15 @@ def read_off(path: str):
         data = f.read().decode("utf-8", errors="replace")
     tokens_iter = iter(data.split())
     first = next(tokens_iter)
+    if first in ("COFF", "NOFF"):
+        raise ValueError(
+            "OFF variants with per-vertex colors/normals (COFF/NOFF) are not "
+            "supported by this reader")
     if first.startswith("OFF") and len(first) > 3:
         # header glued to counts like "OFF492 980 0"
         rest = first[3:]
         tokens = [rest] + list(tokens_iter)
-    elif first == "OFF" or first == "COFF" or first == "NOFF":
+    elif first == "OFF":
         tokens = list(tokens_iter)
     else:
         tokens = [first] + list(tokens_iter)
