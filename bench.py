@@ -25,6 +25,9 @@ K_EIG = 128
 C_WIDTH = 128
 N_BLOCK = 4
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+# TPU-idiomatic training precision: bf16 activations/matmul operands with f32
+# parameters and f32 MXU accumulation (set BENCH_DTYPE=f32 for full precision)
+DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 
 
 def build_inputs():
@@ -53,8 +56,10 @@ def main():
 
     ops, x = build_inputs()
 
+    compute_dtype = jnp.bfloat16 if DTYPE == "bf16" else None
     model = DiffusionNet(c_in=3, c_out=8, c_width=C_WIDTH, n_block=N_BLOCK,
-                         dropout=False, outputs_at="vertices")
+                         dropout=False, outputs_at="vertices",
+                         compute_dtype=compute_dtype)
     from diffusionnet_tpu.geometry import grad_operators
     gX, gY = grad_operators(ops)
     params = model.init(jax.random.PRNGKey(0), x[:1],
@@ -71,6 +76,7 @@ def main():
         gX, gY = grad_operators(ops)
         out = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
                           evecs=ops.evecs, gradX=gX, gradY=gY)
+        out = out.astype(jnp.float32)  # loss in f32
         mask = (ops.mass > 0)[..., None]
         return jnp.sum((out * mask) ** 2) / jnp.sum(mask)
 
@@ -108,7 +114,8 @@ def main():
     meshes_per_sec = BATCH / dt
     print(json.dumps({
         "metric": f"fwd+bwd meshes/sec @ {V_TARGET} verts (pad {V_PAD}), "
-                  f"k={K_EIG}, {N_BLOCK}x{C_WIDTH}, batch {BATCH}",
+                  f"k={K_EIG}, {N_BLOCK}x{C_WIDTH}, batch {BATCH}, {DTYPE} "
+                  "mixed precision (f32 params/accum)",
         "value": round(meshes_per_sec, 3),
         "unit": "meshes/sec",
         "vs_baseline": round(meshes_per_sec / REF_BASELINE_MESHES_PER_SEC, 3),

@@ -102,6 +102,7 @@ class SpatialGradientFeatures(nn.Module):
     map (reference layers.py:93-130). Input (..., V, C, 2) -> (..., V, C)."""
     c_inout: int
     with_gradient_rotations: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, vectors):
@@ -109,12 +110,15 @@ class SpatialGradientFeatures(nn.Module):
         vY = vectors[..., 1]
 
         if self.with_gradient_rotations:
-            A_re = nn.Dense(self.c_inout, use_bias=False, name="A_re")
-            A_im = nn.Dense(self.c_inout, use_bias=False, name="A_im")
+            A_re = nn.Dense(self.c_inout, use_bias=False, dtype=self.dtype,
+                            name="A_re")
+            A_im = nn.Dense(self.c_inout, use_bias=False, dtype=self.dtype,
+                            name="A_im")
             vBreal = A_re(vX) - A_im(vY)
             vBimag = A_re(vY) + A_im(vX)
         else:
-            A = nn.Dense(self.c_inout, use_bias=False, name="A")
+            A = nn.Dense(self.c_inout, use_bias=False, dtype=self.dtype,
+                         name="A")
             vBreal = A(vX)
             vBimag = A(vY)
 
@@ -127,6 +131,7 @@ class MiniMLP(nn.Module):
     first; no activation after the last layer (reference layers.py:133-164)."""
     layer_sizes: Sequence[int]
     dropout: bool = False
+    dtype: Optional[Any] = None  # activation/compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -135,7 +140,8 @@ class MiniMLP(nn.Module):
             is_last = (i + 2 == len(self.layer_sizes))
             if self.dropout and i > 0:
                 x = nn.Dropout(rate=0.5, deterministic=deterministic)(x)
-            x = nn.Dense(self.layer_sizes[i + 1], name=f"dense_{i:03d}")(x)
+            x = nn.Dense(self.layer_sizes[i + 1], dtype=self.dtype,
+                         name=f"dense_{i:03d}")(x)
             if not is_last:
                 x = jax.nn.relu(x)
         return x
@@ -224,6 +230,7 @@ class DiffusionNetBlock(nn.Module):
             x_grad_features = SpatialGradientFeatures(
                 self.c_width,
                 with_gradient_rotations=self.with_gradient_rotations,
+                dtype=self.compute_dtype,
                 name="gradient_features")(x_grad)
 
             feature_combined = jnp.concatenate(
@@ -234,9 +241,9 @@ class DiffusionNetBlock(nn.Module):
         mlp_c = feature_combined.shape[-1]
         x0_out = MiniMLP(
             (mlp_c, *self.mlp_hidden_dims, self.c_width),
-            dropout=self.dropout, name="mlp")(feature_combined,
-                                              deterministic=deterministic)
-        return x0_out + x_in
+            dropout=self.dropout, dtype=self.compute_dtype,
+            name="mlp")(feature_combined, deterministic=deterministic)
+        return (x0_out + x_in).astype(x_in.dtype)
 
 
 def _gather_mean(x, inds):
@@ -283,8 +290,10 @@ class DiffusionNet(nn.Module):
 
         hidden = (self.mlp_hidden_dims if self.mlp_hidden_dims is not None
                   else [self.c_width, self.c_width])
-        self.first_lin = nn.Dense(self.c_width, name="first_lin")
-        self.last_lin = nn.Dense(self.c_out, name="last_lin")
+        self.first_lin = nn.Dense(self.c_width, dtype=self.compute_dtype,
+                                  name="first_lin")
+        self.last_lin = nn.Dense(self.c_out, dtype=self.compute_dtype,
+                                 name="last_lin")
         # flax offsets static_argnums by one for the module object;
         # index 7 -> the `deterministic` python bool
         block_cls = (nn.remat(DiffusionNetBlock, static_argnums=(7,))

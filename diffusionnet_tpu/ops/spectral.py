@@ -19,12 +19,15 @@ def to_basis(values, basis, massvec, compute_dtype=None):
     contribute nothing.
     """
     weighted = values * massvec[..., None]
-    out_dtype = values.dtype
-    if compute_dtype is not None:
-        basis = basis.astype(compute_dtype)
-        weighted = weighted.astype(compute_dtype)
-    return jnp.einsum("...vk,...vd->...kd", basis, weighted,
-                      preferred_element_type=out_dtype)
+    if compute_dtype is None:
+        return jnp.einsum("...vk,...vd->...kd", basis, weighted,
+                          preferred_element_type=values.dtype)
+    # operands in compute_dtype, f32 MXU accumulation, result stored in
+    # compute_dtype (the cast fuses into the matmul epilogue)
+    out = jnp.einsum("...vk,...vd->...kd", basis.astype(compute_dtype),
+                     weighted.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(compute_dtype)
 
 
 def from_basis(values, basis, compute_dtype=None):
@@ -37,12 +40,13 @@ def from_basis(values, basis, compute_dtype=None):
         basis = basis.astype(jnp.complex64) if not jnp.iscomplexobj(basis) else basis
         values = values.astype(jnp.complex64) if not jnp.iscomplexobj(values) else values
         return jnp.einsum("...vk,...kd->...vd", basis, values)
-    out_dtype = values.dtype
-    if compute_dtype is not None:
-        basis = basis.astype(compute_dtype)
-        values = values.astype(compute_dtype)
-    return jnp.einsum("...vk,...kd->...vd", basis, values,
-                      preferred_element_type=out_dtype)
+    if compute_dtype is None:
+        return jnp.einsum("...vk,...kd->...vd", basis, values,
+                          preferred_element_type=values.dtype)
+    out = jnp.einsum("...vk,...kd->...vd", basis.astype(compute_dtype),
+                     values.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(compute_dtype)
 
 
 def compute_hks(evals, evecs, scales):

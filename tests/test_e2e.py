@@ -218,3 +218,25 @@ def test_rotation_augmentation_path():
     # rotation augmentation makes xyz classification rotation-invariant-hard;
     # expect clearly-above-chance learning in a short run (chance = 1/3)
     assert history[-1][1] >= 0.6, history
+
+
+@pytest.mark.e2e
+def test_classification_mixed_precision_bf16():
+    """compute_dtype=bfloat16 (f32 params/accumulation) must not hurt learning
+    on the synthetic classification task."""
+    import jax.numpy as jnp
+    from exp_common import FitConfig, build_model, fit
+    from diffusionnet_tpu.models import DiffusionNet
+    import jax
+
+    train_ds, test_ds = _make_classification_sets()
+    cfg = FitConfig(n_epoch=12, lr=1e-2, batch_size=6, input_features="hks",
+                    label_smoothing=0.2, labels_kind="global")
+    model = DiffusionNet(c_in=16, c_out=3, c_width=16, n_block=2,
+                         dropout=False, outputs_at="global_mean",
+                         last_activation=jax.nn.log_softmax,
+                         compute_dtype=jnp.bfloat16)
+    params, history, evaluate = fit(model, train_ds, test_ds, cfg,
+                                    verbose=False)
+    assert history[-1][1] >= 0.9, history
+    assert evaluate(params, test_ds) >= 0.8
