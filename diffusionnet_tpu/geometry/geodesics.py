@@ -190,7 +190,8 @@ def get_all_pairs_geodesic_distance(verts_np: np.ndarray, faces_np: np.ndarray,
 
 def geodesic_label_errors(target_verts, target_faces, pred_labels, gt_labels,
                           normalization: str = "diameter",
-                          geodesic_cache_dir: str | None = None):
+                          geodesic_cache_dir: str | None = None,
+                          method: str = "heat"):
     """Distances between predicted and ground-truth label vertices, normalized by
     geodesic diameter or sqrt(total area) (reference geometry.py:754-781)."""
     target_verts = np.asarray(utils.to_np(target_verts))
@@ -199,7 +200,7 @@ def geodesic_label_errors(target_verts, target_faces, pred_labels, gt_labels,
     gt_labels = np.asarray(utils.to_np(gt_labels))
 
     dists = get_all_pairs_geodesic_distance(target_verts, target_faces,
-                                            geodesic_cache_dir)
+                                            geodesic_cache_dir, method=method)
     result_dists = dists[pred_labels, gt_labels]
 
     if normalization == "diameter":

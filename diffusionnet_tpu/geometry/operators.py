@@ -82,7 +82,8 @@ def _csc_to_ell(mat: scipy.sparse.spmatrix, dtype=np.float32) -> Ell:
 
 
 def compute_operators(verts, faces, k_eig: int, normals=None,
-                      dtype=np.float32, _return_sparse: bool = False):
+                      dtype=np.float32, eigensolver: str = "host",
+                      _return_sparse: bool = False):
     """Build spectral operators for a mesh or point cloud (numpy in / Operators out).
 
     verts: (V,3); faces: (F,3) int or empty/None for a point cloud; k_eig: number
@@ -116,8 +117,21 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
     if np.isnan(massvec_np).any():
         raise RuntimeError("NaN mass matrix")
 
-    # Eigenbasis (host ARPACK path with the reference retry ladder)
-    evals_np, evecs_np = eigensolve_host(L, massvec_np, k_eig, eps=eps)
+    # Eigenbasis: host ARPACK path with the reference retry ladder (default),
+    # or the TPU-resident Chebyshev-filtered LOBPCG (eigensolver='device')
+    if eigensolver == "host":
+        evals_np, evecs_np = eigensolve_host(L, massvec_np, k_eig, eps=eps)
+    elif eigensolver == "device":
+        import jax.numpy as jnp
+        from .eigen import eigensolve_device
+        ell = _csc_to_ell(L, dtype=np.float32)
+        ev, evec = eigensolve_device(
+            Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val)),
+            jnp.asarray(massvec_np.astype(np.float32)), k_eig, eps=eps)
+        evals_np = np.asarray(ev, dtype=np.float64)
+        evecs_np = np.asarray(evec, dtype=np.float64)
+    else:
+        raise ValueError("eigensolver must be 'host' or 'device'")
 
     # Gradient operator: mesh edges = Laplacian sparsity (reference
     # geometry.py:331-334,375); clouds use a 30-NN graph.

@@ -63,3 +63,15 @@ def test_device_lobpcg_with_padding(sphere_mesh):
     np.testing.assert_allclose(np.asarray(evals_d), evals_h, atol=0.05)
     # padded rows of evecs are exactly zero (scaled by 1/sqrt(mass)=0 rule)
     assert np.abs(np.asarray(evecs_d)[V:]).max() == 0.0
+
+
+def test_compute_operators_device_eigensolver(sphere_mesh):
+    """compute_operators(eigensolver='device') produces the same spectrum as
+    the host path (sphere eigenvalues l(l+1))."""
+    from diffusionnet_tpu.geometry import compute_operators
+    verts, faces = sphere_mesh
+    ops = compute_operators(verts, faces, k_eig=9, eigensolver="device")
+    expected = np.array([0.0] + [2.0] * 3 + [6.0] * 5)
+    np.testing.assert_allclose(ops.evals, expected, atol=0.1)
+    # gradX_spec must be built from the device eigenvectors consistently
+    assert ops.gradX_spec.shape == (verts.shape[0], 9)
