@@ -192,6 +192,7 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         return correct / max(total, 1)
 
     history = []
+    best_test_acc = -1.0
     for epoch in range(cfg.n_epoch):
         correct = total = 0
         for batch in prefetch_to_device(
@@ -218,6 +219,13 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
             with open(log_path, "a") as f:
                 f.write(json.dumps({"epoch": epoch, "train_acc": train_acc,
                                     "test_acc": test_acc}) + "\n")
+        # periodic best-checkpointing (the reference only saves once at the
+        # end, human_segmentation_original.py:209; resume-capable here)
+        if (model_save_path is not None and test_acc is not None
+                and test_acc > best_test_acc):
+            best_test_acc = test_acc
+            save_checkpoint(os.path.dirname(model_save_path) or ".", params,
+                            step=epoch)
 
     if model_save_path is not None:
         save_checkpoint(os.path.dirname(model_save_path) or ".", params,
