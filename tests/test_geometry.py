@@ -278,3 +278,33 @@ def test_steiner_geodesics_accuracy(sphere_mesh):
     assert np.median(rel) < 0.01
     # graph distances upper-bound the true geodesic
     assert (d[sel] >= arc[sel] * 0.999).all()
+
+
+def test_parallel_precompute_matches_serial(tmp_path, sphere_mesh):
+    """get_all_operators_parallel (process pool) returns the same operators as
+    the serial path, in input order."""
+    from diffusionnet_tpu.geometry import get_all_operators_parallel
+    from tests.meshgen import icosphere, torus
+    v1, f1 = icosphere(subdivisions=1)
+    v2, f2 = torus(n_major=8, n_minor=6)
+    cache = str(tmp_path)
+    serial = [compute_operators(v1, f1, k_eig=4),
+              compute_operators(v2, f2, k_eig=4)]
+    parallel = get_all_operators_parallel([v1, v2], [f1, f2], k_eig=4,
+                                          op_cache_dir=cache, n_workers=2)
+    for s, p in zip(serial, parallel):
+        np.testing.assert_allclose(s.evals, p.evals, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s.mass, p.mass, rtol=1e-6)
+
+
+def test_dataset_precompute_with_normals(sphere_mesh):
+    """SurfaceDataset.precompute(normals_list=...) forwards per-sample normals
+    into the operator pipeline (the sampling-invariance cloud flow)."""
+    from diffusionnet_tpu.data import SurfaceDataset
+    verts, _ = sphere_mesh
+    normals = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    ds = SurfaceDataset(labels_kind="global")
+    ds.add(verts, None, 0)
+    ds.precompute(k_eig=4, normals_list=[normals], verbose=False)
+    np.testing.assert_allclose(ds.ops_list[0].frames[:, 2, :],
+                               normals.astype(np.float32), atol=1e-6)
