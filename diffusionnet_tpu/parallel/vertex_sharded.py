@@ -29,6 +29,9 @@ def shard_operators_by_vertex(ops: Operators, mesh: Mesh) -> Operators:
     def put_v(x):
         return jax.device_put(x, vshard)
 
+    def put_spec(g):
+        return None if g is None else put_v(g)
+
     return Operators(
         frames=put_v(ops.frames),
         mass=put_v(ops.mass),
@@ -37,6 +40,8 @@ def shard_operators_by_vertex(ops: Operators, mesh: Mesh) -> Operators:
         evecs=put_v(ops.evecs),
         gradX=Ell(put_v(ops.gradX.idx), put_v(ops.gradX.val)),
         gradY=Ell(put_v(ops.gradY.idx), put_v(ops.gradY.val)),
+        gradX_spec=put_spec(ops.gradX_spec),
+        gradY_spec=put_spec(ops.gradY_spec),
     )
 
 
@@ -53,8 +58,13 @@ def vertex_sharded_forward(model, params, x_in, ops: Operators, mesh: Mesh,
 
     @jax.jit
     def fwd(params, x_in, ops):
+        # prefer the dense spectral gradient operators: with the V axis sharded
+        # they are plain sharded matmuls (psum/all-gather inserted by XLA),
+        # whereas the ELL gather needs a full all-gather of x
+        gX = ops.gradX_spec if ops.gradX_spec is not None else ops.gradX
+        gY = ops.gradY_spec if ops.gradY_spec is not None else ops.gradY
         return model.apply(params, x_in, ops.mass, L=ops.L, evals=ops.evals,
-                           evecs=ops.evecs, gradX=ops.gradX, gradY=ops.gradY,
+                           evecs=ops.evecs, gradX=gX, gradY=gY,
                            **call_kwargs)
 
     return fwd(params, x_in, ops)
