@@ -16,6 +16,7 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "dnet_native.cpp")
+_SRC_ICH = os.path.join(_HERE, "ich_geodesics.cpp")
 _SO = os.path.join(_HERE, "libdnet_native.so")
 
 _lib = None
@@ -29,9 +30,10 @@ def get_lib() -> ctypes.CDLL:
         if _lib is not None:
             return _lib
         if (not os.path.exists(_SO)
-                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC_ICH)):
             cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                   _SRC, "-o", _SO]
+                   _SRC, _SRC_ICH, "-o", _SO]
             subprocess.run(cmd, check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
 
@@ -59,6 +61,15 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_float),
         ]
         lib.dnet_steiner_geodesics.restype = None
+
+        lib.dnet_ich_geodesics.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.dnet_ich_geodesics.restype = ctypes.c_int32
 
         _lib = lib
         return _lib
@@ -113,4 +124,28 @@ def steiner_geodesics_native(verts: np.ndarray, faces: np.ndarray,
         _ptr(faces, ctypes.c_int64), faces.shape[0],
         _ptr(sources, ctypes.c_int64), sources.shape[0],
         k_steiner, _ptr(out, ctypes.c_float))
+    return out
+
+
+def exact_geodesics_native(verts: np.ndarray, faces: np.ndarray,
+                           sources: np.ndarray,
+                           window_budget: int | None = None) -> np.ndarray:
+    """Exact polyhedral geodesics (ICH continuous Dijkstra): (S, V) float32.
+    Raises RuntimeError when the mesh is non-manifold/non-oriented or the
+    window budget overflows (callers fall back to Steiner distances)."""
+    lib = get_lib()
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    faces = np.ascontiguousarray(faces, dtype=np.int64)
+    sources = np.ascontiguousarray(sources, dtype=np.int64)
+    if window_budget is None:
+        window_budget = max(200 * faces.shape[0], 2_000_000)
+    out = np.empty((sources.shape[0], verts.shape[0]), dtype=np.float32)
+    ok = lib.dnet_ich_geodesics(
+        _ptr(verts, ctypes.c_double), verts.shape[0],
+        _ptr(faces, ctypes.c_int64), faces.shape[0],
+        _ptr(sources, ctypes.c_int64), sources.shape[0],
+        window_budget, _ptr(out, ctypes.c_float))
+    if not ok:
+        raise RuntimeError("exact geodesics failed (non-manifold mesh or "
+                           "window budget exceeded)")
     return out

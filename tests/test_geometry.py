@@ -308,3 +308,32 @@ def test_dataset_precompute_with_normals(sphere_mesh):
     ds.precompute(k_eig=4, normals_list=[normals], verbose=False)
     np.testing.assert_allclose(ds.ops_list[0].frames[:, 2, :],
                                normals.astype(np.float32), atol=1e-6)
+
+
+def test_ich_geodesics_flat_exact(grid_mesh):
+    """Continuous-Dijkstra geodesics are machine-exact on a flat convex domain
+    (true geodesic == euclidean)."""
+    verts, faces = grid_mesh
+    try:
+        from diffusionnet_tpu.native import exact_geodesics_native
+        d = exact_geodesics_native(verts, faces, np.array([0]))[0]
+    except Exception:
+        pytest.skip("native build unavailable")
+    euclid = np.linalg.norm(verts - verts[0], axis=1)
+    np.testing.assert_allclose(d, euclid, atol=1e-5)
+
+
+def test_ich_geodesics_bounds(sphere_mesh):
+    """ICH distances must lower-bound Steiner (an upper bound of the polyhedral
+    geodesic) up to small tolerance, and upper-bound the 3D chord."""
+    verts, faces = sphere_mesh
+    try:
+        from diffusionnet_tpu.native import (exact_geodesics_native,
+                                             steiner_geodesics_native)
+        d_i = exact_geodesics_native(verts, faces, np.array([0]))[0]
+    except Exception:
+        pytest.skip("native build unavailable")
+    d_s = steiner_geodesics_native(verts, faces, np.array([0]), k_steiner=10)[0]
+    chord = np.linalg.norm(verts - verts[0], axis=1)
+    assert (d_i >= chord - 1e-4).all()          # no invalid short paths
+    assert (d_i <= d_s * 1.01 + 1e-4).all()     # consistent with Steiner
