@@ -38,3 +38,28 @@ def test_keig0_operators_and_implicit_dense_forward():
 
     grads = jax.tree.leaves(jax.grad(loss)(params))
     assert all(np.isfinite(np.asarray(g)).all() for g in grads)
+
+
+def test_implicit_dense_batched():
+    """Batched implicit_dense (vmapped dense Cholesky over the Ell L)."""
+    from tests.meshgen import icosphere, torus
+    from diffusionnet_tpu.geometry import stack_operators
+
+    v1, f1 = icosphere(subdivisions=1)
+    v2, f2 = torus(n_major=8, n_minor=6)
+    ops = stack_operators([compute_operators(v1, f1, k_eig=0),
+                           compute_operators(v2, f2, k_eig=0)], v_pad=64)
+    jops = jax.tree.map(jnp.asarray, ops)
+    x = np.zeros((2, 64, 3), np.float32)
+    x[0, :42] = v1
+    x[1, :48] = v2
+
+    model = DiffusionNet(c_in=3, c_out=2, c_width=8, n_block=1, dropout=False,
+                         diffusion_method="implicit_dense")
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x), jops.mass,
+                        L=jops.L, gradX=jops.gradX, gradY=jops.gradY)
+    out = model.apply(params, jnp.asarray(x), jops.mass, L=jops.L,
+                      gradX=jops.gradX, gradY=jops.gradY)
+    assert out.shape == (2, 64, 2)
+    assert np.isfinite(np.asarray(out)[0, :42]).all()
+    assert np.isfinite(np.asarray(out)[1, :48]).all()

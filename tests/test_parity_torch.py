@@ -266,3 +266,14 @@ def test_custom_mlp_hidden_dims_parity(mesh_ops):
     out = np.asarray(fmodel.apply(fparams, jnp.asarray(verts),
                                   jnp.asarray(jops.mass), **kw))
     np.testing.assert_allclose(out, out_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cache_hash_parity_with_reference():
+    """utils.hash_arrays must produce the reference's exact SHA1 keys so the
+    operator/geodesic disk caches interoperate (reference utils.py:71-76)."""
+    import diffusion_net.utils as ref_utils
+    from diffusionnet_tpu.utils import hash_arrays
+    rng = np.random.RandomState(0)
+    verts = rng.randn(50, 3)
+    faces = rng.randint(0, 50, (80, 3)).astype(np.int64)
+    assert hash_arrays((verts, faces)) == ref_utils.hash_arrays((verts, faces))
