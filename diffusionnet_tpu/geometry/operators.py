@@ -216,7 +216,11 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
     search_path = None
     if op_cache_dir is not None:
         utils.ensure_dir_exists(op_cache_dir)
-        hash_key_str = str(utils.hash_arrays((verts_np, faces_np)))
+        # canonical key dtypes (f32 verts / int64 faces): the reference hashes
+        # torch-float32 vertex bytes (utils.py:71-76 via toNP of f32 tensors),
+        # so this keeps cache keys interoperable regardless of input dtype
+        hash_key_str = str(utils.hash_arrays(
+            (verts_np.astype(np.float32), faces_np.astype(np.int64))))
         i_cache_search = 0
         while True:
             search_path = os.path.join(

@@ -277,3 +277,29 @@ def test_cache_hash_parity_with_reference():
     verts = rng.randn(50, 3)
     faces = rng.randint(0, 50, (80, 3)).astype(np.int64)
     assert hash_arrays((verts, faces)) == ref_utils.hash_arrays((verts, faces))
+
+
+def test_reference_reads_our_operator_cache(tmp_path, mesh_ops):
+    """Cache interop, the strong form: a cache entry WRITTEN by this framework
+    is loaded by the REFERENCE's own get_operators cache-hit path (which needs
+    no native deps on a hit) and returns matching operators."""
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.geometry import get_operators as our_get_operators
+
+    verts, faces = icosphere(subdivisions=1)
+    cache = str(tmp_path)
+    ours = our_get_operators(verts, faces, k_eig=8, op_cache_dir=cache)
+
+    t_verts = torch.tensor(verts.astype(np.float32))
+    t_faces = torch.tensor(faces)
+    frames, mass, L, evals, evecs, gradX, gradY = ref_geometry.get_operators(
+        t_verts, t_faces, k_eig=8, op_cache_dir=cache)
+
+    # same bucket file (no recompute: the reference would have crashed on its
+    # stubbed native deps if it missed the cache)
+    import os
+    assert len(os.listdir(cache)) == 1
+    np.testing.assert_allclose(evals.numpy(), ours.evals, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(mass.numpy(), ours.mass, rtol=1e-5)
+    np.testing.assert_allclose(frames.numpy(), ours.frames, rtol=1e-4,
+                               atol=1e-5)
