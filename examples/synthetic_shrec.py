@@ -81,6 +81,8 @@ def main():
     ap.add_argument("--n_epoch", type=int, default=40)
     ap.add_argument("--per_class", type=int, default=10)
     ap.add_argument("--input_features", type=str, default="hks")
+    ap.add_argument("--bf16", action="store_true",
+                    help="mixed-precision training (bf16 activations)")
     args = ap.parse_args()
 
     print("building synthetic datasets...")
@@ -94,7 +96,7 @@ def main():
                     label_smoothing=0.2, labels_kind="global")
     model = build_model(n_class=10, c_width=64, outputs_at="global_mean",
                         dropout=False, input_features=args.input_features,
-                        n_block=4)
+                        n_block=4, bf16=args.bf16)
     params, history, evaluate = fit(model, train_ds, test_ds, cfg)
     acc = evaluate(params, test_ds)
     print(f"Overall test accuracy: {100 * acc:06.3f}%")

@@ -47,15 +47,19 @@ class FitConfig:
     buckets: tuple | None = None   # vertex buckets for mixed-size datasets
     data_parallel: bool = False    # shard the batch over all devices (batch
     # size must be divisible by the device count); params stay replicated
+    bf16: bool = False             # mixed precision: bf16 activations/matmul
+    # operands, f32 params and accumulation (f32 keeps reference parity)
     seed: int = 0
 
 
 def build_model(n_class: int, c_width: int, outputs_at: str,
-                dropout: bool, input_features: str, n_block: int = 4):
+                dropout: bool, input_features: str, n_block: int = 4,
+                bf16: bool = False):
     return DiffusionNet(
         c_in=FEATURE_DIMS[input_features], c_out=n_class, c_width=c_width,
         n_block=n_block, dropout=dropout, outputs_at=outputs_at,
-        last_activation=jax.nn.log_softmax)
+        last_activation=jax.nn.log_softmax,
+        compute_dtype=jnp.bfloat16 if bf16 else None)
 
 
 def _augment(verts, rng, cfg: FitConfig):
@@ -89,6 +93,7 @@ def _apply_model(model, params, batch, rng, cfg: FitConfig,
 
 def _loss_and_counts(preds, batch, cfg: FitConfig):
     """Masked loss + (correct, total) counts. Padding labels are -1."""
+    preds = preds.astype(jnp.float32)
     labels = batch.labels
     if cfg.labels_kind == "global":
         valid = labels >= 0
