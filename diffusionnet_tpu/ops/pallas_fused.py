@@ -91,6 +91,8 @@ def _fused_fwd_impl(x, evecs, gX, gY, mass, coefs, tile_v: int,
         ],
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((K, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, evecs, gX, gY, mass[:, None], coefs)
     return y, ygx, ygy
@@ -185,6 +187,8 @@ def _fused_fwd_batched_impl(x, evecs, gX, gY, mass, coefs, tile_v: int,
         out_specs=[pl.BlockSpec((1, tile_v, C), p1) for _ in range(3)],
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((K, C), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, evecs, gX, gY, mass[..., None], coefs)
 
