@@ -28,6 +28,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 # TPU-idiomatic training precision: bf16 activations/matmul operands with f32
 # parameters and f32 MXU accumulation (set BENCH_DTYPE=f32 for full precision)
 DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
+# implementation: 'mega' = whole-block Pallas megakernel (full f32, fastest),
+# 'xla' = the standard model apply
+IMPL = os.environ.get("BENCH_IMPL", "mega")
 
 
 def build_inputs():
@@ -56,7 +59,9 @@ def main():
 
     ops, x = build_inputs()
 
-    compute_dtype = jnp.bfloat16 if DTYPE == "bf16" else None
+    # the megakernel path runs full f32 (its loss matches the f32 model)
+    compute_dtype = (jnp.bfloat16 if (DTYPE == "bf16" and IMPL != "mega")
+                     else None)
     model = DiffusionNet(c_in=3, c_out=8, c_width=C_WIDTH, n_block=N_BLOCK,
                          dropout=False, outputs_at="vertices",
                          compute_dtype=compute_dtype)
@@ -74,8 +79,14 @@ def main():
     def loss_fn(params, x, ops):
         from diffusionnet_tpu.geometry import grad_operators
         gX, gY = grad_operators(ops)
-        out = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
-                          evecs=ops.evecs, gradX=gX, gradY=gY)
+        if IMPL == "mega":
+            from diffusionnet_tpu.models.fast_path import megablock_apply_batched
+            out = megablock_apply_batched(
+                params, x, ops.mass, ops.evals, ops.evecs, gX, gY,
+                n_block=N_BLOCK, tile_v=2048)
+        else:
+            out = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
+                              evecs=ops.evecs, gradX=gX, gradY=gY)
         out = out.astype(jnp.float32)  # loss in f32
         mask = (ops.mass > 0)[..., None]
         return jnp.sum((out * mask) ** 2) / jnp.sum(mask)
@@ -114,8 +125,9 @@ def main():
     meshes_per_sec = BATCH / dt
     print(json.dumps({
         "metric": f"fwd+bwd meshes/sec @ {V_TARGET} verts (pad {V_PAD}), "
-                  f"k={K_EIG}, {N_BLOCK}x{C_WIDTH}, batch {BATCH}, {DTYPE} "
-                  "mixed precision (f32 params/accum)",
+                  f"k={K_EIG}, {N_BLOCK}x{C_WIDTH}, batch {BATCH}, "
+                  + ("full f32, whole-block Pallas megakernel" if IMPL == "mega"
+                     else f"{DTYPE} mixed precision (f32 params/accum)"),
         "value": round(meshes_per_sec, 3),
         "unit": "meshes/sec",
         "vs_baseline": round(meshes_per_sec / REF_BASELINE_MESHES_PER_SEC, 3),
