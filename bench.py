@@ -27,7 +27,7 @@ N_BLOCK = 4
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 # TPU-idiomatic training precision: bf16 activations/matmul operands with f32
 # parameters and f32 MXU accumulation (set BENCH_DTYPE=f32 for full precision)
-DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
+DTYPE = os.environ.get("BENCH_DTYPE", "f32")
 # implementation: 'mega' = whole-block Pallas megakernel (full f32, fastest),
 # 'xla' = the standard model apply
 IMPL = os.environ.get("BENCH_IMPL", "mega")
@@ -81,8 +81,14 @@ def main():
         gX, gY = grad_operators(ops)
         if IMPL == "mega":
             from diffusionnet_tpu.models.fast_path import megablock_apply_batched
+            if DTYPE == "bf16":  # bf16 tiles, f32 MXU accumulation
+                x = x.astype(jnp.bfloat16)
+                gX, gY = gX.astype(jnp.bfloat16), gY.astype(jnp.bfloat16)
+                evecs = ops.evecs.astype(jnp.bfloat16)
+            else:
+                evecs = ops.evecs
             out = megablock_apply_batched(
-                params, x, ops.mass, ops.evals, ops.evecs, gX, gY,
+                params, x, ops.mass.astype(x.dtype), ops.evals, evecs, gX, gY,
                 n_block=N_BLOCK, tile_v=2048)
         else:
             out = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
@@ -126,7 +132,9 @@ def main():
     print(json.dumps({
         "metric": f"fwd+bwd meshes/sec @ {V_TARGET} verts (pad {V_PAD}), "
                   f"k={K_EIG}, {N_BLOCK}x{C_WIDTH}, batch {BATCH}, "
-                  + ("full f32, whole-block Pallas megakernel" if IMPL == "mega"
+                  + (("full f32" if DTYPE != "bf16" else
+                      "bf16 tiles/f32 accum")
+                     + ", whole-block Pallas megakernel" if IMPL == "mega"
                      else f"{DTYPE} mixed precision (f32 params/accum)"),
         "value": round(meshes_per_sec, 3),
         "unit": "meshes/sec",
