@@ -83,6 +83,8 @@ def main():
     ap.add_argument("--input_features", type=str, default="hks")
     ap.add_argument("--bf16", action="store_true",
                     help="mixed-precision training (bf16 activations)")
+    ap.add_argument("--mega", action="store_true",
+                    help="whole-block Pallas megakernel (TPU)")
     args = ap.parse_args()
 
     print("building synthetic datasets...")
@@ -93,7 +95,8 @@ def main():
                     decay_rate=0.5, batch_size=10,
                     input_features=args.input_features,
                     augment_rotate=(args.input_features == "xyz"),
-                    label_smoothing=0.2, labels_kind="global")
+                    label_smoothing=0.2, labels_kind="global",
+                    use_megakernel=args.mega)
     model = build_model(n_class=10, c_width=64, outputs_at="global_mean",
                         dropout=False, input_features=args.input_features,
                         n_block=4, bf16=args.bf16)

@@ -49,6 +49,8 @@ class FitConfig:
     # size must be divisible by the device count); params stay replicated
     bf16: bool = False             # mixed precision: bf16 activations/matmul
     # operands, f32 params and accumulation (f32 keeps reference parity)
+    use_megakernel: bool = False   # whole-block Pallas megakernel (TPU;
+    # requires dropout off, default MLP dims, vertex outputs, V % 1024 == 0)
     seed: int = 0
 
 
@@ -83,6 +85,23 @@ def _apply_model(model, params, batch, rng, cfg: FitConfig,
     feats = get_features(cfg.input_features, verts, batch.ops.evals,
                          batch.ops.evecs)
     gX, gY = dnt.geometry.grad_operators(batch.ops)
+
+    V = feats.shape[-2]
+    mega_tile = next((t for t in (2048, 1024, 512, 256, 128) if V % t == 0),
+                     None)
+    if (cfg.use_megakernel and not model.dropout
+            and model.outputs_at in ("vertices", "global_mean")
+            and mega_tile is not None):
+        from diffusionnet_tpu.models.fast_path import megablock_apply_batched
+        logits = megablock_apply_batched(
+            params, feats, batch.ops.mass, batch.ops.evals, batch.ops.evecs,
+            gX, gY, n_block=model.n_block, tile_v=mega_tile)
+        if model.outputs_at == "global_mean":
+            logits = (jnp.sum(logits * batch.ops.mass[..., None], axis=-2)
+                      / jnp.sum(batch.ops.mass, axis=-1, keepdims=True))
+        return (model.last_activation(logits)
+                if model.last_activation is not None else logits)
+
     kwargs = dict(L=batch.ops.L, evals=batch.ops.evals, evecs=batch.ops.evecs,
                   gradX=gX, gradY=gY,
                   deterministic=deterministic)
