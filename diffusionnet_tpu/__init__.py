@@ -60,6 +60,7 @@ from .geometry import (
     get_all_operators,
     Operators,
     pad_operators,
+    stack_operators,
     geodesic_label_errors,
     get_all_pairs_geodesic_distance,
 )

@@ -4,6 +4,11 @@ These run in the precompute pipeline, which follows the reference's numerics
 (float64 on host, reference geometry.py:310,429) including the deterministic
 seed-777 degenerate-normal recovery (geometry.py:128-141). The jittable device
 versions live in ops/frames.py; this module is the float64 ground truth.
+
+Attribution: the algorithm (constants, seed-777 ladder, failure conditions) is
+a deliberate numerics-parity reimplementation of nmwsharp/diffusion-net
+geometry.py:92-177, MIT License (c) 2020-2021 Nicholas Sharp and coauthors —
+see the repository LICENSE file.
 """
 
 from __future__ import annotations

@@ -12,6 +12,11 @@ get_operators / get_all_operators). TPU-first design (SURVEY §7):
     (geometry.py:548-568): SHA1 content hash, linear-probe buckets `{hash}_{i}.npz`,
     k_eig truncation on load, CSC stored as data/indices/indptr/shape. Caches
     written by the PyTorch reference can be consumed directly.
+
+Attribution: the get_operators cache protocol (bucket probing, messages, npz
+field layout) transcribes nmwsharp/diffusion-net geometry.py:426-570 for
+on-disk byte compatibility — MIT License (c) 2020-2021 Nicholas Sharp and
+coauthors; see the repository LICENSE file.
 """
 
 from __future__ import annotations
