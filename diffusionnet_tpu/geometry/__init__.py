@@ -20,7 +20,8 @@ from .geodesics import (
     get_all_pairs_geodesic_distance,
     geodesic_label_errors,
 )
-from .io import read_mesh, read_off, read_obj, read_ply, write_off
+from .io import (read_mesh, read_off, read_obj, read_ply, write_mesh,
+                 write_off, write_obj, write_ply)
 from .knn_host import find_knn_host
 from .host_frames import (
     build_tangent_frames_np,

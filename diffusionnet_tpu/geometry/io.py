@@ -176,3 +176,46 @@ def write_off(path: str, verts: np.ndarray, faces: np.ndarray):
             f.write(f"{v[0]} {v[1]} {v[2]}\n")
         for face in faces:
             f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
+def write_obj(path: str, verts: np.ndarray, faces: np.ndarray):
+    with open(path, "w") as f:
+        for v in verts:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for face in faces:  # obj is 1-based
+            f.write(f"f {face[0] + 1} {face[1] + 1} {face[2] + 1}\n")
+
+
+def write_ply(path: str, verts: np.ndarray, faces: np.ndarray | None = None,
+              normals: np.ndarray | None = None):
+    """ASCII ply writer; optional per-vertex normals (nx/ny/nz properties, the
+    layout the sampling-invariance point-cloud split reads back)."""
+    nf = 0 if faces is None else len(faces)
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        if normals is not None:
+            f.write("property float nx\nproperty float ny\nproperty float nz\n")
+        f.write(f"element face {nf}\n")
+        f.write("property list uchar int vertex_indices\n")
+        f.write("end_header\n")
+        for i, v in enumerate(verts):
+            row = f"{v[0]} {v[1]} {v[2]}"
+            if normals is not None:
+                n = normals[i]
+                row += f" {n[0]} {n[1]} {n[2]}"
+            f.write(row + "\n")
+        for face in (faces if faces is not None else ()):
+            f.write(f"3 {face[0]} {face[1]} {face[2]}\n")
+
+
+def write_mesh(path: str, verts: np.ndarray, faces: np.ndarray):
+    lower = path.lower()
+    if lower.endswith(".off"):
+        return write_off(path, verts, faces)
+    if lower.endswith(".obj"):
+        return write_obj(path, verts, faces)
+    if lower.endswith(".ply"):
+        return write_ply(path, verts, faces)
+    raise ValueError(f"unsupported mesh format: {path}")

@@ -32,16 +32,20 @@ def main():
     parser.add_argument("--split_size", type=int, default=10)
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="dataset root (default: ./data/{dataset_type})")
     args = parser.parse_args()
 
     base_path = os.path.dirname(__file__)
-    op_cache_dir = os.path.join(base_path, "data", "op_cache")
-    dataset_path = os.path.join(base_path, "data", args.dataset_type)
+    dataset_path = args.data_dir or os.path.join(base_path, "data",
+                                                 args.dataset_type)
+    op_cache_dir = os.path.join(dataset_path, "op_cache")
 
     cls = {"simplified": Shrec11MeshDataset_Simplified,
            "original": Shrec11MeshDataset_Original}[args.dataset_type]
 
-    k_eig = 128
+    k_eig = args.k_eig
     train_dataset = cls(dataset_path, split_size=args.split_size, k_eig=k_eig,
                         op_cache_dir=op_cache_dir)
     test_dataset = cls(dataset_path, split_size=None, k_eig=k_eig,

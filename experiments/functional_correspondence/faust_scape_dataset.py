@@ -26,7 +26,10 @@ from diffusionnet_tpu.geometry import get_operators
 
 class FaustScapeDataset:
     def __init__(self, root_dir, name="faust", train=True, k_eig=128,
-                 n_fmap=30, op_cache_dir=None):
+                 n_fmap=30, op_cache_dir=None, n_train=None, n_test=20):
+        """n_train/n_test default to the reference splits (80/51 train, 20
+        held-out test, reference faust_scape_dataset.py:35-39); overridable for
+        smoke tests on fabricated data."""
         self.train = train
         self.k_eig = k_eig
         self.n_fmap = n_fmap
@@ -35,11 +38,13 @@ class FaustScapeDataset:
         self.verts_list, self.faces_list = [], []
         self.vts_list, self.names_list, self.ops_list = [], [], []
 
-        n_train = {"faust": 80, "scape": 51}[name]
+        if n_train is None:
+            n_train = {"faust": 80, "scape": 51}[name]
         if train:
             self.combinations = list(permutations(range(n_train), 2))
         else:
-            self.combinations = list(combinations(range(n_train, n_train + 20), 2))
+            self.combinations = list(
+                combinations(range(n_train, n_train + n_test), 2))
 
         mesh_dirpath = os.path.join(root_dir, name, "off_2")
         if not os.path.isdir(mesh_dirpath):

@@ -56,28 +56,39 @@ def main():
     parser.add_argument("--input_features", type=str, default="hks")
     parser.add_argument("--load_model", type=str, default=None)
     parser.add_argument("--n_epoch", type=int, default=5)
+    parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--n_fmap", type=int, default=30)
+    parser.add_argument("--n_feat", type=int, default=128)
+    parser.add_argument("--n_train", type=int, default=None,
+                        help="train-shape count (default: reference 80/51)")
+    parser.add_argument("--n_test", type=int, default=20)
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="dataset root (default: ./data)")
     args = parser.parse_args()
 
-    k_eig, n_fmap, n_feat, lambda_param = 128, 30, 128, 1e-3
+    k_eig, n_fmap, n_feat = args.k_eig, args.n_fmap, args.n_feat
+    lambda_param = 1e-3
     lr = 5e-4
     input_features = args.input_features
     augment = input_features == "xyz"
 
     base_path = os.path.dirname(__file__)
-    op_cache_dir = os.path.join(base_path, "data", "op_cache")
-    geodesic_cache_dir = os.path.join(base_path, "data", "geodesic_cache")
-    dataset_path = os.path.join(base_path, "data")
+    dataset_path = args.data_dir or os.path.join(base_path, "data")
+    op_cache_dir = os.path.join(dataset_path, "op_cache")
+    geodesic_cache_dir = os.path.join(dataset_path, "geodesic_cache")
     model_save_path = os.path.join(
-        base_path, "saved_models", f"{args.train_dataset}_{input_features}")
+        dataset_path, "saved_models", f"{args.train_dataset}_{input_features}")
 
     train = not args.evaluate
     if train:
         train_ds = FaustScapeDataset(dataset_path, name=args.train_dataset,
                                      train=True, k_eig=k_eig, n_fmap=n_fmap,
-                                     op_cache_dir=op_cache_dir)
+                                     op_cache_dir=op_cache_dir,
+                                     n_train=args.n_train, n_test=args.n_test)
     test_ds = FaustScapeDataset(dataset_path, name=args.test_dataset,
                                 train=False, k_eig=k_eig, n_fmap=n_fmap,
-                                op_cache_dir=op_cache_dir)
+                                op_cache_dir=op_cache_dir,
+                                n_train=args.n_train, n_test=args.n_test)
 
     # static shapes over the union of shapes used
     all_ds = ([train_ds, test_ds] if train else [test_ds])

@@ -26,19 +26,23 @@ def main():
     parser.add_argument("--input_features", type=str, default="hks")
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="dataset root (default: ./data/sig17_seg_benchmark)")
     args = parser.parse_args()
 
     base_path = os.path.dirname(__file__)
-    op_cache_dir = os.path.join(base_path, "data", "op_cache")
     pretrain_path = os.path.join(
         base_path, "pretrained_models",
         f"human_seg_{args.input_features}_4x128.npz")
-    dataset_path = os.path.join(base_path, "data", "sig17_seg_benchmark")
+    dataset_path = args.data_dir or os.path.join(base_path, "data",
+                                                 "sig17_seg_benchmark")
+    op_cache_dir = os.path.join(dataset_path, "op_cache")
     model_save_path = os.path.join(
-        base_path, "data", "saved_models",
+        dataset_path, "saved_models",
         f"human_seg_{args.input_features}_4x128")
 
-    k_eig = 128
+    k_eig = args.k_eig
     test_dataset = HumanSegOrigDataset(dataset_path, train=False, k_eig=k_eig,
                                        op_cache_dir=op_cache_dir)
 

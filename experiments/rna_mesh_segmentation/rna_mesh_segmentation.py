@@ -23,15 +23,18 @@ def main():
     parser.add_argument("--input_features", type=str, default="xyz")
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="dataset root (default: ./data)")
     args = parser.parse_args()
 
     base_path = os.path.dirname(__file__)
-    op_cache_dir = os.path.join(base_path, "data", "op_cache")
-    dataset_path = os.path.join(base_path, "data")
+    dataset_path = args.data_dir or os.path.join(base_path, "data")
+    op_cache_dir = os.path.join(dataset_path, "op_cache")
     model_save_path = os.path.join(
-        base_path, "data", "saved_models", f"rna_seg_{args.input_features}_4x128")
+        dataset_path, "saved_models", f"rna_seg_{args.input_features}_4x128")
 
-    k_eig = 128
+    k_eig = args.k_eig
     train_dataset = RNAMeshDataset(dataset_path, train=True, k_eig=k_eig,
                                    op_cache_dir=op_cache_dir)
     test_dataset = RNAMeshDataset(dataset_path, train=False, k_eig=k_eig,

@@ -26,7 +26,10 @@ from diffusionnet_tpu.geometry import read_ply
 
 class FaustWithRobustTestDataset(SurfaceDataset):
     def __init__(self, root_dir, train: bool, k_eig: int = 128,
-                 op_cache_dir=None):
+                 op_cache_dir=None, n_train: int = 80, n_test: int = 20):
+        """n_train/n_test default to the reference split (meshes 0-79 train,
+        80-99 per-mutation test, reference :44,:85); overridable for smoke
+        tests on fabricated data."""
         super().__init__(labels_kind="vertex")
         self.n_class = 6890
         self.mut_list = []
@@ -41,7 +44,7 @@ class FaustWithRobustTestDataset(SurfaceDataset):
         test_dirpath = os.path.join(root_dir, "test", "data")
 
         if train:
-            for i in range(80):
+            for i in range(n_train):
                 path = os.path.join(train_dirpath, f"tr_reg_{i:03d}.ply")
                 verts, faces = dnt.geometry.read_mesh(path)
                 verts = dnt.utils.normalize_positions_np(verts, method="bbox")
@@ -52,7 +55,7 @@ class FaustWithRobustTestDataset(SurfaceDataset):
         else:
             methods = ["orig", "iso", "qes", "mc", "dense", "cloud"]
             for method in methods:
-                for i in range(80, 100):
+                for i in range(n_train, n_train + n_test):
                     normals = None
                     if method == "orig":
                         path = os.path.join(train_dirpath, f"tr_reg_{i:03d}.ply")

@@ -67,25 +67,37 @@ def main():
     parser.add_argument("--input_features", type=str, default="xyz")
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=2)
+    parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--n_train", type=int, default=80)
+    parser.add_argument("--n_test", type=int, default=20)
+    parser.add_argument("--data_dir", type=str, default=None,
+                        help="dataset root (default: ./data)")
     args = parser.parse_args()
 
     base_path = os.path.dirname(__file__)
-    op_cache_dir = os.path.join(base_path, "data", "op_cache")
-    geodesic_cache_dir = os.path.join(base_path, "data", "geodesic_cache")
-    dataset_path = os.path.join(base_path, "data")
+    dataset_path = args.data_dir or os.path.join(base_path, "data")
+    op_cache_dir = os.path.join(dataset_path, "op_cache")
+    geodesic_cache_dir = os.path.join(dataset_path, "geodesic_cache")
     model_save_path = os.path.join(
-        base_path, "data", "saved_models",
+        dataset_path, "saved_models",
         f"categorical_correspondence_{args.input_features}_4x256")
 
-    k_eig = 128
+    k_eig = args.k_eig
     test_dataset = FaustWithRobustTestDataset(dataset_path, train=False,
                                               k_eig=k_eig,
-                                              op_cache_dir=op_cache_dir)
+                                              op_cache_dir=op_cache_dir,
+                                              n_train=args.n_train,
+                                              n_test=args.n_test)
     train_dataset = FaustWithRobustTestDataset(dataset_path, train=True,
                                                k_eig=k_eig,
-                                               op_cache_dir=op_cache_dir)
+                                               op_cache_dir=op_cache_dir,
+                                               n_train=args.n_train,
+                                               n_test=args.n_test)
     verts_ref = train_dataset.verts_list[0]
     faces_ref = train_dataset.faces_list[0]
+    # = 6890 on real FAUST (reference sampling_invariance.py:30 hardcodes it);
+    # derived from the template so predictions always index valid vertices
+    n_class = verts_ref.shape[0]
 
     cfg = FitConfig(
         n_epoch=args.n_epoch, lr=1e-3, decay_every=50, decay_rate=0.5,
@@ -93,7 +105,7 @@ def main():
         augment_rotate=(args.input_features == "xyz"), rotate_axis="y",
         labels_kind="vertex")
 
-    model = build_model(n_class=6890, c_width=256, outputs_at="vertices",
+    model = build_model(n_class=n_class, c_width=256, outputs_at="vertices",
                         dropout=True, input_features=args.input_features)
 
     if args.evaluate:
