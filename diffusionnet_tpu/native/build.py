@@ -67,7 +67,7 @@ def get_lib() -> ctypes.CDLL:
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ]
         lib.dnet_ich_geodesics.restype = ctypes.c_int32
 
@@ -129,10 +129,15 @@ def steiner_geodesics_native(verts: np.ndarray, faces: np.ndarray,
 
 def exact_geodesics_native(verts: np.ndarray, faces: np.ndarray,
                            sources: np.ndarray,
-                           window_budget: int | None = None) -> np.ndarray:
+                           window_budget: int | None = None,
+                           patch_failures: bool = False) -> np.ndarray:
     """Exact polyhedral geodesics (ICH continuous Dijkstra): (S, V) float32.
-    Raises RuntimeError when the mesh is non-manifold/non-oriented or the
-    window budget overflows (callers fall back to Steiner distances)."""
+
+    With patch_failures=True, sources whose window budget overflowed are
+    recomputed with Steiner-refined graph distances (only those rows), so one
+    pathological source cannot discard an otherwise-exact result. Raises
+    RuntimeError when the mesh is non-manifold/non-oriented, or on budget
+    overflow when patch_failures=False."""
     lib = get_lib()
     verts = np.ascontiguousarray(verts, dtype=np.float64)
     faces = np.ascontiguousarray(faces, dtype=np.int64)
@@ -140,12 +145,21 @@ def exact_geodesics_native(verts: np.ndarray, faces: np.ndarray,
     if window_budget is None:
         window_budget = max(200 * faces.shape[0], 2_000_000)
     out = np.empty((sources.shape[0], verts.shape[0]), dtype=np.float32)
-    ok = lib.dnet_ich_geodesics(
+    ok = np.empty(sources.shape[0], dtype=np.int32)
+    rc = lib.dnet_ich_geodesics(
         _ptr(verts, ctypes.c_double), verts.shape[0],
         _ptr(faces, ctypes.c_int64), faces.shape[0],
         _ptr(sources, ctypes.c_int64), sources.shape[0],
-        window_budget, _ptr(out, ctypes.c_float))
-    if not ok:
-        raise RuntimeError("exact geodesics failed (non-manifold mesh or "
-                           "window budget exceeded)")
+        window_budget, _ptr(out, ctypes.c_float), _ptr(ok, ctypes.c_int32))
+    if rc == 1:
+        return out
+    if rc < 0:
+        raise RuntimeError("exact geodesics failed (non-manifold or "
+                           "non-oriented mesh)")
+    if not patch_failures:
+        raise RuntimeError("exact geodesics failed (window budget exceeded "
+                           f"for {int((ok == 0).sum())}/{len(ok)} sources)")
+    bad = np.flatnonzero(ok == 0)
+    out[bad] = steiner_geodesics_native(verts, faces, sources[bad],
+                                        k_steiner=8)
     return out

@@ -45,6 +45,9 @@ struct Window {
   double d0, d1;   // distances from interval endpoints to the pseudo-source
   double sigma;    // distance from pseudo-source to the true source
   double key;      // priority: sigma + min distance to interval
+  int32_t vevent = -1;  // >= 0: not a window but a vertex-settled event — when
+  // popped (in key order) the vertex's label is final and, if it is a saddle
+  // or boundary vertex, its pseudo-source windows are spawned exactly then
 };
 
 struct WinCmp {
@@ -155,13 +158,19 @@ class Solver {
       int32_t opp = h.next;  // edge (dst -> apex), opposite the source corner
       push_source_windows(pq, opp, source, 0.0);
       // direct edge distances
-      relax(h.dst, h.len);
+      relax(pq, h.dst, h.len);
     }
 
     while (!pq.empty()) {
       Window w = pq.top();
       pq.pop();
       if (++processed_ > budget_) return false;
+      if (w.vevent >= 0) {
+        // spawn only if this event still matches the best label (stale events
+        // from earlier, larger labels are skipped cheaply)
+        if (w.key <= dist_[w.vevent] + 1e-15) spawn_pseudo(pq, w.vevent);
+        continue;
+      }
       if (w.key > max_dist_bound()) continue;
       propagate(pq, w);
     }
@@ -171,17 +180,31 @@ class Solver {
   }
 
  private:
+  using PQ = std::priority_queue<Window, std::vector<Window>, WinCmp>;
+
   double max_dist_bound() const { return std::numeric_limits<double>::max(); }
 
-  void relax(int32_t v, double d) {
-    if (d < dist_[v]) dist_[v] = d;
+  // Improve a vertex distance. Every improvement at a saddle/boundary vertex
+  // must eventually spawn its pseudo-source windows — geodesics bend around
+  // such vertices, and a label improved through an edge-endpoint relaxation
+  // covers paths the window propagation alone would miss (classic MMP/CH
+  // invariant). Spawning is deferred to a vertex event popped in key order,
+  // so each vertex spawns once, from its settled (final) label.
+  void relax(PQ& pq, int32_t v, double d) {
+    if (d < dist_[v]) {
+      dist_[v] = d;
+      if (boundary_[v] || angle_[v] > 2.0 * M_PI + 1e-9) {
+        Window ev{};
+        ev.vevent = v;
+        ev.key = d;
+        pq.push(ev);
+      }
+    }
   }
 
   // windows from a (pseudo)source AT A VERTEX `src_v` with accumulated sigma,
   // placed on half-edge `hi` (an edge of a face incident to src_v, opposite it)
-  void push_source_windows(
-      std::priority_queue<Window, std::vector<Window>, WinCmp>& pq,
-      int32_t hi, int32_t src_v, double sigma) {
+  void push_source_windows(PQ& pq, int32_t hi, int32_t src_v, double sigma) {
     const HalfEdge& h = he_[hi];
     double dA = 0.0, dB = 0.0;
     for (int k = 0; k < 3; ++k) {
@@ -192,8 +215,8 @@ class Solver {
     }
     dA = std::sqrt(dA);
     dB = std::sqrt(dB);
-    relax(h.src, sigma + dA);
-    relax(h.dst, sigma + dB);
+    relax(pq, h.src, sigma + dA);
+    relax(pq, h.dst, sigma + dB);
     Window w{hi, 0.0, h.len, dA, dB, sigma, 0.0};
     w.key = sigma + min_window_dist(w);
     if (!dominated(w) && !window_dominated(w)) {
@@ -216,12 +239,7 @@ class Solver {
     return false;
   }
 
-  void maybe_spawn_pseudo(
-      std::priority_queue<Window, std::vector<Window>, WinCmp>& pq,
-      int32_t v) {
-    // saddle or boundary vertices act as new sources (geodesics can bend
-    // around them); spawn once per improved distance
-    if (!(boundary_[v] || angle_[v] > 2.0 * M_PI + 1e-9)) return;
+  void spawn_pseudo(PQ& pq, int32_t v) {
     double sig = dist_[v];
     for (int32_t hi : out_[v]) {
       int32_t opp = he_[hi].next;
@@ -229,9 +247,7 @@ class Solver {
     }
   }
 
-  void propagate(
-      std::priority_queue<Window, std::vector<Window>, WinCmp>& pq,
-      const Window& w) {
+  void propagate(PQ& pq, const Window& w) {
     const HalfEdge& h = he_[w.he];
     if (h.twin < 0) return;  // boundary: nothing beyond
     if (dominated(w)) return;
@@ -326,8 +342,8 @@ class Solver {
       nw.key = nw.sigma + min_window_dist(nw);
       // endpoint relaxations
       const HalfEdge& eh = he_[edge_he];
-      if (nw.b0 < 1e-9) relax(eh.src, nw.sigma + nw.d0);
-      if (nw.b1 > edge_len - 1e-9) relax(eh.dst, nw.sigma + nw.d1);
+      if (nw.b0 < 1e-9) relax(pq, eh.src, nw.sigma + nw.d0);
+      if (nw.b1 > edge_len - 1e-9) relax(pq, eh.dst, nw.sigma + nw.d1);
       if (!dominated(nw) && !window_dominated(nw)) {
         record_window(nw);
         pq_push(pq, nw);
@@ -339,24 +355,25 @@ class Solver {
     // line, and pseudo-sources then propagate the underestimate
     bool through_apex = (c0 > kEps && c1 < -kEps) || (c0 < -kEps && c1 > kEps);
     if (through_apex) {
-      double before = dist_[apex];
-      relax(apex, w.sigma + d_apex);
+      relax(pq, apex, w.sigma + d_apex);
       if (l0.ok) push(t.next, l0.t, 1.0, l0.x, l0.y, ax, ay, e1.len);
       if (r1.ok) push(e1.next, 0.0, r1.t, ax, ay, r1.x, r1.y, e2.len);
-      if (dist_[apex] < before - 1e-15) maybe_spawn_pseudo(pq, apex);
     } else if (l0.ok && l1.ok) {
       push(t.next, l0.t, l1.t, l0.x, l0.y, l1.x, l1.y, e1.len);
     } else if (r0.ok && r1.ok) {
       push(e1.next, r0.t, r1.t, r0.x, r0.y, r1.x, r1.y, e2.len);
+    } else if (l0.ok && r1.ok) {
+      // rays hit different edges but the strict straddle test was inconclusive
+      // (apex grazing a ray): split at the apex WITHOUT relaxing it directly —
+      // the pushed windows' endpoint relaxations reach it through valid paths
+      push(t.next, l0.t, 1.0, l0.x, l0.y, ax, ay, e1.len);
+      push(e1.next, 0.0, r1.t, ax, ay, r1.x, r1.y, e2.len);
     }
-    // other combinations are numerical slivers; dropping them can only lose
-    // coverage (over-estimate), never produce an invalid short path
+    // remaining combinations are numerical slivers; dropping them can only
+    // lose coverage (over-estimate), never produce an invalid short path
   }
 
-  void pq_push(std::priority_queue<Window, std::vector<Window>, WinCmp>& pq,
-               const Window& w) {
-    pq.push(w);
-  }
+  void pq_push(PQ& pq, const Window& w) { pq.push(w); }
 
   const double* pos_ = nullptr;
   int64_t V_ = 0;
@@ -412,15 +429,20 @@ class Solver {
 
 extern "C" {
 
-// Exact geodesic distances source->all-vertices. Returns 1 on success, 0 if
-// the mesh is non-manifold/non-oriented or the window budget was exceeded
-// (callers fall back to Steiner graph distances).
+// Exact geodesic distances source->all-vertices. Returns 1 when every source
+// solved, 0 when some sources exceeded the window budget, -1 when the mesh is
+// non-manifold/non-oriented (nothing computed). ok_out (len S, may be null)
+// gets a per-source success flag so callers can patch ONLY failed rows with
+// Steiner distances instead of discarding the exact result wholesale.
 // out: (S, V) float32.
 int32_t dnet_ich_geodesics(const double* verts, int64_t V, const int64_t* faces,
                            int64_t F, const int64_t* sources, int64_t S,
-                           int64_t window_budget, float* out) {
+                           int64_t window_budget, float* out, int32_t* ok_out) {
   ich::Solver proto;
-  if (!proto.build(verts, V, faces, F)) return 0;
+  if (!proto.build(verts, V, faces, F)) {
+    if (ok_out) std::memset(ok_out, 0, S * sizeof(int32_t));
+    return -1;
+  }
 
   std::vector<int32_t> ok(S, 1);
   unsigned n_threads = std::max<unsigned>(1, std::thread::hardware_concurrency());
@@ -439,6 +461,7 @@ int32_t dnet_ich_geodesics(const double* verts, int64_t V, const int64_t* faces,
       pool.emplace_back(worker, t, n_threads);
     for (auto& th : pool) th.join();
   }
+  if (ok_out) std::memcpy(ok_out, ok.data(), S * sizeof(int32_t));
   for (int64_t s = 0; s < S; ++s)
     if (!ok[s]) return 0;
   return 1;
