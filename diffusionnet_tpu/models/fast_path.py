@@ -1,11 +1,12 @@
 """Megakernel fast path: run a standard DiffusionNet with whole-block Pallas
 kernels, consuming the SAME Flax parameter pytree as models.DiffusionNet.
 
-Supported configuration (the reference default): spectral diffusion with dense
-spectral gradient operators, with_gradient_features=True,
-with_gradient_rotations=True, mlp_hidden_dims=(C, C), dropout off.
-Use for deterministic forward/training at large V where the per-block
-activation traffic dominates (see ops/pallas_megablock.py).
+Supported configuration: spectral diffusion with dense spectral gradient
+operators, with_gradient_features=True, with_gradient_rotations=True, any
+mlp_hidden_dims, dropout on (rate 0.5, the reference's fixed MiniMLP rate) or
+off. Use for forward/training at large V where per-block activation traffic
+dominates (see ops/pallas_megablock.py). The batch rides a leading Pallas grid
+dimension — one kernel launch per block for the whole batch.
 """
 
 from __future__ import annotations
@@ -21,26 +22,37 @@ def _block_params(params, b: int):
     t = p["diffusion"]["diffusion_time"]
     gf = p["gradient_features"]
     mlp = p["mlp"]
-    return (t, gf["A_re"]["kernel"], gf["A_im"]["kernel"],
-            mlp["dense_000"]["kernel"], mlp["dense_000"]["bias"],
-            mlp["dense_001"]["kernel"], mlp["dense_001"]["bias"],
-            mlp["dense_002"]["kernel"], mlp["dense_002"]["bias"])
+    n_dense = len(mlp)
+    Ws = tuple(mlp[f"dense_{l:03d}"]["kernel"] for l in range(n_dense))
+    bs = tuple(mlp[f"dense_{l:03d}"]["bias"] for l in range(n_dense))
+    return t, gf["A_re"]["kernel"], gf["A_im"]["kernel"], Ws, bs
 
 
 def megablock_apply(params, x_in, mass, evals, evecs, gX_spec, gY_spec,
                     n_block: int, tile_v: int = 1024,
-                    last_activation=None, interpret: bool = False):
+                    last_activation=None, dropout_rng=None,
+                    interpret: bool = False):
     """Forward pass equivalent to DiffusionNet.apply for the supported config,
-    with each block as ONE Pallas kernel. Unbatched: x_in (V, C_in)."""
+    with each block as ONE batched Pallas kernel.
+
+    x_in (B, V, C_in); evecs/gX_spec/gY_spec (B, V, K); mass (B, V);
+    evals (B, K). dropout_rng: optional PRNG key — when given, MiniMLP dropout
+    (rate 0.5) is active, with per-block on-core PRNG masks."""
     p = params["params"]
     x = x_in @ p["first_lin"]["kernel"] + p["first_lin"]["bias"]
 
     for b in range(n_block):
-        (t, A_re, A_im, W1, b1, W2, b2, W3, b3) = _block_params(params, b)
+        t, A_re, A_im, Ws, bs = _block_params(params, b)
         t = t + jax.lax.stop_gradient(jnp.maximum(t, 1e-8) - t)
-        coefs = jnp.exp(-evals[:, None] * t)
+        coefs = jnp.exp(-evals[..., None] * t)  # (B, K, C)
+        if dropout_rng is not None:
+            seed = jax.random.randint(jax.random.fold_in(dropout_rng, b), (),
+                                      0, 2**31 - 1, dtype=jnp.int32)
+        else:
+            seed = jnp.zeros((), jnp.int32)
         x = megablock(x, evecs, gX_spec, gY_spec, mass, coefs, A_re, A_im,
-                      W1, b1, W2, b2, W3, b3, tile_v, interpret)
+                      Ws, bs, seed, tile_v, dropout_rng is not None,
+                      interpret)
 
     x = x @ p["last_lin"]["kernel"] + p["last_lin"]["bias"]
     if last_activation is not None:
@@ -48,12 +60,5 @@ def megablock_apply(params, x_in, mass, evals, evecs, gX_spec, gY_spec,
     return x
 
 
-def megablock_apply_batched(params, x_in, mass, evals, evecs, gX_spec,
-                            gY_spec, n_block: int, tile_v: int = 1024,
-                            last_activation=None, interpret: bool = False):
-    """Batched wrapper via lax.map over the batch (one kernel compile)."""
-    def one(args):
-        x, m, ev, evec, gx, gy = args
-        return megablock_apply(params, x, m, ev, evec, gx, gy, n_block,
-                               tile_v, last_activation, interpret)
-    return jax.lax.map(one, (x_in, mass, evals, evecs, gX_spec, gY_spec))
+# backward-compatible alias: the kernel is natively batched now
+megablock_apply_batched = megablock_apply

@@ -11,15 +11,26 @@ hiddens). This kernel computes an ENTIRE DiffusionNetBlock
     vb_re = gx A_re - gy A_im;  vb_im = gy A_re + gx A_im
     feat  = tanh(gx . vb_re + gy . vb_im)
     cat   = [x, xd, feat]
-    out   = MLP(cat) + x            (Dense-ReLU-Dense-ReLU-Dense, 3C->C->C->C)
+    out   = MLP(cat) + x        (Dense, [Dropout?]-ReLU-Dense ..., arbitrary
+                                 hidden widths; dropout BEFORE every Dense
+                                 except the first, reference layers.py:137-164)
 
-tile-by-tile in VMEM, writing ONLY the block output to HBM. The backward is a
-second Pallas kernel that recomputes the forward per tile (VMEM-local
-rematerialization) and accumulates parameter gradients in VMEM scratch.
+tile-by-tile in VMEM, writing ONLY the block output to HBM. The batch is a
+leading grid dimension (vmapping a pallas_call or lax.map costs ~20x more
+compile/launch overhead on this toolchain). The backward is a second Pallas
+kernel that recomputes the forward per tile (VMEM-local rematerialization) and
+accumulates parameter gradients in VMEM scratch across batch and tiles.
 
-Supported configuration (the reference default): spectral diffusion + spectral
-gradient operators, with_gradient_rotations=True, mlp_hidden_dims=(C, C),
-dropout off / deterministic. The general model falls back to the XLA path.
+Dropout masks come from the on-core TPU PRNG (pltpu.prng_seed keyed on
+(seed, batch, tile, layer) so the backward recompute regenerates identical
+masks with zero HBM traffic). In interpret mode (CPU tests) the PRNG
+primitives are unavailable; a deterministic splitmix-style hash over the same
+key produces the masks instead (exposed as `interpret_dropout_mask` so XLA
+test references can reproduce them bit-exactly).
+
+Supported configuration: spectral diffusion + dense spectral gradient
+operators, with_gradient_rotations=True, any mlp_hidden_dims, dropout on or
+off. Other configurations fall back to the XLA path.
 """
 
 from __future__ import annotations
@@ -28,330 +39,437 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE_V = 1024
+DROPOUT_RATE = 0.5  # the reference's fixed MiniMLP rate (layers.py:150)
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
-def _fwd_kernel(x_ref, evecs_ref, gx_ref, gy_ref, mass_ref, coefs_ref,
-                are_ref, aim_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
-                b3_ref, out_ref, acc_ref):
-    phase = pl.program_id(0)
-    i = pl.program_id(1)
+def _hash_bits(shape, *seeds):
+    """Deterministic splitmix/xorshift hash over a counter grid — the
+    interpret-mode stand-in for the TPU hardware PRNG."""
+    idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+           * jnp.uint32(shape[-1])
+           + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+    h = idx
+    for s in seeds:
+        s32 = jnp.asarray(s).astype(jnp.uint32)
+        h = h ^ (s32 + jnp.uint32(0x9E3779B9) + (h << 6) + (h >> 2))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h
 
-    @pl.when((phase == 0) & (i == 0))
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(phase == 0)
-    def _():
-        xm = x_ref[:] * mass_ref[:]
-        acc_ref[:] += jax.lax.dot_general(
-            evecs_ref[:], xm, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+def _keep_mask(shape, rate, interpret, seed, b, i, layer):
+    """Bernoulli(1-rate) keep mask, identical between fwd and bwd kernels
+    (both reseed with the same key before drawing). Mosaic's prng_seed takes
+    at most 2 values, so (batch, tile, layer) fold into one int32: batch <
+    2^11, tile index < 2^16, layer < 2^4."""
+    key = (jnp.asarray(b, jnp.int32) * 65536 + jnp.asarray(i, jnp.int32)) * 16 \
+        + jnp.asarray(layer, jnp.int32)
+    if interpret:
+        bits = _hash_bits(shape, seed, key)
+    else:
+        pltpu.prng_seed(seed, key)
+        bits = pltpu.prng_random_bits(shape)
+        bits = pltpu.bitcast(bits, jnp.uint32)
+    threshold = np.uint32(round(rate * float(2**32)))
+    return bits >= threshold
 
-    @pl.when(phase == 1)
-    def _():
+
+def interpret_dropout_mask(shape, rate, seed, b, i, layer):
+    """The exact keep-mask the kernel uses in interpret mode, for XLA test
+    references. shape is the per-tile (tile_v, width) shape."""
+    return _keep_mask(shape, rate, True, seed, b, i, layer)
+
+
+def _mlp_fwd(x, cat, dense_refs, drop):
+    """Shared MLP forward (kernel-side). Returns (out, saved) where saved has
+    the per-layer inputs and pre-activations for the backward."""
+    n = len(dense_refs)
+    h = cat
+    inputs, pres, masks = [], [], []
+    for l, (w_ref, b_ref) in enumerate(dense_refs):
+        if l > 0 and drop is not None:
+            keep = drop(l - 1, h.shape)
+            h = jnp.where(keep, h * (1.0 / (1.0 - DROPOUT_RATE)), 0.0)
+            masks.append(keep)
+        inputs.append(h)
+        pre = (jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+               + b_ref[:])
+        pres.append(pre)
+        h = jnp.maximum(pre, 0.0) if l < n - 1 else pre
+    return x + h, (inputs, pres, masks)
+
+
+def _make_fwd_kernel(n_dense: int, dropout: bool, interpret: bool):
+    def kernel(*refs):
+        (x_ref, evecs_ref, gx_ref, gy_ref, mass_ref, coefs_ref, are_ref,
+         aim_ref) = refs[:8]
+        dense_refs = [(refs[8 + 2 * l], refs[9 + 2 * l])
+                      for l in range(n_dense)]
+        pos = 8 + 2 * n_dense
+        seed_ref = refs[pos] if dropout else None
+        pos += 1 if dropout else 0
+        out_ref, acc_ref = refs[pos], refs[pos + 1]
+
+        b = pl.program_id(0)
+        phase = pl.program_id(1)
+        i = pl.program_id(2)
+
+        @pl.when((phase == 0) & (i == 0))
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(phase == 0)
+        def _():
+            xm = x_ref[0] * mass_ref[0]
+            acc_ref[:] += jax.lax.dot_general(
+                evecs_ref[0], xm, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(phase == 1)
+        def _():
+            @pl.when(i == 0)
+            def _():
+                acc_ref[:] = coefs_ref[0] * acc_ref[:]
+            s = acc_ref[:]
+            x = x_ref[0]
+            xd = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
+            gx = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
+            gy = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
+
+            vb_re = (jnp.dot(gx, are_ref[:], preferred_element_type=jnp.float32)
+                     - jnp.dot(gy, aim_ref[:],
+                               preferred_element_type=jnp.float32))
+            vb_im = (jnp.dot(gy, are_ref[:], preferred_element_type=jnp.float32)
+                     + jnp.dot(gx, aim_ref[:],
+                               preferred_element_type=jnp.float32))
+            feat = jnp.tanh(gx * vb_re + gy * vb_im)
+            cat = jnp.concatenate([x, xd, feat], axis=-1)
+
+            drop = None
+            if dropout:
+                def drop(layer, shape):
+                    return _keep_mask(shape, DROPOUT_RATE, interpret,
+                                      seed_ref[0], b, i, layer)
+            out, _ = _mlp_fwd(x, cat, dense_refs, drop)
+            out_ref[0] = out
+
+    return kernel
+
+
+def _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+              tile_v: int, dropout: bool, interpret: bool = False):
+    B, V, C = x.shape
+    K = evecs.shape[-1]
+    n_dense = len(Ws)
+    n_tiles = V // tile_v
+    grid = (B, 2, n_tiles)
+
+    p0 = lambda b, p, i: (b, i * (1 - p), 0)
+    p1 = lambda b, p, i: (b, i * p, 0)
+    both = lambda b, p, i: (b, i, 0)
+    bconst = lambda b, p, i: (b, 0, 0)
+    const2 = lambda b, p, i: (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, tile_v, C), both),    # x (both phases)
+        pl.BlockSpec((1, tile_v, K), both),    # evecs
+        pl.BlockSpec((1, tile_v, K), p1),      # gX
+        pl.BlockSpec((1, tile_v, K), p1),      # gY
+        pl.BlockSpec((1, tile_v, 1), p0),      # mass
+        pl.BlockSpec((1, K, C), bconst),       # coefs (per-batch evals)
+        pl.BlockSpec((C, C), const2),          # A_re
+        pl.BlockSpec((C, C), const2),          # A_im
+    ]
+    args = [x, evecs, gX, gY, mass[..., None], coefs, A_re, A_im]
+    for W, b_arr in zip(Ws, bs):
+        in_specs += [pl.BlockSpec(W.shape, const2),
+                     pl.BlockSpec((1, b_arr.shape[0]), const2)]
+        args += [W, b_arr[None, :]]
+    if dropout:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(seed, jnp.int32).reshape((1,)))
+
+    out = pl.pallas_call(
+        _make_fwd_kernel(n_dense, dropout, interpret),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile_v, C), p1),
+        out_shape=jax.ShapeDtypeStruct((B, V, C), x.dtype),
+        scratch_shapes=[pltpu.VMEM((K, C), jnp.float32)],
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(*args)
+    return out
+
+
+def _make_bwd_kernel(n_dense: int, dropout: bool, interpret: bool):
+    def kernel(*refs):
+        (x_ref, evecs_ref, gx_ref, gy_ref, coefs_ref, are_ref,
+         aim_ref) = refs[:7]
+        dense_refs = [(refs[7 + 2 * l], refs[8 + 2 * l])
+                      for l in range(n_dense)]
+        pos = 7 + 2 * n_dense
+        seed_ref = refs[pos] if dropout else None
+        pos += 1 if dropout else 0
+        xhat_ref, dout_ref = refs[pos], refs[pos + 1]
+        pos += 2
+        # outputs: dx, ds, dare, daim, then (dW_l, db_l) per layer
+        dx_ref, ds_out_ref, dare_ref, daim_ref = refs[pos:pos + 4]
+        ddense_refs = [(refs[pos + 4 + 2 * l], refs[pos + 5 + 2 * l])
+                       for l in range(n_dense)]
+        pos += 4 + 2 * n_dense
+        # scratch: ds_acc, dare_acc, daim_acc, then (dW,db) accs per layer
+        ds_acc, dare_acc, daim_acc = refs[pos:pos + 3]
+        dd_accs = [(refs[pos + 3 + 2 * l], refs[pos + 4 + 2 * l])
+                   for l in range(n_dense)]
+
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        nb = pl.num_programs(0)
+        n = pl.num_programs(1)
+
+        @pl.when((b == 0) & (i == 0))
+        def _():
+            dare_acc[:] = jnp.zeros_like(dare_acc)
+            daim_acc[:] = jnp.zeros_like(daim_acc)
+            for dw_acc, db_acc in dd_accs:
+                dw_acc[:] = jnp.zeros_like(dw_acc)
+                db_acc[:] = jnp.zeros_like(db_acc)
+
         @pl.when(i == 0)
         def _():
-            acc_ref[:] = coefs_ref[:] * acc_ref[:]
-        s = acc_ref[:]
-        x = x_ref[:]
-        xd = jnp.dot(evecs_ref[:], s, preferred_element_type=jnp.float32)
-        gx = jnp.dot(gx_ref[:], s, preferred_element_type=jnp.float32)
-        gy = jnp.dot(gy_ref[:], s, preferred_element_type=jnp.float32)
+            ds_acc[:] = jnp.zeros_like(ds_acc)
 
+        # ---- recompute forward for this tile (s = coefs . x_hat known)
+        s = coefs_ref[0] * xhat_ref[0]
+        x = x_ref[0]
+        xd = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
+        gx = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
+        gy = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
         vb_re = (jnp.dot(gx, are_ref[:], preferred_element_type=jnp.float32)
                  - jnp.dot(gy, aim_ref[:], preferred_element_type=jnp.float32))
         vb_im = (jnp.dot(gy, are_ref[:], preferred_element_type=jnp.float32)
                  + jnp.dot(gx, aim_ref[:], preferred_element_type=jnp.float32))
-        feat = jnp.tanh(gx * vb_re + gy * vb_im)
-
+        dots = gx * vb_re + gy * vb_im
+        feat = jnp.tanh(dots)
         cat = jnp.concatenate([x, xd, feat], axis=-1)
-        h1 = jnp.maximum(
-            jnp.dot(cat, w1_ref[:], preferred_element_type=jnp.float32)
-            + b1_ref[:], 0.0)
-        h2 = jnp.maximum(
-            jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32)
-            + b2_ref[:], 0.0)
-        out = (jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32)
-               + b3_ref[:] + x)
-        out_ref[:] = out
+
+        drop = None
+        if dropout:
+            def drop(layer, shape):
+                return _keep_mask(shape, DROPOUT_RATE, interpret,
+                                  seed_ref[0], b, i, layer)
+        _, (inputs, pres, masks) = _mlp_fwd(x, cat, dense_refs, drop)
+
+        # ---- backward through the MLP
+        g = dout_ref[0]
+        scale = 1.0 / (1.0 - DROPOUT_RATE)
+        d = g
+        for l in range(n_dense - 1, -1, -1):
+            w_ref, _ = dense_refs[l]
+            dw_acc, db_acc = dd_accs[l]
+            dpre = d if l == n_dense - 1 else jnp.where(pres[l] > 0.0, d, 0.0)
+            dw_acc[:] += jax.lax.dot_general(
+                inputs[l], dpre, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            db_acc[:] += jnp.sum(dpre, axis=0, keepdims=True)
+            d = jnp.dot(dpre, w_ref[:].T, preferred_element_type=jnp.float32)
+            if l > 0 and dropout:
+                d = jnp.where(masks[l - 1], d * scale, 0.0)
+        dcat = d
+
+        C = x.shape[-1]
+        dx_direct = dcat[:, :C] + g          # residual + concat part 1
+        dxd = dcat[:, C:2 * C]
+        dfeat = dcat[:, 2 * C:]
+
+        ddots = dfeat * (1.0 - feat * feat)
+        dgx = ddots * vb_re
+        dgy = ddots * vb_im
+        dvb_re = ddots * gx
+        dvb_im = ddots * gy
+        # vb_re = gx A_re - gy A_im ; vb_im = gy A_re + gx A_im
+        dare_acc[:] += (
+            jax.lax.dot_general(gx, dvb_re, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(gy, dvb_im, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32))
+        daim_acc[:] += (
+            jax.lax.dot_general(gx, dvb_im, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            - jax.lax.dot_general(gy, dvb_re, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32))
+        dgx = dgx + jnp.dot(dvb_re, are_ref[:].T,
+                            preferred_element_type=jnp.float32)
+        dgx = dgx + jnp.dot(dvb_im, aim_ref[:].T,
+                            preferred_element_type=jnp.float32)
+        dgy = dgy + jnp.dot(dvb_im, are_ref[:].T,
+                            preferred_element_type=jnp.float32)
+        dgy = dgy - jnp.dot(dvb_re, aim_ref[:].T,
+                            preferred_element_type=jnp.float32)
+
+        # ds accumulation: Phi_t^T dxd + GX_t^T dgx + GY_t^T dgy
+        ds_acc[:] += (
+            jax.lax.dot_general(evecs_ref[0], dxd, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(gx_ref[0], dgx, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(gy_ref[0], dgy, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32))
+
+        dx_ref[0] = dx_direct
+
+        # per-batch spectral gradient, flushed at this batch element's last tile
+        @pl.when(i == n - 1)
+        def _():
+            ds_out_ref[0] = ds_acc[:]
+
+        # shared parameter grads flush once, at the very last program
+        @pl.when((b == nb - 1) & (i == n - 1))
+        def _():
+            dare_ref[:] = dare_acc[:]
+            daim_ref[:] = daim_acc[:]
+            for (dw_ref, db_ref), (dw_acc, db_acc) in zip(ddense_refs, dd_accs):
+                dw_ref[:] = dw_acc[:]
+                db_ref[:] = db_acc[:]
+
+    return kernel
 
 
-def _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1, W2, b2, W3,
-              b3, tile_v: int, interpret: bool = False):
-    V, C = x.shape
-    K = evecs.shape[1]
+def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
+              dout, tile_v: int, dropout: bool, interpret: bool = False):
+    B, V, C = x.shape
+    K = evecs.shape[-1]
+    n_dense = len(Ws)
     n_tiles = V // tile_v
-    grid = (2, n_tiles)
+    grid = (B, n_tiles)
 
-    p0 = lambda p, i: (i * (1 - p), 0)
-    p1 = lambda p, i: (i * p, 0)
-    both = lambda p, i: (i, 0)
-    const2 = lambda p, i: (0, 0)
-    const1 = lambda p, i: (0,)
+    row = lambda b, i: (b, i, 0)
+    bconst = lambda b, i: (b, 0, 0)
+    const2 = lambda b, i: (0, 0)
 
-    out = pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_v, C), both),    # x (both phases)
-            pl.BlockSpec((tile_v, K), both),    # evecs
-            pl.BlockSpec((tile_v, K), p1),      # gX
-            pl.BlockSpec((tile_v, K), p1),      # gY
-            pl.BlockSpec((tile_v, 1), p0),      # mass
-            pl.BlockSpec((K, C), const2),       # coefs
-            pl.BlockSpec((C, C), const2),       # A_re
-            pl.BlockSpec((C, C), const2),       # A_im
-            pl.BlockSpec((3 * C, C), const2),   # W1
-            pl.BlockSpec((1, C), const2),       # b1
-            pl.BlockSpec((C, C), const2),       # W2
-            pl.BlockSpec((1, C), const2),       # b2
-            pl.BlockSpec((C, C), const2),       # W3
-            pl.BlockSpec((1, C), const2),       # b3
-        ],
-        out_specs=pl.BlockSpec((tile_v, C), p1),
-        out_shape=jax.ShapeDtypeStruct((V, C), x.dtype),
-        scratch_shapes=[pltpu.VMEM((K, C), jnp.float32)],
-        compiler_params=_VMEM_LIMIT,
-        interpret=interpret,
-    )(x, evecs, gX, gY, mass[:, None], coefs, A_re, A_im, W1, b1[None, :],
-      W2, b2[None, :], W3, b3[None, :])
-    return out
+    in_specs = [
+        pl.BlockSpec((1, tile_v, C), row),     # x
+        pl.BlockSpec((1, tile_v, K), row),     # evecs
+        pl.BlockSpec((1, tile_v, K), row),     # gX
+        pl.BlockSpec((1, tile_v, K), row),     # gY
+        pl.BlockSpec((1, K, C), bconst),       # coefs
+        pl.BlockSpec((C, C), const2),          # A_re
+        pl.BlockSpec((C, C), const2),          # A_im
+    ]
+    args = [x, evecs, gX, gY, coefs, A_re, A_im]
+    for W, b_arr in zip(Ws, bs):
+        in_specs += [pl.BlockSpec(W.shape, const2),
+                     pl.BlockSpec((1, b_arr.shape[0]), const2)]
+        args += [W, b_arr[None, :]]
+    if dropout:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(seed, jnp.int32).reshape((1,)))
+    in_specs += [
+        pl.BlockSpec((1, K, C), bconst),       # x_hat
+        pl.BlockSpec((1, tile_v, C), row),     # dout
+    ]
+    args += [x_hat, dout]
 
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, V, C), jnp.float32),       # dx_direct
+        jax.ShapeDtypeStruct((B, K, C), jnp.float32),       # ds
+        jax.ShapeDtypeStruct((C, C), jnp.float32),          # dA_re
+        jax.ShapeDtypeStruct((C, C), jnp.float32),          # dA_im
+    ]
+    out_specs = [
+        pl.BlockSpec((1, tile_v, C), row),
+        pl.BlockSpec((1, K, C), bconst),
+        pl.BlockSpec((C, C), const2),
+        pl.BlockSpec((C, C), const2),
+    ]
+    scratch = [
+        pltpu.VMEM((K, C), jnp.float32),
+        pltpu.VMEM((C, C), jnp.float32),
+        pltpu.VMEM((C, C), jnp.float32),
+    ]
+    for W, b_arr in zip(Ws, bs):
+        out_shapes += [jax.ShapeDtypeStruct(W.shape, jnp.float32),
+                       jax.ShapeDtypeStruct((1, b_arr.shape[0]), jnp.float32)]
+        out_specs += [pl.BlockSpec(W.shape, const2),
+                      pl.BlockSpec((1, b_arr.shape[0]), const2)]
+        scratch += [pltpu.VMEM(W.shape, jnp.float32),
+                    pltpu.VMEM((1, b_arr.shape[0]), jnp.float32)]
 
-def _bwd_kernel(x_ref, evecs_ref, gx_ref, gy_ref, mass_ref, coefs_ref,
-                are_ref, aim_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
-                b3_ref, xhat_ref, dout_ref,
-                dx_ref, ds_out_ref, dare_ref, daim_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref, dw3_ref, db3_ref,
-                ds_acc, dare_acc, daim_acc, dw1_acc, db1_acc, dw2_acc,
-                db2_acc, dw3_acc, db3_acc):
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
-
-    @pl.when(i == 0)
-    def _():
-        ds_acc[:] = jnp.zeros_like(ds_acc)
-        dare_acc[:] = jnp.zeros_like(dare_acc)
-        daim_acc[:] = jnp.zeros_like(daim_acc)
-        dw1_acc[:] = jnp.zeros_like(dw1_acc)
-        db1_acc[:] = jnp.zeros_like(db1_acc)
-        dw2_acc[:] = jnp.zeros_like(dw2_acc)
-        db2_acc[:] = jnp.zeros_like(db2_acc)
-        dw3_acc[:] = jnp.zeros_like(dw3_acc)
-        db3_acc[:] = jnp.zeros_like(db3_acc)
-
-    # ---- recompute forward for this tile (s = coefs . x_hat precomputed)
-    s = coefs_ref[:] * xhat_ref[:]
-    x = x_ref[:]
-    xd = jnp.dot(evecs_ref[:], s, preferred_element_type=jnp.float32)
-    gx = jnp.dot(gx_ref[:], s, preferred_element_type=jnp.float32)
-    gy = jnp.dot(gy_ref[:], s, preferred_element_type=jnp.float32)
-    vb_re = (jnp.dot(gx, are_ref[:], preferred_element_type=jnp.float32)
-             - jnp.dot(gy, aim_ref[:], preferred_element_type=jnp.float32))
-    vb_im = (jnp.dot(gy, are_ref[:], preferred_element_type=jnp.float32)
-             + jnp.dot(gx, aim_ref[:], preferred_element_type=jnp.float32))
-    dots = gx * vb_re + gy * vb_im
-    feat = jnp.tanh(dots)
-    cat = jnp.concatenate([x, xd, feat], axis=-1)
-    pre1 = jnp.dot(cat, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    h1 = jnp.maximum(pre1, 0.0)
-    pre2 = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
-    h2 = jnp.maximum(pre2, 0.0)
-
-    # ---- backward
-    g = dout_ref[:]
-    # out = h2 W3 + b3 + x
-    dw3_acc[:] += jax.lax.dot_general(h2, g, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-    db3_acc[:] += jnp.sum(g, axis=0, keepdims=True)
-    dh2 = jnp.dot(g, w3_ref[:].T, preferred_element_type=jnp.float32)
-    dpre2 = jnp.where(pre2 > 0.0, dh2, 0.0)
-    dw2_acc[:] += jax.lax.dot_general(h1, dpre2, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-    db2_acc[:] += jnp.sum(dpre2, axis=0, keepdims=True)
-    dh1 = jnp.dot(dpre2, w2_ref[:].T, preferred_element_type=jnp.float32)
-    dpre1 = jnp.where(pre1 > 0.0, dh1, 0.0)
-    dw1_acc[:] += jax.lax.dot_general(cat, dpre1, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-    db1_acc[:] += jnp.sum(dpre1, axis=0, keepdims=True)
-    dcat = jnp.dot(dpre1, w1_ref[:].T, preferred_element_type=jnp.float32)
-
-    C = x.shape[-1]
-    dx_direct = dcat[:, :C] + g          # residual + concat part 1
-    dxd = dcat[:, C:2 * C]
-    dfeat = dcat[:, 2 * C:]
-
-    ddots = dfeat * (1.0 - feat * feat)
-    dgx = ddots * vb_re
-    dgy = ddots * vb_im
-    dvb_re = ddots * gx
-    dvb_im = ddots * gy
-    # vb_re = gx A_re - gy A_im ; vb_im = gy A_re + gx A_im
-    dare_acc[:] += (jax.lax.dot_general(gx, dvb_re, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                    + jax.lax.dot_general(gy, dvb_im, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32))
-    daim_acc[:] += (jax.lax.dot_general(gx, dvb_im, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                    - jax.lax.dot_general(gy, dvb_re, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32))
-    dgx = dgx + jnp.dot(dvb_re, are_ref[:].T,
-                        preferred_element_type=jnp.float32)
-    dgx = dgx + jnp.dot(dvb_im, aim_ref[:].T,
-                        preferred_element_type=jnp.float32)
-    dgy = dgy + jnp.dot(dvb_im, are_ref[:].T,
-                        preferred_element_type=jnp.float32)
-    dgy = dgy - jnp.dot(dvb_re, aim_ref[:].T,
-                        preferred_element_type=jnp.float32)
-
-    # ds accumulation: Phi_t^T dxd + GX_t^T dgx + GY_t^T dgy
-    ds_acc[:] += (jax.lax.dot_general(evecs_ref[:], dxd,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-                  + jax.lax.dot_general(gx_ref[:], dgx,
-                                        (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                  + jax.lax.dot_general(gy_ref[:], dgy,
-                                        (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32))
-
-    dx_ref[:] = dx_direct
-
-    # flush accumulators once, at the last tile
-    @pl.when(i == n - 1)
-    def _():
-        ds_out_ref[:] = ds_acc[:]
-        dare_ref[:] = dare_acc[:]
-        daim_ref[:] = daim_acc[:]
-        dw1_ref[:] = dw1_acc[:]
-        db1_ref[:] = db1_acc[:]
-        dw2_ref[:] = dw2_acc[:]
-        db2_ref[:] = db2_acc[:]
-        dw3_ref[:] = dw3_acc[:]
-        db3_ref[:] = db3_acc[:]
-
-
-def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1, W2, b2, W3,
-              b3, x_hat, dout, tile_v: int, interpret: bool = False):
-    V, C = x.shape
-    K = evecs.shape[1]
-    n_tiles = V // tile_v
-    grid = (n_tiles,)
-
-    row = lambda i: (i, 0)
-    const2 = lambda i: (0, 0)
-
-    out_shapes = (
-        jax.ShapeDtypeStruct((V, C), jnp.float32),       # dx_direct
-        jax.ShapeDtypeStruct((K, C), jnp.float32),       # ds
-        jax.ShapeDtypeStruct((C, C), jnp.float32),       # dA_re
-        jax.ShapeDtypeStruct((C, C), jnp.float32),       # dA_im
-        jax.ShapeDtypeStruct((3 * C, C), jnp.float32),   # dW1
-        jax.ShapeDtypeStruct((1, C), jnp.float32),       # db1
-        jax.ShapeDtypeStruct((C, C), jnp.float32),       # dW2
-        jax.ShapeDtypeStruct((1, C), jnp.float32),       # db2
-        jax.ShapeDtypeStruct((C, C), jnp.float32),       # dW3
-        jax.ShapeDtypeStruct((1, C), jnp.float32),       # db3
-    )
     outs = pl.pallas_call(
-        _bwd_kernel,
+        _make_bwd_kernel(n_dense, dropout, interpret),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tile_v, C), row),     # x
-            pl.BlockSpec((tile_v, K), row),     # evecs
-            pl.BlockSpec((tile_v, K), row),     # gX
-            pl.BlockSpec((tile_v, K), row),     # gY
-            pl.BlockSpec((tile_v, 1), row),     # mass (unused in bwd kernel)
-            pl.BlockSpec((K, C), const2),       # coefs
-            pl.BlockSpec((C, C), const2),       # A_re
-            pl.BlockSpec((C, C), const2),       # A_im
-            pl.BlockSpec((3 * C, C), const2),   # W1
-            pl.BlockSpec((1, C), const2),       # b1
-            pl.BlockSpec((C, C), const2),       # W2
-            pl.BlockSpec((1, C), const2),       # b2
-            pl.BlockSpec((C, C), const2),       # W3
-            pl.BlockSpec((1, C), const2),       # b3
-            pl.BlockSpec((K, C), const2),       # x_hat
-            pl.BlockSpec((tile_v, C), row),     # dout
-        ],
-        out_specs=(
-            pl.BlockSpec((tile_v, C), row),
-            pl.BlockSpec((K, C), const2),
-            pl.BlockSpec((C, C), const2),
-            pl.BlockSpec((C, C), const2),
-            pl.BlockSpec((3 * C, C), const2),
-            pl.BlockSpec((1, C), const2),
-            pl.BlockSpec((C, C), const2),
-            pl.BlockSpec((1, C), const2),
-            pl.BlockSpec((C, C), const2),
-            pl.BlockSpec((1, C), const2),
-        ),
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((K, C), jnp.float32),
-            pltpu.VMEM((C, C), jnp.float32),
-            pltpu.VMEM((C, C), jnp.float32),
-            pltpu.VMEM((3 * C, C), jnp.float32),
-            pltpu.VMEM((1, C), jnp.float32),
-            pltpu.VMEM((C, C), jnp.float32),
-            pltpu.VMEM((1, C), jnp.float32),
-            pltpu.VMEM((C, C), jnp.float32),
-            pltpu.VMEM((1, C), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
-    )(x, evecs, gX, gY, mass[:, None], coefs, A_re, A_im, W1, b1[None, :],
-      W2, b2[None, :], W3, b3[None, :], x_hat, dout)
+    )(*args)
     return outs
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(14, 15))
-def megablock(x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1, W2, b2, W3,
-              b3, tile_v: int = DEFAULT_TILE_V, interpret: bool = False):
-    """One whole DiffusionNetBlock for ONE surface (see module docstring).
-    All params float32; x (V,C) with V % tile_v == 0."""
-    return _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1, W2,
-                     b2, W3, b3, tile_v, interpret)
+@partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+def megablock(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+              tile_v: int = DEFAULT_TILE_V, dropout: bool = False,
+              interpret: bool = False):
+    """One whole DiffusionNetBlock for a BATCH of surfaces (module docstring).
+
+    x (B,V,C); evecs/gX/gY (B,V,K); mass (B,V); coefs (B,K,C); Ws/bs tuples of
+    MLP weights ((w_in, w_out) kernels and (w_out,) biases, any depth/widths,
+    first input 3C, last output C); seed: int32 scalar keying the dropout PRNG
+    (ignored when dropout=False). All float32; V % tile_v == 0."""
+    return _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+                     tile_v, dropout, interpret)
 
 
-def _mb_fwd(x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1, W2, b2, W3, b3,
-            tile_v, interpret):
-    out = _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1, W2, b2,
-                    W3, b3, tile_v, interpret)
-    x_hat = jnp.einsum("vk,vc->kc", evecs, x * mass[:, None],
+def _mb_fwd(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+            tile_v, dropout, interpret):
+    out = _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+                    tile_v, dropout, interpret)
+    x_hat = jnp.einsum("bvk,bvc->bkc", evecs, x * mass[..., None],
                        preferred_element_type=jnp.float32)
-    return out, (x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1, W2, b2,
-                 W3, b3, x_hat)
+    return out, (x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+                 x_hat)
 
 
-def _mb_bwd(tile_v, interpret, res, dout):
-    (x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1, W2, b2, W3, b3,
-     x_hat) = res
-    (dx_direct, ds, dA_re, dA_im, dW1, db1, dW2, db2, dW3, db3) = _bwd_impl(
-        x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1, W2, b2, W3, b3,
-        x_hat, dout, tile_v, interpret)
+def _mb_bwd(tile_v, dropout, interpret, res, dout):
+    (x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat) = res
+    outs = _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+                     x_hat, dout, tile_v, dropout, interpret)
+    dx_direct, ds, dA_re, dA_im = outs[:4]
+    dWs, dbs = [], []
+    for l in range(len(Ws)):
+        dWs.append(outs[4 + 2 * l])
+        dbs.append(outs[5 + 2 * l][0])
     # the spectral chain: s = coefs . x_hat; x_hat = Phi^T (m x)
     dcoefs = ds * x_hat
     dxhat = ds * coefs
-    dx = dx_direct + mass[:, None] * jnp.einsum(
-        "vk,kc->vc", evecs, dxhat, preferred_element_type=jnp.float32)
+    dx = dx_direct + mass[..., None] * jnp.einsum(
+        "bvk,bkc->bvc", evecs, dxhat, preferred_element_type=jnp.float32)
     zeros = jax.tree.map(jnp.zeros_like, (evecs, gX, gY, mass))
-    return (dx, *zeros, dcoefs, dA_re, dA_im, dW1, db1[0], dW2, db2[0],
-            dW3, db3[0])
+    dseed = np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0)
+    return (dx, *zeros, dcoefs, dA_re, dA_im, tuple(dWs), tuple(dbs), dseed)
 
 
 megablock.defvjp(_mb_fwd, _mb_bwd)
 
 
-def megablock_reference(x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1,
-                        W2, b2, W3, b3):
-    """Plain-XLA reference of the same block (for tests)."""
-    x_hat = jnp.einsum("vk,vc->kc", evecs, x * mass[:, None])
+def megablock_reference(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
+                        keep_masks=None):
+    """Plain-XLA reference of the same batched block (for tests).
+    keep_masks: optional per-hidden-layer boolean masks (B, V, width) matching
+    the kernel's dropout draws (see interpret_dropout_mask)."""
+    x_hat = jnp.einsum("bvk,bvc->bkc", evecs, x * mass[..., None])
     s = coefs * x_hat
     xd = evecs @ s
     gx = gX @ s
@@ -359,7 +477,13 @@ def megablock_reference(x, evecs, gX, gY, mass, coefs, A_re, A_im, W1, b1,
     vb_re = gx @ A_re - gy @ A_im
     vb_im = gy @ A_re + gx @ A_im
     feat = jnp.tanh(gx * vb_re + gy * vb_im)
-    cat = jnp.concatenate([x, xd, feat], axis=-1)
-    h1 = jax.nn.relu(cat @ W1 + b1)
-    h2 = jax.nn.relu(h1 @ W2 + b2)
-    return h2 @ W3 + b3 + x
+    h = jnp.concatenate([x, xd, feat], axis=-1)
+    n = len(Ws)
+    for l, (W, b) in enumerate(zip(Ws, bs)):
+        if l > 0 and keep_masks is not None:
+            h = jnp.where(keep_masks[l - 1],
+                          h * (1.0 / (1.0 - DROPOUT_RATE)), 0.0)
+        h = h @ W + b
+        if l < n - 1:
+            h = jax.nn.relu(h)
+    return h + x

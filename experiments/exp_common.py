@@ -89,16 +89,46 @@ def _apply_model(model, params, batch, rng, cfg: FitConfig,
     V = feats.shape[-2]
     mega_tile = next((t for t in (2048, 1024, 512, 256, 128) if V % t == 0),
                      None)
-    if (cfg.use_megakernel and not model.dropout
-            and model.outputs_at in ("vertices", "global_mean")
-            and mega_tile is not None):
-        from diffusionnet_tpu.models.fast_path import megablock_apply_batched
-        logits = megablock_apply_batched(
-            params, feats, batch.ops.mass, batch.ops.evals, batch.ops.evecs,
-            gX, gY, n_block=model.n_block, tile_v=mega_tile)
+    if cfg.use_megakernel:
+        # validate the supported envelope explicitly (never fail by KeyError)
+        problems = []
+        if model.diffusion_method != "spectral":
+            problems.append("diffusion_method must be 'spectral'")
+        if not (model.with_gradient_features
+                and model.with_gradient_rotations):
+            problems.append("gradient features with rotations required")
+        if model.outputs_at == "edges":
+            problems.append("outputs_at='edges' not supported")
+        if mega_tile is None:
+            problems.append(f"padded V={V} has no tile divisor in "
+                            "{2048,1024,512,256,128}")
+        if problems:
+            raise ValueError("use_megakernel unsupported for this model: "
+                             + "; ".join(problems))
+        from diffusionnet_tpu.models.fast_path import megablock_apply
+        dropout_rng = (rngs or {}).get("dropout") if (model.dropout
+                                                      and not deterministic) else None
+        evecs = batch.ops.evecs
+        if cfg.bf16:
+            # bf16 tiles: halve the DMA traffic of the big (V,K) operand
+            # streams; MXU accumulation stays f32 inside the kernel
+            feats = feats.astype(jnp.bfloat16)
+            evecs = evecs.astype(jnp.bfloat16)
+            gX, gY = gX.astype(jnp.bfloat16), gY.astype(jnp.bfloat16)
+        logits = megablock_apply(
+            params, feats, batch.ops.mass, batch.ops.evals, evecs,
+            gX, gY, n_block=model.n_block, tile_v=mega_tile,
+            dropout_rng=dropout_rng).astype(jnp.float32)
         if model.outputs_at == "global_mean":
             logits = (jnp.sum(logits * batch.ops.mass[..., None], axis=-2)
                       / jnp.sum(batch.ops.mass, axis=-1, keepdims=True))
+        elif model.outputs_at == "faces":
+            # mean over the 3 incident vertices (reference layers.py:386-391)
+            f = batch.faces
+            gathered = [jnp.take_along_axis(
+                logits, jnp.maximum(f[..., i], 0)[..., None], axis=-2)
+                for i in range(3)]
+            logits = sum(gathered) / 3.0
         return (model.last_activation(logits)
                 if model.last_activation is not None else logits)
 
