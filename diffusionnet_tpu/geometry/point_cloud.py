@@ -85,10 +85,20 @@ def _cotan_from_lengths(lengths: np.ndarray):
 
 def point_cloud_laplacian(verts: np.ndarray, n_neighbors: int = 30,
                           mollify_factor: float = 1e-6):
-    """(L, mass) for a point cloud; both float64, L a (V,V) CSC PSD matrix."""
+    """(L, mass) for a point cloud; both float64, L a (V,V) CSC PSD matrix.
+
+    The triangulation runs in threaded native C++ when available (the
+    per-point SVD + Delaunay loop is the hot precompute path at cloud scale);
+    the pure-Python implementation is the fallback and the test oracle."""
     verts = np.asarray(verts, dtype=np.float64)
     V = verts.shape[0]
-    faces = _local_triangles(verts, n_neighbors=n_neighbors)
+    try:
+        from ..native import cloud_triangles_native
+        faces = cloud_triangles_native(verts, k=n_neighbors)
+        if faces.shape[0] == 0:
+            raise RuntimeError("no triangles")
+    except Exception:
+        faces = _local_triangles(verts, n_neighbors=n_neighbors)
 
     # intrinsic edge lengths: l[:, i] is the side opposite corner i
     p = verts[faces]  # (T,3,3)

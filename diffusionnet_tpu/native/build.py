@@ -62,6 +62,13 @@ def get_lib() -> ctypes.CDLL:
         ]
         lib.dnet_steiner_geodesics.restype = None
 
+        lib.dnet_cloud_triangles.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ]
+        lib.dnet_cloud_triangles.restype = ctypes.c_int64
+
         lib.dnet_ich_geodesics.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -91,6 +98,25 @@ def knn_native(points_target: np.ndarray, points_source: np.ndarray, k: int):
     lib.dnet_knn(_ptr(tgt, ctypes.c_double), n_t, _ptr(src, ctypes.c_double),
                  n_s, k, _ptr(dists, ctypes.c_double), _ptr(inds, ctypes.c_int64))
     return dists, inds
+
+
+def cloud_triangles_native(verts: np.ndarray, k: int = 30) -> np.ndarray:
+    """Point-cloud triangle soup: union of per-point tangent-plane Delaunay
+    triangles incident to each point (threaded C++). Returns (T, 3) int64
+    canonicalized unique triangles."""
+    lib = get_lib()
+    verts = np.ascontiguousarray(verts, dtype=np.float64)
+    V = verts.shape[0]
+    max_tris = max(64, 24 * V)
+    for _ in range(3):
+        out = np.empty((max_tris, 3), dtype=np.int64)
+        n = lib.dnet_cloud_triangles(
+            _ptr(verts, ctypes.c_double), V, int(k),
+            _ptr(out, ctypes.c_int64), max_tris)
+        if n >= 0:
+            return out[:n].copy()
+        max_tris *= 4
+    raise RuntimeError("cloud triangulation overflow")
 
 
 def dijkstra_geodesics_native(verts: np.ndarray, faces: np.ndarray,

@@ -12,6 +12,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC -std=c++17 dnet_native.cpp -o libdnet_native.so
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -43,10 +44,12 @@ class KDTree3 {
   }
 
   // k nearest neighbors of query q; writes sorted (dist, idx) pairs.
+  // Thread-safe: the working heap is local to the call.
   void query(const double* q, int k, double* out_d, int64_t* out_i) const {
     // bounded max-heap of (dist2, idx)
-    heap_.clear();
-    search(root_, q, k);
+    std::vector<std::pair<double, int64_t>> heap_;
+    heap_.reserve(k + 1);
+    search(root_, q, k, heap_);
     std::sort_heap(heap_.begin(), heap_.end());
     int m = static_cast<int>(heap_.size());
     for (int i = 0; i < k; ++i) {
@@ -102,7 +105,9 @@ class KDTree3 {
     return me;
   }
 
-  void consider(const double* q, int64_t idx, int k) const {
+  using Heap = std::vector<std::pair<double, int64_t>>;
+
+  void consider(const double* q, int64_t idx, int k, Heap& heap_) const {
     const double* p = pts_ + 3 * idx;
     double d2 = 0.0;
     for (int a = 0; a < 3; ++a) {
@@ -119,21 +124,21 @@ class KDTree3 {
     }
   }
 
-  void search(int32_t ni, const double* q, int k) const {
+  void search(int32_t ni, const double* q, int k, Heap& heap_) const {
     const KDNode& node = nodes_[ni];
     if (node.axis < 0) {
       for (int32_t i = node.begin; i < node.end; ++i)
-        consider(q, order_[i], k);
+        consider(q, order_[i], k, heap_);
       return;
     }
     double diff = q[node.axis] - node.split;
     int32_t near = diff <= 0 ? node.left : node.right;
     int32_t far = diff <= 0 ? node.right : node.left;
-    search(near, q, k);
+    search(near, q, k, heap_);
     double worst = (static_cast<int>(heap_.size()) < k)
                        ? std::numeric_limits<double>::infinity()
                        : heap_.front().first;
-    if (diff * diff < worst) search(far, q, k);
+    if (diff * diff < worst) search(far, q, k, heap_);
   }
 
   const double* pts_;
@@ -141,12 +146,229 @@ class KDTree3 {
   std::vector<int64_t> order_;
   std::vector<KDNode> nodes_;
   int32_t root_;
-  mutable std::vector<std::pair<double, int64_t>> heap_;
 };
+
+// ----------------------------------------------------------------------------
+// Point-cloud local triangulation: per-point tangent-plane Bowyer-Watson
+// Delaunay (the robust-laplacian / Sharp-Crane point-cloud construction)
+// ----------------------------------------------------------------------------
+
+// eigenvectors of a symmetric 3x3 (Jacobi sweeps); columns of V, evals ascending
+void eig3_sym(double m[3][3], double evec[3][3], double eval[3]) {
+  double v[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+  for (int sweep = 0; sweep < 24; ++sweep) {
+    double off = std::fabs(m[0][1]) + std::fabs(m[0][2]) + std::fabs(m[1][2]);
+    if (off < 1e-15) break;
+    for (int p = 0; p < 2; ++p)
+      for (int q = p + 1; q < 3; ++q) {
+        if (std::fabs(m[p][q]) < 1e-18) continue;
+        double theta = (m[q][q] - m[p][p]) / (2.0 * m[p][q]);
+        double t = (theta >= 0 ? 1.0 : -1.0)
+                   / (std::fabs(theta) + std::sqrt(theta * theta + 1.0));
+        double c = 1.0 / std::sqrt(t * t + 1.0), s = t * c;
+        for (int r = 0; r < 3; ++r) {
+          double mrp = m[r][p], mrq = m[r][q];
+          m[r][p] = c * mrp - s * mrq;
+          m[r][q] = s * mrp + c * mrq;
+        }
+        for (int r = 0; r < 3; ++r) {
+          double mpr = m[p][r], mqr = m[q][r];
+          m[p][r] = c * mpr - s * mqr;
+          m[q][r] = s * mpr + c * mqr;
+        }
+        for (int r = 0; r < 3; ++r) {
+          double vrp = v[r][p], vrq = v[r][q];
+          v[r][p] = c * vrp - s * vrq;
+          v[r][q] = s * vrp + c * vrq;
+        }
+      }
+  }
+  int ord[3] = {0, 1, 2};
+  double d[3] = {m[0][0], m[1][1], m[2][2]};
+  std::sort(ord, ord + 3, [&](int a, int b) { return d[a] < d[b]; });
+  for (int c = 0; c < 3; ++c) {
+    eval[c] = d[ord[c]];
+    for (int r = 0; r < 3; ++r) evec[r][c] = v[r][ord[c]];
+  }
+}
+
+struct Tri2 {
+  int a, b, c;
+  double cx, cy, r2;
+  bool alive;
+};
+
+bool circum(const std::vector<double>& px, const std::vector<double>& py,
+            Tri2& t) {
+  double ax = px[t.a], ay = py[t.a], bx = px[t.b], by = py[t.b];
+  double cx = px[t.c], cy = py[t.c];
+  double d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by));
+  if (std::fabs(d) < 1e-14) return false;
+  double a2 = ax * ax + ay * ay, b2 = bx * bx + by * by, c2 = cx * cx + cy * cy;
+  t.cx = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d;
+  t.cy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d;
+  t.r2 = (t.cx - ax) * (t.cx - ax) + (t.cy - ay) * (t.cy - ay);
+  return true;
+}
+
+// Bowyer-Watson over n points; appends triangles as index triples
+void delaunay2d(const std::vector<double>& px_in,
+                const std::vector<double>& py_in,
+                std::vector<std::array<int, 3>>& out) {
+  int n = static_cast<int>(px_in.size());
+  if (n < 3) return;
+  std::vector<double> px = px_in, py = py_in;
+  double lo_x = 1e300, hi_x = -1e300, lo_y = 1e300, hi_y = -1e300;
+  for (int i = 0; i < n; ++i) {
+    lo_x = std::min(lo_x, px[i]); hi_x = std::max(hi_x, px[i]);
+    lo_y = std::min(lo_y, py[i]); hi_y = std::max(hi_y, py[i]);
+  }
+  double w = std::max({hi_x - lo_x, hi_y - lo_y, 1e-12});
+  double mx = 0.5 * (lo_x + hi_x), my = 0.5 * (lo_y + hi_y);
+  // super-triangle (indices n, n+1, n+2)
+  px.push_back(mx - 20 * w); py.push_back(my - 10 * w);
+  px.push_back(mx + 20 * w); py.push_back(my - 10 * w);
+  px.push_back(mx);          py.push_back(my + 20 * w);
+
+  std::vector<Tri2> tris;
+  Tri2 super{n, n + 1, n + 2, 0, 0, 0, true};
+  if (!circum(px, py, super)) return;
+  tris.push_back(super);
+
+  std::vector<std::pair<int, int>> poly;
+  for (int i = 0; i < n; ++i) {
+    poly.clear();
+    for (auto& t : tris) {
+      if (!t.alive) continue;
+      double dx = px[i] - t.cx, dy = py[i] - t.cy;
+      if (dx * dx + dy * dy <= t.r2 * (1.0 + 1e-12)) {
+        t.alive = false;
+        int e[3][2] = {{t.a, t.b}, {t.b, t.c}, {t.c, t.a}};
+        for (auto& ed : e) {
+          bool dup = false;
+          for (auto& pe : poly) {
+            if ((pe.first == ed[1] && pe.second == ed[0])
+                || (pe.first == ed[0] && pe.second == ed[1])) {
+              pe.first = -1;  // shared edge: interior, drop both
+              dup = true;
+              break;
+            }
+          }
+          if (!dup) poly.emplace_back(ed[0], ed[1]);
+        }
+      }
+    }
+    for (auto& pe : poly) {
+      if (pe.first < 0) continue;
+      Tri2 nt{pe.first, pe.second, i, 0, 0, 0, true};
+      if (circum(px, py, nt)) tris.push_back(nt);
+    }
+    // periodic compaction keeps the scan linear-ish
+    if (tris.size() > 4096) {
+      std::vector<Tri2> kept;
+      kept.reserve(tris.size());
+      for (auto& t : tris) if (t.alive) kept.push_back(t);
+      tris.swap(kept);
+    }
+  }
+  for (auto& t : tris) {
+    if (!t.alive) continue;
+    if (t.a >= n || t.b >= n || t.c >= n) continue;  // touches super-tri
+    out.push_back({t.a, t.b, t.c});
+  }
+}
 
 }  // namespace
 
 extern "C" {
+
+// Point-cloud triangle soup: per-point tangent-plane Delaunay triangles
+// incident to the point, unioned and deduplicated (Sharp-Crane point-cloud
+// Laplacian construction, threaded). verts (V,3) float64; writes up to
+// max_tris canonicalized triples into out (n,3) int64; returns the count,
+// or -1 if max_tris would overflow.
+int64_t dnet_cloud_triangles(const double* verts, int64_t V, int32_t k,
+                             int64_t* out, int64_t max_tris) {
+  if (V < 3) return 0;
+  k = static_cast<int32_t>(std::min<int64_t>(k, V - 1));
+  KDTree3 tree(verts, V);
+
+  unsigned n_threads = std::max<unsigned>(1, std::thread::hardware_concurrency());
+  std::vector<std::vector<std::array<int64_t, 3>>> per_thread(n_threads);
+
+  auto worker = [&](unsigned tid) {
+    auto& acc = per_thread[tid];
+    std::vector<double> qd(k + 1);
+    std::vector<int64_t> qi(k + 1);
+    std::vector<double> px, py;
+    std::vector<std::array<int, 3>> local;
+    for (int64_t i = tid; i < V; i += n_threads) {
+      tree.query(verts + 3 * i, k + 1, qd.data(), qi.data());
+      // neighborhood ids with self first
+      std::vector<int64_t> ids;
+      ids.reserve(k + 1);
+      ids.push_back(i);
+      for (int j = 0; j <= k && (int)ids.size() < k + 1; ++j)
+        if (qi[j] != i) ids.push_back(qi[j]);
+      int m = static_cast<int>(ids.size());
+      if (m < 3) continue;
+      // tangent plane: covariance of the centered neighborhood
+      double mean[3] = {0, 0, 0};
+      for (int j = 0; j < m; ++j)
+        for (int a = 0; a < 3; ++a)
+          mean[a] += verts[3 * ids[j] + a];
+      for (int a = 0; a < 3; ++a) mean[a] /= m;
+      double cov[3][3] = {{0, 0, 0}, {0, 0, 0}, {0, 0, 0}};
+      for (int j = 0; j < m; ++j) {
+        double d[3];
+        for (int a = 0; a < 3; ++a) d[a] = verts[3 * ids[j] + a] - mean[a];
+        for (int a = 0; a < 3; ++a)
+          for (int b = 0; b < 3; ++b) cov[a][b] += d[a] * d[b];
+      }
+      double evec[3][3], eval[3];
+      eig3_sym(cov, evec, eval);
+      // basis = the two largest-eigenvalue directions (columns 1, 2)
+      px.assign(m, 0.0);
+      py.assign(m, 0.0);
+      for (int j = 0; j < m; ++j) {
+        double d[3];
+        for (int a = 0; a < 3; ++a)
+          d[a] = verts[3 * ids[j] + a] - verts[3 * i + a];
+        px[j] = d[0] * evec[0][2] + d[1] * evec[1][2] + d[2] * evec[2][2];
+        py[j] = d[0] * evec[0][1] + d[1] * evec[1][1] + d[2] * evec[2][1];
+      }
+      local.clear();
+      delaunay2d(px, py, local);
+      for (auto& t : local) {
+        if (t[0] != 0 && t[1] != 0 && t[2] != 0) continue;  // not incident
+        int64_t g[3] = {ids[t[0]], ids[t[1]], ids[t[2]]};
+        std::sort(g, g + 3);
+        if (g[0] == g[1] || g[1] == g[2]) continue;  // duplicate points
+        acc.push_back({g[0], g[1], g[2]});
+      }
+    }
+  };
+  if (n_threads <= 1) {
+    worker(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (unsigned t = 0; t < n_threads; ++t) pool.emplace_back(worker, t);
+    for (auto& th : pool) th.join();
+  }
+
+  std::vector<std::array<int64_t, 3>> all;
+  size_t total = 0;
+  for (auto& acc : per_thread) total += acc.size();
+  all.reserve(total);
+  for (auto& acc : per_thread)
+    all.insert(all.end(), acc.begin(), acc.end());
+  std::sort(all.begin(), all.end());
+  all.erase(std::unique(all.begin(), all.end()), all.end());
+  if (static_cast<int64_t>(all.size()) > max_tris) return -1;
+  for (size_t t = 0; t < all.size(); ++t)
+    for (int c = 0; c < 3; ++c) out[3 * t + c] = all[t][c];
+  return static_cast<int64_t>(all.size());
+}
 
 // target: (n_target, 3) float64; source: (n_source, 3) float64.
 // out_dists: (n_source, k) float64; out_inds: (n_source, k) int64.

@@ -91,3 +91,65 @@ def test_hash_collision_probing(tmp_path, monkeypatch):
     np.testing.assert_allclose(o1.evals, o1b.evals, rtol=1e-6)
     np.testing.assert_allclose(o2.evals, o2b.evals, rtol=1e-6)
     assert len(os.listdir(cache)) == 2
+
+
+def test_cloud_triangulation_native_matches_python():
+    """The threaded C++ tangent-plane Delaunay produces the same canonical
+    triangle soup as the pure-Python oracle."""
+    import numpy as np
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.geometry.point_cloud import _local_triangles
+    try:
+        from diffusionnet_tpu.native import cloud_triangles_native
+        verts, _ = icosphere(subdivisions=2)
+        tri_n = cloud_triangles_native(verts, 20)
+    except Exception:
+        import pytest
+        pytest.skip("native build unavailable")
+    tri_p = _local_triangles(verts, n_neighbors=20)
+    # canonical order on both sides
+    n = {tuple(t) for t in tri_n.tolist()}
+    p = {tuple(t) for t in tri_p.tolist()}
+    # tangent-plane sign/tie choices may differ on a handful of slivers
+    overlap = len(n & p) / max(len(n | p), 1)
+    assert overlap > 0.97, (len(n), len(p), overlap)
+
+
+def test_point_cloud_laplacian_pathological_inputs():
+    """The cloud Laplacian must stay finite/PSD-ish on inputs that break naive
+    constructions: noisy thick clouds, exactly coplanar points, duplicated
+    points, and isolated outliers (the robust-laplacian value proposition)."""
+    import numpy as np
+    import scipy.sparse
+    import scipy.sparse.linalg as sla
+    from diffusionnet_tpu.geometry import point_cloud_laplacian
+
+    rs = np.random.RandomState(7)
+
+    def check(verts, name):
+        L, m = point_cloud_laplacian(np.asarray(verts, np.float64))
+        assert np.isfinite(L.data).all(), name
+        assert np.isfinite(m).all() and (m > 0).all(), name
+        # symmetric and near-PSD: smallest eigenvalue ~ 0 (tiny negative
+        # allowed from mollification roundoff)
+        asym = abs(L - L.T).max()
+        assert asym < 1e-9, (name, asym)
+        w = sla.eigsh(L + 1e-10 * scipy.sparse.identity(L.shape[0]),
+                      k=1, M=scipy.sparse.diags(m), sigma=-1e-6,
+                      return_eigenvectors=False)
+        assert w[0] > -1e-4, (name, w)
+
+    # noisy thick sphere shell
+    v = rs.randn(400, 3)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    check(v * (1.0 + 0.05 * rs.randn(400, 1)), "noisy shell")
+    # exactly coplanar cloud (degenerate 3D covariance)
+    xy = rs.rand(300, 2)
+    check(np.concatenate([xy, np.zeros((300, 1))], axis=1), "coplanar")
+    # duplicated points
+    v2 = rs.rand(200, 3)
+    check(np.concatenate([v2, v2[:50]], axis=0), "duplicates")
+    # isolated far outliers
+    v3 = rs.rand(300, 3)
+    v3[:3] += 100.0
+    check(v3, "outliers")
