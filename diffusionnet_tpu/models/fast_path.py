@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas_megablock import megablock
+from ..ops.pallas_megablock import megablock, megablock_chained
 
 
 def _block_params(params, b: int):
@@ -41,6 +41,11 @@ def megablock_apply(params, x_in, mass, evals, evecs, gX_spec, gY_spec,
     p = params["params"]
     x = x_in @ p["first_lin"]["kernel"] + p["first_lin"]["bias"]
 
+    # block 0's spectral projection is one XLA pass; every block thereafter
+    # receives its x_hat from the previous block's fused accumulation, so each
+    # block is a single Pallas sweep over V (see megablock_chained)
+    x_hat = jnp.einsum("bvk,bvc->bkc", evecs, x * mass[..., None],
+                       preferred_element_type=jnp.float32)
     for b in range(n_block):
         t, A_re, A_im, Ws, bs = _block_params(params, b)
         t = t + jax.lax.stop_gradient(jnp.maximum(t, 1e-8) - t)
@@ -50,9 +55,10 @@ def megablock_apply(params, x_in, mass, evals, evecs, gX_spec, gY_spec,
                                       0, 2**31 - 1, dtype=jnp.int32)
         else:
             seed = jnp.zeros((), jnp.int32)
-        x = megablock(x, evecs, gX_spec, gY_spec, mass, coefs, A_re, A_im,
-                      Ws, bs, seed, tile_v, dropout_rng is not None,
-                      interpret)
+        x, x_hat = megablock_chained(
+            x, evecs, gX_spec, gY_spec, mass, coefs, A_re, A_im, Ws, bs,
+            seed, x_hat, tile_v, dropout_rng is not None,
+            b < n_block - 1, interpret)
 
     x = x @ p["last_lin"]["kernel"] + p["last_lin"]["bias"]
     if last_activation is not None:

@@ -117,11 +117,12 @@ def _make_fwd_kernel(n_dense: int, dropout: bool, interpret: bool):
         pos = 8 + 2 * n_dense
         seed_ref = refs[pos] if dropout else None
         pos += 1 if dropout else 0
-        out_ref, acc_ref = refs[pos], refs[pos + 1]
+        out_ref, xhat_ref, acc_ref = refs[pos], refs[pos + 1], refs[pos + 2]
 
         b = pl.program_id(0)
         phase = pl.program_id(1)
         i = pl.program_id(2)
+        n = pl.num_programs(2)
 
         @pl.when((phase == 0) & (i == 0))
         def _():
@@ -133,6 +134,11 @@ def _make_fwd_kernel(n_dense: int, dropout: bool, interpret: bool):
             acc_ref[:] += jax.lax.dot_general(
                 evecs_ref[0], xm, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            # x_hat = Phi^T(m x) is complete after the last phase-0 tile:
+            # emit it so the VJP residual costs no extra pass over x/evecs
+            @pl.when(i == n - 1)
+            def _():
+                xhat_ref[0] = acc_ref[:]
 
         @pl.when(phase == 1)
         def _():
@@ -198,20 +204,141 @@ def _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(seed, jnp.int32).reshape((1,)))
 
-    out = pl.pallas_call(
+    out, x_hat = pl.pallas_call(
         _make_fwd_kernel(n_dense, dropout, interpret),
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile_v, C), p1),
-        out_shape=jax.ShapeDtypeStruct((B, V, C), x.dtype),
+        out_specs=(pl.BlockSpec((1, tile_v, C), p1),
+                   pl.BlockSpec((1, K, C), bconst)),
+        out_shape=(jax.ShapeDtypeStruct((B, V, C), x.dtype),
+                   jax.ShapeDtypeStruct((B, K, C), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((K, C), jnp.float32)],
         compiler_params=_VMEM_LIMIT,
         interpret=interpret,
     )(*args)
-    return out
+    return out, x_hat
 
 
-def _make_bwd_kernel(n_dense: int, dropout: bool, interpret: bool):
+def _make_fwd_kernel_chained(n_dense: int, dropout: bool, emit_next: bool,
+                             interpret: bool):
+    """Single-pass block kernel: x_hat arrives as an input (from the previous
+    block's fused accumulation or an initial projection), so the phase-0 sweep
+    over x/evecs disappears; while writing each output tile the kernel
+    accumulates the NEXT block's x_hat = Phi^T(m out) in scratch."""
+    def kernel(*refs):
+        (x_ref, evecs_ref, gx_ref, gy_ref, mass_ref, coefs_ref, are_ref,
+         aim_ref) = refs[:8]
+        dense_refs = [(refs[8 + 2 * l], refs[9 + 2 * l])
+                      for l in range(n_dense)]
+        pos = 8 + 2 * n_dense
+        seed_ref = refs[pos] if dropout else None
+        pos += 1 if dropout else 0
+        xhat_in_ref = refs[pos]
+        pos += 1
+        if emit_next:
+            out_ref, xhatn_ref, acc2_ref = refs[pos], refs[pos + 1], refs[pos + 2]
+        else:
+            out_ref = refs[pos]
+
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        n = pl.num_programs(1)
+
+        s = coefs_ref[0] * xhat_in_ref[0]
+        x = x_ref[0]
+        xd = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
+        gx = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
+        gy = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
+
+        vb_re = (jnp.dot(gx, are_ref[:], preferred_element_type=jnp.float32)
+                 - jnp.dot(gy, aim_ref[:], preferred_element_type=jnp.float32))
+        vb_im = (jnp.dot(gy, are_ref[:], preferred_element_type=jnp.float32)
+                 + jnp.dot(gx, aim_ref[:], preferred_element_type=jnp.float32))
+        feat = jnp.tanh(gx * vb_re + gy * vb_im)
+        cat = jnp.concatenate([x, xd, feat], axis=-1)
+
+        drop = None
+        if dropout:
+            def drop(layer, shape):
+                return _keep_mask(shape, DROPOUT_RATE, interpret,
+                                  seed_ref[0], b, i, layer)
+        out, _ = _mlp_fwd(x, cat, dense_refs, drop)
+        out_ref[0] = out
+
+        if emit_next:
+            @pl.when(i == 0)
+            def _():
+                acc2_ref[:] = jnp.zeros_like(acc2_ref)
+            acc2_ref[:] += jax.lax.dot_general(
+                evecs_ref[0], out * mass_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            @pl.when(i == n - 1)
+            def _():
+                xhatn_ref[0] = acc2_ref[:]
+
+    return kernel
+
+
+def _fwd_impl_chained(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
+                      seed, x_hat_in, tile_v: int, dropout: bool,
+                      emit_next: bool, interpret: bool = False):
+    B, V, C = x.shape
+    K = evecs.shape[-1]
+    n_dense = len(Ws)
+    grid = (B, V // tile_v)
+
+    row = lambda b, i: (b, i, 0)
+    bconst = lambda b, i: (b, 0, 0)
+    const2 = lambda b, i: (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, tile_v, C), row),     # x
+        pl.BlockSpec((1, tile_v, K), row),     # evecs
+        pl.BlockSpec((1, tile_v, K), row),     # gX
+        pl.BlockSpec((1, tile_v, K), row),     # gY
+        pl.BlockSpec((1, tile_v, 1), row),     # mass
+        pl.BlockSpec((1, K, C), bconst),       # coefs
+        pl.BlockSpec((C, C), const2),          # A_re
+        pl.BlockSpec((C, C), const2),          # A_im
+    ]
+    args = [x, evecs, gX, gY, mass[..., None], coefs, A_re, A_im]
+    for W, b_arr in zip(Ws, bs):
+        in_specs += [pl.BlockSpec(W.shape, const2),
+                     pl.BlockSpec((1, b_arr.shape[0]), const2)]
+        args += [W, b_arr[None, :]]
+    if dropout:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(seed, jnp.int32).reshape((1,)))
+    in_specs.append(pl.BlockSpec((1, K, C), bconst))  # x_hat_in
+    args.append(x_hat_in)
+
+    if emit_next:
+        out_specs = (pl.BlockSpec((1, tile_v, C), row),
+                     pl.BlockSpec((1, K, C), bconst))
+        out_shape = (jax.ShapeDtypeStruct((B, V, C), x.dtype),
+                     jax.ShapeDtypeStruct((B, K, C), jnp.float32))
+        scratch = [pltpu.VMEM((K, C), jnp.float32)]
+    else:
+        out_specs = pl.BlockSpec((1, tile_v, C), row)
+        out_shape = jax.ShapeDtypeStruct((B, V, C), x.dtype)
+        scratch = []
+
+    res = pl.pallas_call(
+        _make_fwd_kernel_chained(n_dense, dropout, emit_next, interpret),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=_VMEM_LIMIT,
+        interpret=interpret,
+    )(*args)
+    return res if emit_next else (res, None)
+
+
+def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
+                     interpret: bool):
     def kernel(*refs):
         (x_ref, evecs_ref, gx_ref, gy_ref, coefs_ref, are_ref,
          aim_ref) = refs[:7]
@@ -222,6 +349,9 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, interpret: bool):
         pos += 1 if dropout else 0
         xhat_ref, dout_ref = refs[pos], refs[pos + 1]
         pos += 2
+        if emit_next:
+            mass_ref, dxhatn_ref = refs[pos], refs[pos + 1]
+            pos += 2
         # outputs: dx, ds, dare, daim, then (dW_l, db_l) per layer
         dx_ref, ds_out_ref, dare_ref, daim_ref = refs[pos:pos + 4]
         ddense_refs = [(refs[pos + 4 + 2 * l], refs[pos + 5 + 2 * l])
@@ -272,6 +402,11 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, interpret: bool):
 
         # ---- backward through the MLP
         g = dout_ref[0]
+        if emit_next:
+            # this block's output also fed the NEXT block's x_hat =
+            # Phi^T(m out); fold that cotangent into the output gradient
+            g = g + mass_ref[0] * jnp.dot(evecs_ref[0], dxhatn_ref[0],
+                                          preferred_element_type=jnp.float32)
         scale = 1.0 / (1.0 - DROPOUT_RATE)
         d = g
         for l in range(n_dense - 1, -1, -1):
@@ -346,7 +481,8 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, interpret: bool):
 
 
 def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
-              dout, tile_v: int, dropout: bool, interpret: bool = False):
+              dout, tile_v: int, dropout: bool, interpret: bool = False,
+              dxhat_next=None):
     B, V, C = x.shape
     K = evecs.shape[-1]
     n_dense = len(Ws)
@@ -379,6 +515,13 @@ def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
         pl.BlockSpec((1, tile_v, C), row),     # dout
     ]
     args += [x_hat, dout]
+    emit_next = dxhat_next is not None
+    if emit_next:
+        in_specs += [
+            pl.BlockSpec((1, tile_v, 1), row),  # mass
+            pl.BlockSpec((1, K, C), bconst),    # dxhat_next cotangent
+        ]
+        args += [mass[..., None], dxhat_next]
 
     out_shapes = [
         jax.ShapeDtypeStruct((B, V, C), jnp.float32),       # dx_direct
@@ -406,7 +549,7 @@ def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
                     pltpu.VMEM((1, b_arr.shape[0]), jnp.float32)]
 
     outs = pl.pallas_call(
-        _make_bwd_kernel(n_dense, dropout, interpret),
+        _make_bwd_kernel(n_dense, dropout, emit_next, interpret),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -428,16 +571,16 @@ def megablock(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
     MLP weights ((w_in, w_out) kernels and (w_out,) biases, any depth/widths,
     first input 3C, last output C); seed: int32 scalar keying the dropout PRNG
     (ignored when dropout=False). All float32; V % tile_v == 0."""
-    return _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
-                     tile_v, dropout, interpret)
+    out, _ = _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
+                       seed, tile_v, dropout, interpret)
+    return out
 
 
 def _mb_fwd(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
             tile_v, dropout, interpret):
-    out = _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
-                    tile_v, dropout, interpret)
-    x_hat = jnp.einsum("bvk,bvc->bkc", evecs, x * mass[..., None],
-                       preferred_element_type=jnp.float32)
+    # x_hat comes out of the forward kernel's scratch — no extra pass
+    out, x_hat = _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
+                           seed, tile_v, dropout, interpret)
     return out, (x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
                  x_hat)
 
@@ -462,6 +605,55 @@ def _mb_bwd(tile_v, dropout, interpret, res, dout):
 
 
 megablock.defvjp(_mb_fwd, _mb_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+def megablock_chained(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
+                      seed, x_hat_in, tile_v: int = DEFAULT_TILE_V,
+                      dropout: bool = False, emit_next: bool = True,
+                      interpret: bool = False):
+    """Chained DiffusionNetBlock: takes this block's x_hat = Phi^T(m x) as an
+    INPUT (from the previous block's fused accumulation, or one initial
+    projection for block 0) and — when emit_next — accumulates the next
+    block's x_hat while writing the output. Each middle block is then a
+    single pass over V instead of two.
+
+    Returns (out, x_hat_next) with x_hat_next None when emit_next=False."""
+    return _fwd_impl_chained(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws,
+                             bs, seed, x_hat_in, tile_v, dropout, emit_next,
+                             interpret)
+
+
+def _mbc_fwd(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+             x_hat_in, tile_v, dropout, emit_next, interpret):
+    out, xhat_next = _fwd_impl_chained(
+        x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat_in,
+        tile_v, dropout, emit_next, interpret)
+    return (out, xhat_next), (x, evecs, gX, gY, mass, coefs, A_re, A_im,
+                              Ws, bs, seed, x_hat_in)
+
+
+def _mbc_bwd(tile_v, dropout, emit_next, interpret, res, cts):
+    dout, dxhat_next = cts
+    (x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+     x_hat_in) = res
+    outs = _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
+                     x_hat_in, dout, tile_v, dropout, interpret,
+                     dxhat_next=dxhat_next if emit_next else None)
+    dx_direct, ds, dA_re, dA_im = outs[:4]
+    dWs, dbs = [], []
+    for l in range(len(Ws)):
+        dWs.append(outs[4 + 2 * l])
+        dbs.append(outs[5 + 2 * l][0])
+    dcoefs = ds * x_hat_in
+    dxhat_in = ds * coefs   # s = coefs . x_hat_in
+    zeros = jax.tree.map(jnp.zeros_like, (evecs, gX, gY, mass))
+    dseed = np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0)
+    return (dx_direct, *zeros, dcoefs, dA_re, dA_im, tuple(dWs), tuple(dbs),
+            dseed, dxhat_in)
+
+
+megablock_chained.defvjp(_mbc_fwd, _mbc_bwd)
 
 
 def megablock_reference(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,

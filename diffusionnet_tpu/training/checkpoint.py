@@ -19,22 +19,26 @@ def _to_host(tree):
 
 
 def save_checkpoint(ckpt_dir: str, state: Any, step: int | None = None) -> str:
-    """Save a pytree checkpoint. Uses Orbax if available; falls back to a
-    flat .npz of leaves (structure re-derived on restore from a template)."""
+    """Save a pytree checkpoint. Uses Orbax when importable; without Orbax it
+    falls back to a flat .npz of leaves (structure re-derived on restore from
+    a template). A FAILED Orbax save is an error, not a silent downgrade —
+    swallowing it would leave an order-dependent .npz that only surfaces as a
+    problem at restore time."""
     os.makedirs(ckpt_dir, exist_ok=True)
     try:
         import orbax.checkpoint as ocp
-        path = os.path.join(os.path.abspath(ckpt_dir),
-                            f"step_{step if step is not None else 0}")
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, _to_host(state), force=True)
-        ckptr.wait_until_finished()
-        return path
-    except Exception:
+    except ImportError:
         leaves, _ = jax.tree.flatten(_to_host(state))
-        path = os.path.join(ckpt_dir, f"step_{step if step is not None else 0}.npz")
+        path = os.path.join(ckpt_dir,
+                            f"step_{step if step is not None else 0}.npz")
         np.savez(path, *leaves)
         return path
+    path = os.path.join(os.path.abspath(ckpt_dir),
+                        f"step_{step if step is not None else 0}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, _to_host(state), force=True)
+    ckptr.wait_until_finished()
+    return path
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:

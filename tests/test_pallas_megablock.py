@@ -167,3 +167,44 @@ def test_megablock_apply_custom_mlp_dims(rng):
         jnp.asarray(gX)[None], jnp.asarray(gY)[None], n_block=2, tile_v=128,
         interpret=True))[0]
     np.testing.assert_allclose(out_fast, out_model, rtol=2e-4, atol=2e-5)
+
+
+def test_megablock_apply_grads_match_model(rng):
+    """Gradients THROUGH the chained fast path (x_hat threading between
+    blocks) equal autodiff through the standard model."""
+    from diffusionnet_tpu.geometry import compute_operators, pad_operators, grad_operators
+    from diffusionnet_tpu.models import DiffusionNet
+    from diffusionnet_tpu.models.fast_path import megablock_apply
+    from tests.meshgen import icosphere
+
+    verts, faces = icosphere(subdivisions=2)
+    ops = compute_operators(verts, faces, k_eig=16)
+    ops = pad_operators(ops, v_pad=256)
+    gX, gY = grad_operators(ops)
+    jo = jax.tree.map(jnp.asarray, ops)
+    x = jnp.asarray(np.pad(verts.astype(np.float32),
+                           ((0, 256 - verts.shape[0]), (0, 0))))
+
+    model = DiffusionNet(c_in=3, c_out=5, c_width=8, n_block=3, dropout=False)
+    params = model.init(jax.random.PRNGKey(1), x, jo.mass, evals=jo.evals,
+                        evecs=jo.evecs, gradX=jnp.asarray(gX),
+                        gradY=jnp.asarray(gY))
+
+    def loss_model(p):
+        out = model.apply(p, x, jo.mass, evals=jo.evals, evecs=jo.evecs,
+                          gradX=jnp.asarray(gX), gradY=jnp.asarray(gY))
+        return jnp.sum(out ** 2)
+
+    def loss_fast(p):
+        out = megablock_apply(p, x[None], jo.mass[None], jo.evals[None],
+                              jo.evecs[None], jnp.asarray(gX)[None],
+                              jnp.asarray(gY)[None], n_block=3, tile_v=128,
+                              interpret=True)
+        return jnp.sum(out ** 2)
+
+    g_model = jax.grad(loss_model)(params)
+    g_fast = jax.grad(loss_fast)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4), g_model,
+        g_fast)
