@@ -40,6 +40,9 @@ def megablock_apply(params, x_in, mass, evals, evecs, gX_spec, gY_spec,
     (rate 0.5) is active, with per-block on-core PRNG masks."""
     p = params["params"]
     x = x_in @ p["first_lin"]["kernel"] + p["first_lin"]["bias"]
+    # inter-block activations inherit the input precision: with bf16 inputs
+    # the x stream between blocks is stored bf16 (kernels compute in f32)
+    x = x.astype(x_in.dtype)
 
     # block 0's spectral projection is one XLA pass; every block thereafter
     # receives its x_hat from the previous block's fused accumulation, so each

@@ -146,7 +146,7 @@ def _make_fwd_kernel(n_dense: int, dropout: bool, interpret: bool):
             def _():
                 acc_ref[:] = coefs_ref[0] * acc_ref[:]
             s = acc_ref[:]
-            x = x_ref[0]
+            x = x_ref[0].astype(jnp.float32)
             xd = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
             gx = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
             gy = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
@@ -166,7 +166,7 @@ def _make_fwd_kernel(n_dense: int, dropout: bool, interpret: bool):
                     return _keep_mask(shape, DROPOUT_RATE, interpret,
                                       seed_ref[0], b, i, layer)
             out, _ = _mlp_fwd(x, cat, dense_refs, drop)
-            out_ref[0] = out
+            out_ref[0] = out.astype(out_ref.dtype)
 
     return kernel
 
@@ -245,7 +245,9 @@ def _make_fwd_kernel_chained(n_dense: int, dropout: bool, emit_next: bool,
         n = pl.num_programs(1)
 
         s = coefs_ref[0] * xhat_in_ref[0]
-        x = x_ref[0]
+        # x may be stored bf16 between blocks (halves its HBM stream); all
+        # in-kernel arithmetic stays float32
+        x = x_ref[0].astype(jnp.float32)
         xd = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
         gx = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
         gy = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
@@ -263,7 +265,7 @@ def _make_fwd_kernel_chained(n_dense: int, dropout: bool, emit_next: bool,
                 return _keep_mask(shape, DROPOUT_RATE, interpret,
                                   seed_ref[0], b, i, layer)
         out, _ = _mlp_fwd(x, cat, dense_refs, drop)
-        out_ref[0] = out
+        out_ref[0] = out.astype(out_ref.dtype)
 
         if emit_next:
             @pl.when(i == 0)
@@ -381,7 +383,7 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
 
         # ---- recompute forward for this tile (s = coefs . x_hat known)
         s = coefs_ref[0] * xhat_ref[0]
-        x = x_ref[0]
+        x = x_ref[0].astype(jnp.float32)
         xd = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
         gx = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
         gy = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
@@ -401,7 +403,7 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
         _, (inputs, pres, masks) = _mlp_fwd(x, cat, dense_refs, drop)
 
         # ---- backward through the MLP
-        g = dout_ref[0]
+        g = dout_ref[0].astype(jnp.float32)
         if emit_next:
             # this block's output also fed the NEXT block's x_hat =
             # Phi^T(m out); fold that cotangent into the output gradient
@@ -461,7 +463,7 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
             + jax.lax.dot_general(gy_ref[0], dgy, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32))
 
-        dx_ref[0] = dx_direct
+        dx_ref[0] = dx_direct.astype(dx_ref.dtype)
 
         # per-batch spectral gradient, flushed at this batch element's last tile
         @pl.when(i == n - 1)
@@ -524,7 +526,7 @@ def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
         args += [mass[..., None], dxhat_next]
 
     out_shapes = [
-        jax.ShapeDtypeStruct((B, V, C), jnp.float32),       # dx_direct
+        jax.ShapeDtypeStruct((B, V, C), x.dtype),           # dx_direct
         jax.ShapeDtypeStruct((B, K, C), jnp.float32),       # ds
         jax.ShapeDtypeStruct((C, C), jnp.float32),          # dA_re
         jax.ShapeDtypeStruct((C, C), jnp.float32),          # dA_im
