@@ -89,7 +89,25 @@ def interpret_dropout_mask(shape, rate, seed, b, i, layer):
     return _keep_mask(shape, rate, True, seed, b, i, layer)
 
 
-def _mlp_fwd(x, cat, dense_refs, drop):
+def _dot(a, b, lowp):
+    """MXU matmul with f32 accumulation; with lowp the operands are cast to
+    bf16 so the MXU runs at its bf16 rate (mixed-precision standard)."""
+    if lowp:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _dot_t(a, b, lowp):
+    """a^T @ b with f32 accumulation (contraction over axis 0)."""
+    if lowp:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mlp_fwd(x, cat, dense_refs, drop, lowp):
     """Shared MLP forward (kernel-side). Returns (out, saved) where saved has
     the per-layer inputs and pre-activations for the backward."""
     n = len(dense_refs)
@@ -101,14 +119,14 @@ def _mlp_fwd(x, cat, dense_refs, drop):
             h = jnp.where(keep, h * (1.0 / (1.0 - DROPOUT_RATE)), 0.0)
             masks.append(keep)
         inputs.append(h)
-        pre = (jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
-               + b_ref[:])
+        pre = _dot(h, w_ref[:], lowp) + b_ref[:]
         pres.append(pre)
         h = jnp.maximum(pre, 0.0) if l < n - 1 else pre
     return x + h, (inputs, pres, masks)
 
 
-def _make_fwd_kernel(n_dense: int, dropout: bool, interpret: bool):
+def _make_fwd_kernel(n_dense: int, dropout: bool, lowp: bool,
+                     interpret: bool):
     def kernel(*refs):
         (x_ref, evecs_ref, gx_ref, gy_ref, mass_ref, coefs_ref, are_ref,
          aim_ref) = refs[:8]
@@ -130,10 +148,8 @@ def _make_fwd_kernel(n_dense: int, dropout: bool, interpret: bool):
 
         @pl.when(phase == 0)
         def _():
-            xm = x_ref[0] * mass_ref[0]
-            acc_ref[:] += jax.lax.dot_general(
-                evecs_ref[0], xm, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            xm = x_ref[0].astype(jnp.float32) * mass_ref[0]
+            acc_ref[:] += _dot_t(evecs_ref[0], xm, lowp)
             # x_hat = Phi^T(m x) is complete after the last phase-0 tile:
             # emit it so the VJP residual costs no extra pass over x/evecs
             @pl.when(i == n - 1)
@@ -147,16 +163,12 @@ def _make_fwd_kernel(n_dense: int, dropout: bool, interpret: bool):
                 acc_ref[:] = coefs_ref[0] * acc_ref[:]
             s = acc_ref[:]
             x = x_ref[0].astype(jnp.float32)
-            xd = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
-            gx = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
-            gy = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
+            xd = _dot(evecs_ref[0], s, lowp)
+            gx = _dot(gx_ref[0], s, lowp)
+            gy = _dot(gy_ref[0], s, lowp)
 
-            vb_re = (jnp.dot(gx, are_ref[:], preferred_element_type=jnp.float32)
-                     - jnp.dot(gy, aim_ref[:],
-                               preferred_element_type=jnp.float32))
-            vb_im = (jnp.dot(gy, are_ref[:], preferred_element_type=jnp.float32)
-                     + jnp.dot(gx, aim_ref[:],
-                               preferred_element_type=jnp.float32))
+            vb_re = _dot(gx, are_ref[:], lowp) - _dot(gy, aim_ref[:], lowp)
+            vb_im = _dot(gy, are_ref[:], lowp) + _dot(gx, aim_ref[:], lowp)
             feat = jnp.tanh(gx * vb_re + gy * vb_im)
             cat = jnp.concatenate([x, xd, feat], axis=-1)
 
@@ -165,7 +177,7 @@ def _make_fwd_kernel(n_dense: int, dropout: bool, interpret: bool):
                 def drop(layer, shape):
                     return _keep_mask(shape, DROPOUT_RATE, interpret,
                                       seed_ref[0], b, i, layer)
-            out, _ = _mlp_fwd(x, cat, dense_refs, drop)
+            out, _ = _mlp_fwd(x, cat, dense_refs, drop, lowp)
             out_ref[0] = out.astype(out_ref.dtype)
 
     return kernel
@@ -204,8 +216,9 @@ def _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(seed, jnp.int32).reshape((1,)))
 
+    lowp = evecs.dtype == jnp.bfloat16
     out, x_hat = pl.pallas_call(
-        _make_fwd_kernel(n_dense, dropout, interpret),
+        _make_fwd_kernel(n_dense, dropout, lowp, interpret),
         grid=grid,
         in_specs=in_specs,
         out_specs=(pl.BlockSpec((1, tile_v, C), p1),
@@ -220,7 +233,7 @@ def _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
 
 
 def _make_fwd_kernel_chained(n_dense: int, dropout: bool, emit_next: bool,
-                             interpret: bool):
+                             lowp: bool, interpret: bool):
     """Single-pass block kernel: x_hat arrives as an input (from the previous
     block's fused accumulation or an initial projection), so the phase-0 sweep
     over x/evecs disappears; while writing each output tile the kernel
@@ -245,17 +258,15 @@ def _make_fwd_kernel_chained(n_dense: int, dropout: bool, emit_next: bool,
         n = pl.num_programs(1)
 
         s = coefs_ref[0] * xhat_in_ref[0]
-        # x may be stored bf16 between blocks (halves its HBM stream); all
-        # in-kernel arithmetic stays float32
+        # x may be stored bf16 between blocks (halves its HBM stream); MXU
+        # accumulation stays float32 (operands bf16 when lowp)
         x = x_ref[0].astype(jnp.float32)
-        xd = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
-        gx = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
-        gy = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
+        xd = _dot(evecs_ref[0], s, lowp)
+        gx = _dot(gx_ref[0], s, lowp)
+        gy = _dot(gy_ref[0], s, lowp)
 
-        vb_re = (jnp.dot(gx, are_ref[:], preferred_element_type=jnp.float32)
-                 - jnp.dot(gy, aim_ref[:], preferred_element_type=jnp.float32))
-        vb_im = (jnp.dot(gy, are_ref[:], preferred_element_type=jnp.float32)
-                 + jnp.dot(gx, aim_ref[:], preferred_element_type=jnp.float32))
+        vb_re = _dot(gx, are_ref[:], lowp) - _dot(gy, aim_ref[:], lowp)
+        vb_im = _dot(gy, are_ref[:], lowp) + _dot(gx, aim_ref[:], lowp)
         feat = jnp.tanh(gx * vb_re + gy * vb_im)
         cat = jnp.concatenate([x, xd, feat], axis=-1)
 
@@ -264,16 +275,14 @@ def _make_fwd_kernel_chained(n_dense: int, dropout: bool, emit_next: bool,
             def drop(layer, shape):
                 return _keep_mask(shape, DROPOUT_RATE, interpret,
                                   seed_ref[0], b, i, layer)
-        out, _ = _mlp_fwd(x, cat, dense_refs, drop)
+        out, _ = _mlp_fwd(x, cat, dense_refs, drop, lowp)
         out_ref[0] = out.astype(out_ref.dtype)
 
         if emit_next:
             @pl.when(i == 0)
             def _():
                 acc2_ref[:] = jnp.zeros_like(acc2_ref)
-            acc2_ref[:] += jax.lax.dot_general(
-                evecs_ref[0], out * mass_ref[0], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            acc2_ref[:] += _dot_t(evecs_ref[0], out * mass_ref[0], lowp)
 
             @pl.when(i == n - 1)
             def _():
@@ -326,8 +335,9 @@ def _fwd_impl_chained(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
         out_shape = jax.ShapeDtypeStruct((B, V, C), x.dtype)
         scratch = []
 
+    lowp = evecs.dtype == jnp.bfloat16
     res = pl.pallas_call(
-        _make_fwd_kernel_chained(n_dense, dropout, emit_next, interpret),
+        _make_fwd_kernel_chained(n_dense, dropout, emit_next, lowp, interpret),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -340,7 +350,7 @@ def _fwd_impl_chained(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
 
 
 def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
-                     interpret: bool):
+                     lowp: bool, interpret: bool):
     def kernel(*refs):
         (x_ref, evecs_ref, gx_ref, gy_ref, coefs_ref, are_ref,
          aim_ref) = refs[:7]
@@ -384,13 +394,11 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
         # ---- recompute forward for this tile (s = coefs . x_hat known)
         s = coefs_ref[0] * xhat_ref[0]
         x = x_ref[0].astype(jnp.float32)
-        xd = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
-        gx = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
-        gy = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
-        vb_re = (jnp.dot(gx, are_ref[:], preferred_element_type=jnp.float32)
-                 - jnp.dot(gy, aim_ref[:], preferred_element_type=jnp.float32))
-        vb_im = (jnp.dot(gy, are_ref[:], preferred_element_type=jnp.float32)
-                 + jnp.dot(gx, aim_ref[:], preferred_element_type=jnp.float32))
+        xd = _dot(evecs_ref[0], s, lowp)
+        gx = _dot(gx_ref[0], s, lowp)
+        gy = _dot(gy_ref[0], s, lowp)
+        vb_re = _dot(gx, are_ref[:], lowp) - _dot(gy, aim_ref[:], lowp)
+        vb_im = _dot(gy, are_ref[:], lowp) + _dot(gx, aim_ref[:], lowp)
         dots = gx * vb_re + gy * vb_im
         feat = jnp.tanh(dots)
         cat = jnp.concatenate([x, xd, feat], axis=-1)
@@ -400,26 +408,23 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
             def drop(layer, shape):
                 return _keep_mask(shape, DROPOUT_RATE, interpret,
                                   seed_ref[0], b, i, layer)
-        _, (inputs, pres, masks) = _mlp_fwd(x, cat, dense_refs, drop)
+        _, (inputs, pres, masks) = _mlp_fwd(x, cat, dense_refs, drop, lowp)
 
         # ---- backward through the MLP
         g = dout_ref[0].astype(jnp.float32)
         if emit_next:
             # this block's output also fed the NEXT block's x_hat =
             # Phi^T(m out); fold that cotangent into the output gradient
-            g = g + mass_ref[0] * jnp.dot(evecs_ref[0], dxhatn_ref[0],
-                                          preferred_element_type=jnp.float32)
+            g = g + mass_ref[0] * _dot(evecs_ref[0], dxhatn_ref[0], lowp)
         scale = 1.0 / (1.0 - DROPOUT_RATE)
         d = g
         for l in range(n_dense - 1, -1, -1):
             w_ref, _ = dense_refs[l]
             dw_acc, db_acc = dd_accs[l]
             dpre = d if l == n_dense - 1 else jnp.where(pres[l] > 0.0, d, 0.0)
-            dw_acc[:] += jax.lax.dot_general(
-                inputs[l], dpre, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            dw_acc[:] += _dot_t(inputs[l], dpre, lowp)
             db_acc[:] += jnp.sum(dpre, axis=0, keepdims=True)
-            d = jnp.dot(dpre, w_ref[:].T, preferred_element_type=jnp.float32)
+            d = _dot(dpre, w_ref[:].T, lowp)
             if l > 0 and dropout:
                 d = jnp.where(masks[l - 1], d * scale, 0.0)
         dcat = d
@@ -435,33 +440,17 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
         dvb_re = ddots * gx
         dvb_im = ddots * gy
         # vb_re = gx A_re - gy A_im ; vb_im = gy A_re + gx A_im
-        dare_acc[:] += (
-            jax.lax.dot_general(gx, dvb_re, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(gy, dvb_im, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32))
-        daim_acc[:] += (
-            jax.lax.dot_general(gx, dvb_im, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            - jax.lax.dot_general(gy, dvb_re, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32))
-        dgx = dgx + jnp.dot(dvb_re, are_ref[:].T,
-                            preferred_element_type=jnp.float32)
-        dgx = dgx + jnp.dot(dvb_im, aim_ref[:].T,
-                            preferred_element_type=jnp.float32)
-        dgy = dgy + jnp.dot(dvb_im, are_ref[:].T,
-                            preferred_element_type=jnp.float32)
-        dgy = dgy - jnp.dot(dvb_re, aim_ref[:].T,
-                            preferred_element_type=jnp.float32)
+        dare_acc[:] += _dot_t(gx, dvb_re, lowp) + _dot_t(gy, dvb_im, lowp)
+        daim_acc[:] += _dot_t(gx, dvb_im, lowp) - _dot_t(gy, dvb_re, lowp)
+        dgx = dgx + _dot(dvb_re, are_ref[:].T, lowp)
+        dgx = dgx + _dot(dvb_im, aim_ref[:].T, lowp)
+        dgy = dgy + _dot(dvb_im, are_ref[:].T, lowp)
+        dgy = dgy - _dot(dvb_re, aim_ref[:].T, lowp)
 
         # ds accumulation: Phi_t^T dxd + GX_t^T dgx + GY_t^T dgy
-        ds_acc[:] += (
-            jax.lax.dot_general(evecs_ref[0], dxd, (((0,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(gx_ref[0], dgx, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(gy_ref[0], dgy, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32))
+        ds_acc[:] += (_dot_t(evecs_ref[0], dxd, lowp)
+                      + _dot_t(gx_ref[0], dgx, lowp)
+                      + _dot_t(gy_ref[0], dgy, lowp))
 
         dx_ref[0] = dx_direct.astype(dx_ref.dtype)
 
@@ -550,8 +539,9 @@ def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
         scratch += [pltpu.VMEM(W.shape, jnp.float32),
                     pltpu.VMEM((1, b_arr.shape[0]), jnp.float32)]
 
+    lowp = evecs.dtype == jnp.bfloat16
     outs = pl.pallas_call(
-        _make_bwd_kernel(n_dense, dropout, emit_next, interpret),
+        _make_bwd_kernel(n_dense, dropout, emit_next, lowp, interpret),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
