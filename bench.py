@@ -47,6 +47,7 @@ DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 # 'xla' = the standard model apply
 IMPL = os.environ.get("BENCH_IMPL", "mega")
 MESH = os.environ.get("BENCH_MESH", "grid")  # 'grid' | 'torus' (organic)
+MODE = os.environ.get("BENCH_MODE", "train")  # 'train' (fwd+bwd+opt) | 'fwd'
 # v5e bf16 peak; MFU is reported against the bf16 MXU peak regardless of
 # operand dtype so numbers are comparable across DTYPE settings
 PEAK_BF16_FLOPS = 197e12
@@ -119,11 +120,16 @@ def main():
         mask = (ops.mass > 0)[..., None]
         return jnp.sum((out * mask) ** 2) / jnp.sum(mask)
 
-    @jax.jit
-    def train_step(params, opt_state, x, ops):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, ops)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    if MODE == "fwd":
+        @jax.jit
+        def train_step(params, opt_state, x, ops):
+            return params, opt_state, loss_fn(params, x, ops)
+    else:
+        @jax.jit
+        def train_step(params, opt_state, x, ops):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, ops)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
 
     # measured cost of the compiled step (honest FLOP/byte accounting).
     # NOTE: XLA's cost analysis cannot see inside Pallas custom calls, so for
@@ -167,8 +173,11 @@ def main():
 
     meshes_per_sec = BATCH / dt
     mesh_name = "torus" if MESH == "torus" else "grid"
+    if MODE == "fwd":
+        flops_per_step //= 3  # forward is ~1/3 of the fwd+bwd matmul work
+    kind = "fwd-only" if MODE == "fwd" else "fwd+bwd"
     print(json.dumps({
-        "metric": f"fwd+bwd meshes/sec @ {v_target} verts (pad {V_PAD}, "
+        "metric": f"{kind} meshes/sec @ {v_target} verts (pad {V_PAD}, "
                   f"{mesh_name}), k={K_EIG}, {N_BLOCK}x{C_WIDTH}, "
                   f"batch {BATCH}, "
                   + (("full f32" if DTYPE != "bf16" else
