@@ -33,6 +33,10 @@ def main():
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--megakernel", action="store_true",
+                        help="whole-block Pallas megakernel (TPU)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 tiles / f32 accumulation")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="dataset root (default: ./data/{dataset_type})")
     args = parser.parse_args()
@@ -56,10 +60,12 @@ def main():
         n_epoch=args.n_epoch, lr=1e-3, decay_every=50, decay_rate=0.5,
         batch_size=args.batch_size, input_features=args.input_features,
         augment_rotate=(args.input_features == "xyz"),
-        label_smoothing=0.2, labels_kind="global")
+        label_smoothing=0.2, labels_kind="global",
+        use_megakernel=args.megakernel, bf16=args.bf16)
 
     model = build_model(n_class=30, c_width=64, outputs_at="global_mean",
-                        dropout=False, input_features=args.input_features)
+                        dropout=False, input_features=args.input_features,
+                        bf16=args.bf16)
 
     params, history, evaluate = fit(model, train_dataset, test_dataset, cfg)
     print(f"Overall test accuracy: {100 * evaluate(params, test_dataset):06.3f}%")

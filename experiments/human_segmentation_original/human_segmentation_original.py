@@ -27,6 +27,8 @@ def main():
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--megakernel", action="store_true")
+    parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="dataset root (default: ./data/sig17_seg_benchmark)")
     args = parser.parse_args()
@@ -49,10 +51,12 @@ def main():
     cfg = FitConfig(
         n_epoch=args.n_epoch, lr=1e-3, decay_every=50, decay_rate=0.5,
         batch_size=args.batch_size, input_features=args.input_features,
-        augment_rotate=(args.input_features == "xyz"), labels_kind="face")
+        augment_rotate=(args.input_features == "xyz"), labels_kind="face",
+        use_megakernel=args.megakernel, bf16=args.bf16)
 
     model = build_model(n_class=8, c_width=128, outputs_at="faces",
-                        dropout=True, input_features=args.input_features)
+                        dropout=True, input_features=args.input_features,
+                        bf16=args.bf16)
 
     if args.evaluate:
         if not args.load_model and os.path.exists(pretrain_path):

@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--megakernel", action="store_true")
+    parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="dataset root (default: ./data)")
     args = parser.parse_args()
@@ -43,10 +45,12 @@ def main():
     cfg = FitConfig(
         n_epoch=args.n_epoch, lr=1e-3, decay_every=50, decay_rate=0.5,
         batch_size=args.batch_size, input_features=args.input_features,
-        augment_rotate=(args.input_features == "xyz"), labels_kind="vertex")
+        augment_rotate=(args.input_features == "xyz"), labels_kind="vertex",
+        use_megakernel=args.megakernel, bf16=args.bf16)
 
     model = build_model(n_class=260, c_width=128, outputs_at="vertices",
-                        dropout=True, input_features=args.input_features)
+                        dropout=True, input_features=args.input_features,
+                        bf16=args.bf16)
 
     params, history, evaluate = fit(model, train_dataset, test_dataset, cfg,
                                     model_save_path=model_save_path)

@@ -68,6 +68,8 @@ def main():
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--megakernel", action="store_true")
+    parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--n_train", type=int, default=80)
     parser.add_argument("--n_test", type=int, default=20)
     parser.add_argument("--data_dir", type=str, default=None,
@@ -103,10 +105,12 @@ def main():
         n_epoch=args.n_epoch, lr=1e-3, decay_every=50, decay_rate=0.5,
         batch_size=args.batch_size, input_features=args.input_features,
         augment_rotate=(args.input_features == "xyz"), rotate_axis="y",
-        labels_kind="vertex")
+        labels_kind="vertex",
+        use_megakernel=args.megakernel, bf16=args.bf16)
 
     model = build_model(n_class=n_class, c_width=256, outputs_at="vertices",
-                        dropout=True, input_features=args.input_features)
+                        dropout=True, input_features=args.input_features,
+                        bf16=args.bf16)
 
     if args.evaluate:
         if not args.load_model:
