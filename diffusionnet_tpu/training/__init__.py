@@ -8,6 +8,7 @@ from .fit import (  # noqa: F401
     make_eval_step,
     step_decay_schedule,
 )
-from .checkpoint import save_checkpoint, restore_checkpoint  # noqa: F401
+from .checkpoint import (save_checkpoint, restore_checkpoint,  # noqa: F401
+                         latest_checkpoint)
 from .profiling import StageTimer, device_trace, slope_throughput  # noqa: F401
 from .inference import InferenceSession  # noqa: F401

@@ -42,7 +42,10 @@ def save_checkpoint(ckpt_dir: str, state: Any, step: int | None = None) -> str:
 
 
 def restore_checkpoint(path: str, template: Any) -> Any:
-    """Restore a checkpoint saved by save_checkpoint into `template`'s structure."""
+    """Restore a checkpoint saved by save_checkpoint into `template`'s
+    structure. A params-only template also accepts a full-train-state
+    checkpoint ({params, opt_state, epoch, rng}) — the params subtree is
+    extracted, so `--evaluate --load_model` works on training checkpoints."""
     if path.endswith(".npz"):
         npz = np.load(path, allow_pickle=True)
         leaves = [npz[k] for k in npz.files]
@@ -50,4 +53,31 @@ def restore_checkpoint(path: str, template: Any) -> Any:
         return jax.tree.unflatten(treedef, leaves)
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target=_to_host(template))
+    try:
+        return ckptr.restore(path, target=_to_host(template))
+    except Exception:
+        raw = ckptr.restore(path)
+        if (isinstance(raw, dict) and "opt_state" in raw and "params" in raw
+                and not (isinstance(template, dict) and "opt_state" in template)):
+            return raw["params"]
+        raise
+
+
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    """Path of the highest-step checkpoint under ckpt_dir (step_N dirs or
+    step_N.npz files), or None."""
+    best_step, best_path = -1, None
+    if not os.path.isdir(ckpt_dir):
+        return None
+    for name in os.listdir(ckpt_dir):
+        stem = name[:-4] if name.endswith(".npz") else name
+        if not stem.startswith("step_"):
+            continue
+        try:
+            step = int(stem[len("step_"):])
+        except ValueError:
+            continue
+        if step > best_step:
+            best_step = step
+            best_path = os.path.join(ckpt_dir, name)
+    return best_path

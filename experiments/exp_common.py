@@ -172,13 +172,20 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         model_save_path: str | None = None,
         params=None, eval_every: int = 1,
         geodesic_eval=None, verbose: bool = True,
-        log_path: str | None = None, devices=None):
+        log_path: str | None = None, devices=None,
+        resume_from: str | None = None):
     """Train `model` on train_ds, evaluating on test_ds each epoch.
 
     Returns (params, history). `geodesic_eval(params, predict_fn)` is an
     optional extra per-epoch metric hook (used by sampling_invariance).
     With cfg.data_parallel, batches are sharded over `devices` (default: all)
     and XLA auto-parallelizes the step (gradient all-reduce over ICI).
+
+    Checkpoints (model_save_path) hold the FULL train state — params,
+    optimizer state, epoch, and the PRNG chain — so `resume_from=<ckpt dir>`
+    continues a crashed run bit-identically to an uninterrupted one (the
+    reference restarts from epoch 0, SURVEY §5). A non-finite training loss
+    raises immediately instead of silently corrupting the run.
     """
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -245,9 +252,31 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
             total += int(t)
         return correct / max(total, 1)
 
+    start_epoch = 0
+    if resume_from is not None:
+        from diffusionnet_tpu.training.checkpoint import latest_checkpoint
+        path = latest_checkpoint(resume_from)
+        if path is None:
+            raise FileNotFoundError(f"no checkpoint found under {resume_from}")
+        template = {"params": params, "opt_state": opt_state,
+                    "epoch": np.zeros((), np.int32), "rng": rng}
+        state = restore_checkpoint(path, template)
+        params, opt_state = state["params"], state["opt_state"]
+        rng = jnp.asarray(state["rng"])
+        start_epoch = int(state["epoch"]) + 1
+        if verbose:
+            print(f"resumed from {path} at epoch {start_epoch}")
+
+    def save_state(epoch):
+        save_checkpoint(os.path.dirname(model_save_path) or ".",
+                        {"params": params, "opt_state": opt_state,
+                         "epoch": np.asarray(epoch, np.int32),
+                         "rng": np.asarray(rng)},
+                        step=epoch)
+
     history = []
     best_test_acc = -1.0
-    for epoch in range(cfg.n_epoch):
+    for epoch in range(start_epoch, cfg.n_epoch):
         correct = total = 0
         for batch in prefetch_to_device(
                 make_padded_batches(train_ds, cfg.batch_size,
@@ -260,6 +289,12 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
                 params, opt_state, batch, step_rng)
             correct += int(c)
             total += int(t)
+            if not np.isfinite(float(loss)):
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch} "
+                    "(step skipped would silently corrupt the run); inspect "
+                    "the learning rate / input data, or resume from the last "
+                    "checkpoint")
         train_acc = correct / max(total, 1)
 
         test_acc = evaluate(params, test_ds) if (epoch % eval_every == 0) else None
@@ -274,16 +309,16 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
                 f.write(json.dumps({"epoch": epoch, "train_acc": train_acc,
                                     "test_acc": test_acc}) + "\n")
         # periodic best-checkpointing (the reference only saves once at the
-        # end, human_segmentation_original.py:209; resume-capable here)
+        # end, human_segmentation_original.py:209; full train state here so a
+        # crashed run resumes bit-identically)
         if (model_save_path is not None and test_acc is not None
                 and test_acc > best_test_acc):
             best_test_acc = test_acc
-            save_checkpoint(os.path.dirname(model_save_path) or ".", params,
-                            step=epoch)
+            save_state(epoch)
 
-    if model_save_path is not None:
-        save_checkpoint(os.path.dirname(model_save_path) or ".", params,
-                        step=cfg.n_epoch)
+    if model_save_path is not None and cfg.n_epoch > 0:
+        # the stored epoch is the last COMPLETED one (resume continues at +1)
+        save_state(cfg.n_epoch - 1)
         print(" ==> saved model checkpoint near " + model_save_path)
 
     return params, history, evaluate

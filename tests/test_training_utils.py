@@ -56,3 +56,68 @@ def test_slope_throughput():
 
     rate, _ = slope_throughput(step, jnp.ones(16))
     assert rate > 0
+
+
+def test_fit_resume_bit_identical(tmp_path):
+    """A run checkpointed at epoch k and resumed equals an uninterrupted run
+    (full train state incl. optimizer and PRNG chain is saved — the reference
+    restarts from epoch 0 on a crash, SURVEY §5)."""
+    import sys, os
+    import numpy as np
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "experiments"))
+    from exp_common import FitConfig, build_model, fit
+    from diffusionnet_tpu.data import SurfaceDataset
+    from tests.meshgen import icosphere
+    import jax
+
+    rs = np.random.RandomState(0)
+    ds = SurfaceDataset(labels_kind="global")
+    for cls in range(2):
+        for _ in range(4):
+            v, f = icosphere(subdivisions=1)
+            v = v * (1.0 + 0.05 * rs.randn(*v.shape)) * (1.0 + cls)
+            ds.add(v, f, cls)
+    ds.precompute(k_eig=8, verbose=False)
+
+    def make_cfg(n_epoch):
+        return FitConfig(n_epoch=n_epoch, lr=1e-2, batch_size=4,
+                         input_features="xyz", labels_kind="global")
+
+    model = build_model(n_class=2, c_width=8, outputs_at="global_mean",
+                        dropout=False, input_features="xyz", n_block=1)
+
+    # uninterrupted 4-epoch run
+    p_full, _, _ = fit(model, ds, ds, make_cfg(4), verbose=False)
+
+    # 2 epochs with checkpointing, then resume for 2 more
+    ck = str(tmp_path / "run" / "model")
+    fit(model, ds, ds, make_cfg(2), model_save_path=ck, verbose=False)
+    p_res, _, _ = fit(model, ds, ds, make_cfg(4), model_save_path=ck,
+                      resume_from=os.path.dirname(ck), verbose=False)
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), p_full, p_res)
+
+
+def test_fit_raises_on_nonfinite_loss():
+    import sys, os
+    import numpy as np
+    import pytest
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "experiments"))
+    from exp_common import FitConfig, build_model, fit
+    from diffusionnet_tpu.data import SurfaceDataset
+    from tests.meshgen import icosphere
+
+    ds = SurfaceDataset(labels_kind="global")
+    v, f = icosphere(subdivisions=1)
+    ds.add(v, f, 0)
+    ds.add(v * 2, f, 1)
+    ds.precompute(k_eig=8, verbose=False)
+    cfg = FitConfig(n_epoch=3, lr=1e38, batch_size=2,  # lr overflow -> NaN
+                    input_features="xyz", labels_kind="global")
+    model = build_model(n_class=2, c_width=8, outputs_at="global_mean",
+                        dropout=False, input_features="xyz", n_block=1)
+    with pytest.raises(FloatingPointError):
+        fit(model, ds, ds, cfg, verbose=False)
