@@ -112,7 +112,8 @@ def main():
                 evecs = ops.evecs
             out = megablock_apply_batched(
                 params, x, ops.mass.astype(x.dtype), ops.evals, evecs, gX, gY,
-                n_block=N_BLOCK, tile_v=2048)
+                n_block=N_BLOCK,
+                tile_v=int(os.environ.get("BENCH_TILE", "2048")))
         else:
             out = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
                               evecs=ops.evecs, gradX=gX, gradY=gY)

@@ -35,6 +35,8 @@ def main():
     parser.add_argument("--k_eig", type=int, default=128)
     parser.add_argument("--megakernel", action="store_true",
                         help="whole-block Pallas megakernel (TPU)")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="checkpoint dir: continue a crashed run")
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 tiles / f32 accumulation")
     parser.add_argument("--data_dir", type=str, default=None,
@@ -67,7 +69,8 @@ def main():
                         dropout=False, input_features=args.input_features,
                         bf16=args.bf16)
 
-    params, history, evaluate = fit(model, train_dataset, test_dataset, cfg)
+    params, history, evaluate = fit(model, train_dataset, test_dataset, cfg,
+                                    resume_from=args.resume_from)
     print(f"Overall test accuracy: {100 * evaluate(params, test_dataset):06.3f}%")
 
 

@@ -28,6 +28,8 @@ def main():
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--k_eig", type=int, default=128)
     parser.add_argument("--megakernel", action="store_true")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="checkpoint dir: continue a crashed run")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="dataset root (default: ./data/sig17_seg_benchmark)")
@@ -81,7 +83,8 @@ def main():
     train_dataset = HumanSegOrigDataset(dataset_path, train=True, k_eig=k_eig,
                                         op_cache_dir=op_cache_dir)
     params, history, evaluate = fit(model, train_dataset, test_dataset, cfg,
-                                    model_save_path=model_save_path)
+                                    model_save_path=model_save_path,
+                                    resume_from=args.resume_from)
     print(f"Overall test accuracy: {100 * evaluate(params, test_dataset):06.3f}%")
 
 

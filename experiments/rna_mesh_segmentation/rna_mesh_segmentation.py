@@ -25,6 +25,8 @@ def main():
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--k_eig", type=int, default=128)
     parser.add_argument("--megakernel", action="store_true")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="checkpoint dir: continue a crashed run")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="dataset root (default: ./data)")
@@ -53,7 +55,8 @@ def main():
                         bf16=args.bf16)
 
     params, history, evaluate = fit(model, train_dataset, test_dataset, cfg,
-                                    model_save_path=model_save_path)
+                                    model_save_path=model_save_path,
+                                    resume_from=args.resume_from)
     print(f"Overall test accuracy: {100 * evaluate(params, test_dataset):06.3f}%")
 
 

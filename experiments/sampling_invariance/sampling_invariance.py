@@ -69,6 +69,8 @@ def main():
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--k_eig", type=int, default=128)
     parser.add_argument("--megakernel", action="store_true")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="checkpoint dir: continue a crashed run")
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--n_train", type=int, default=80)
     parser.add_argument("--n_test", type=int, default=20)
@@ -122,7 +124,8 @@ def main():
         params = restore_checkpoint(args.load_model, params)
     else:
         params, history, evaluate = fit(model, train_dataset, test_dataset,
-                                        cfg, model_save_path=model_save_path)
+                                        cfg, model_save_path=model_save_path,
+                                        resume_from=args.resume_from)
 
     print(f"Overall test accuracy: {100 * evaluate(params, test_dataset):06.3f}%")
     per_mutation_geodesic_errors(model, params, test_dataset, cfg,
