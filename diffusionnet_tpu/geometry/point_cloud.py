@@ -83,24 +83,29 @@ def _cotan_from_lengths(lengths: np.ndarray):
     return cot, area
 
 
-def point_cloud_laplacian(verts: np.ndarray, n_neighbors: int = 30,
+def mesh_laplacian_robust(verts: np.ndarray, faces: np.ndarray,
                           mollify_factor: float = 1e-6):
-    """(L, mass) for a point cloud; both float64, L a (V,V) CSC PSD matrix.
+    """Robust (L, mass) for an arbitrary triangle SOUP — nonmanifold edges,
+    inconsistent orientation, degenerate slivers all allowed.
 
-    The triangulation runs in threaded native C++ when available (the
-    per-point SVD + Delaunay loop is the hot precompute path at cloud scale);
-    the pure-Python implementation is the fallback and the test oracle."""
+    The Sharp-Crane tufted-cover construction on a soup yields exactly twice
+    the per-face cotan sums and twice the barycentric mass (every face appears
+    twice in the cover), so the generalized eigenproblem L phi = lambda M phi
+    and all diffusion operators are IDENTICAL to assembling per-face cotans
+    from intrinsically mollified edge lengths — which is what this does.
+    Counterpart of the reference's commented-out robust mesh path
+    (geometry.py:320-321) and robust_laplacian.mesh_laplacian."""
     verts = np.asarray(verts, dtype=np.float64)
-    V = verts.shape[0]
-    try:
-        from ..native import cloud_triangles_native
-        faces = cloud_triangles_native(verts, k=n_neighbors)
-        if faces.shape[0] == 0:
-            raise RuntimeError("no triangles")
-    except Exception:
-        faces = _local_triangles(verts, n_neighbors=n_neighbors)
+    faces = np.asarray(faces, dtype=np.int64)
+    # drop degenerate faces (repeated vertices contribute nothing)
+    ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+          & (faces[:, 0] != faces[:, 2]))
+    return _soup_laplacian(verts, faces[ok], mollify_factor)
 
-    # intrinsic edge lengths: l[:, i] is the side opposite corner i
+
+def _soup_laplacian(verts: np.ndarray, faces: np.ndarray,
+                    mollify_factor: float):
+    V = verts.shape[0]
     p = verts[faces]  # (T,3,3)
     l = np.stack([
         np.linalg.norm(p[:, 1] - p[:, 2], axis=-1),
@@ -119,12 +124,33 @@ def point_cloud_laplacian(verts: np.ndarray, n_neighbors: int = 30,
         cols_l += [k, j, j, k]
         vals_l += [-w, -w, w, w]
     L = scipy.sparse.coo_matrix(
-        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
+        (np.concatenate(vals_l),
+         (np.concatenate(rows_l), np.concatenate(cols_l))),
         shape=(V, V)).tocsc()
 
     mass = np.zeros(V, dtype=np.float64)
     for corner in range(3):
         np.add.at(mass, faces[:, corner], area / 3.0)
     # guard against isolated points that received no triangles
-    mass[mass == 0.0] = mass[mass > 0.0].mean() * 1e-8 if (mass > 0).any() else 1.0
+    mass[mass == 0.0] = (mass[mass > 0.0].mean() * 1e-8
+                         if (mass > 0).any() else 1.0)
     return L, mass
+
+
+def point_cloud_laplacian(verts: np.ndarray, n_neighbors: int = 30,
+                          mollify_factor: float = 1e-6):
+    """(L, mass) for a point cloud; both float64, L a (V,V) CSC PSD matrix.
+
+    The triangulation runs in threaded native C++ when available (the
+    per-point SVD + Delaunay loop is the hot precompute path at cloud scale);
+    the pure-Python implementation is the fallback and the test oracle."""
+    verts = np.asarray(verts, dtype=np.float64)
+    V = verts.shape[0]
+    try:
+        from ..native import cloud_triangles_native
+        faces = cloud_triangles_native(verts, k=n_neighbors)
+        if faces.shape[0] == 0:
+            raise RuntimeError("no triangles")
+    except Exception:
+        faces = _local_triangles(verts, n_neighbors=n_neighbors)
+    return _soup_laplacian(verts, faces, mollify_factor)
