@@ -25,6 +25,9 @@ def _block_params(params, b: int):
     n_dense = len(mlp)
     Ws = tuple(mlp[f"dense_{l:03d}"]["kernel"] for l in range(n_dense))
     bs = tuple(mlp[f"dense_{l:03d}"]["bias"] for l in range(n_dense))
+    if "A" in gf:  # with_gradient_rotations=False: vb_re = gx A, vb_im = gy A
+        A = gf["A"]["kernel"]
+        return t, A, jnp.zeros_like(A), Ws, bs
     return t, gf["A_re"]["kernel"], gf["A_im"]["kernel"], Ws, bs
 
 

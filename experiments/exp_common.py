@@ -94,9 +94,8 @@ def _apply_model(model, params, batch, rng, cfg: FitConfig,
         problems = []
         if model.diffusion_method != "spectral":
             problems.append("diffusion_method must be 'spectral'")
-        if not (model.with_gradient_features
-                and model.with_gradient_rotations):
-            problems.append("gradient features with rotations required")
+        if not model.with_gradient_features:
+            problems.append("gradient features required")
         if model.outputs_at == "edges":
             problems.append("outputs_at='edges' not supported")
         if mega_tile is None:
@@ -106,6 +105,13 @@ def _apply_model(model, params, batch, rng, cfg: FitConfig,
             raise ValueError("use_megakernel unsupported for this model: "
                              + "; ".join(problems))
         from diffusionnet_tpu.models.fast_path import megablock_apply
+        # Pallas interpret mode when running on CPU (tests / machines without
+        # an accelerator) — same code path, executed by XLA:CPU. The pinned
+        # jax_default_device wins over default_backend(): some TPU plugins
+        # ignore JAX_PLATFORMS while tests pin the default device to CPU.
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform == "cpu" if dd is not None
+                     else jax.default_backend() == "cpu")
         dropout_rng = (rngs or {}).get("dropout") if (model.dropout
                                                       and not deterministic) else None
         evecs = batch.ops.evecs
@@ -118,7 +124,8 @@ def _apply_model(model, params, batch, rng, cfg: FitConfig,
         logits = megablock_apply(
             params, feats, batch.ops.mass, batch.ops.evals, evecs,
             gX, gY, n_block=model.n_block, tile_v=mega_tile,
-            dropout_rng=dropout_rng).astype(jnp.float32)
+            dropout_rng=dropout_rng,
+            interpret=interpret).astype(jnp.float32)
         if model.outputs_at == "global_mean":
             logits = (jnp.sum(logits * batch.ops.mass[..., None], axis=-2)
                       / jnp.sum(batch.ops.mass, axis=-1, keepdims=True))

@@ -240,3 +240,20 @@ def test_classification_mixed_precision_bf16():
                                     verbose=False)
     assert history[-1][1] >= 0.9, history
     assert evaluate(params, test_ds) >= 0.8
+
+
+@pytest.mark.e2e
+def test_megakernel_harness_path_learns():
+    """cfg.use_megakernel through the experiment harness (interpret mode on
+    this CPU backend — identical code path to the TPU fast path)."""
+    from exp_common import FitConfig, build_model, fit
+    train_ds, test_ds = _make_classification_sets(n_per_class=6, n_test=2)
+
+    cfg = FitConfig(n_epoch=14, lr=1e-2, decay_every=50, batch_size=6,
+                    input_features="hks", label_smoothing=0.2,
+                    labels_kind="global", use_megakernel=True)
+    model = build_model(n_class=3, c_width=16, outputs_at="global_mean",
+                        dropout=False, input_features="hks", n_block=2)
+    params, history, evaluate = fit(model, train_ds, test_ds, cfg,
+                                    verbose=False)
+    assert history[-1][1] >= 0.85, history

@@ -208,3 +208,50 @@ def test_megablock_apply_grads_match_model(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4), g_model,
         g_fast)
+
+
+def test_megablock_apply_no_gradient_rotations(rng):
+    """with_gradient_rotations=False runs through the kernel as A_im=0."""
+    from diffusionnet_tpu.geometry import compute_operators, pad_operators, grad_operators
+    from diffusionnet_tpu.models import DiffusionNet
+    from diffusionnet_tpu.models.fast_path import megablock_apply
+    from tests.meshgen import icosphere
+
+    verts, faces = icosphere(subdivisions=2)
+    ops = compute_operators(verts, faces, k_eig=16)
+    ops = pad_operators(ops, v_pad=256)
+    gX, gY = grad_operators(ops)
+    jo = jax.tree.map(jnp.asarray, ops)
+    x = jnp.asarray(np.pad(verts.astype(np.float32),
+                           ((0, 256 - verts.shape[0]), (0, 0))))
+
+    model = DiffusionNet(c_in=3, c_out=5, c_width=8, n_block=2, dropout=False,
+                         with_gradient_rotations=False)
+    params = model.init(jax.random.PRNGKey(1), x, jo.mass, evals=jo.evals,
+                        evecs=jo.evecs, gradX=jnp.asarray(gX),
+                        gradY=jnp.asarray(gY))
+    out_model = np.asarray(model.apply(params, x, jo.mass, evals=jo.evals,
+                                       evecs=jo.evecs, gradX=jnp.asarray(gX),
+                                       gradY=jnp.asarray(gY)))
+    out_fast = np.asarray(megablock_apply(
+        params, x[None], jo.mass[None], jo.evals[None], jo.evecs[None],
+        jnp.asarray(gX)[None], jnp.asarray(gY)[None], n_block=2, tile_v=128,
+        interpret=True))[0]
+    np.testing.assert_allclose(out_fast, out_model, rtol=2e-4, atol=2e-5)
+
+    # gradients wrt A must match too (dA_im is discarded exactly)
+    def loss_model(p):
+        return jnp.sum(model.apply(p, x, jo.mass, evals=jo.evals,
+                                   evecs=jo.evecs, gradX=jnp.asarray(gX),
+                                   gradY=jnp.asarray(gY)) ** 2)
+
+    def loss_fast(p):
+        return jnp.sum(megablock_apply(
+            p, x[None], jo.mass[None], jo.evals[None], jo.evecs[None],
+            jnp.asarray(gX)[None], jnp.asarray(gY)[None], n_block=2,
+            tile_v=128, interpret=True) ** 2)
+
+    g_m = jax.grad(loss_model)(params)
+    g_f = jax.grad(loss_fast)(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4), g_m, g_f)
