@@ -108,8 +108,19 @@ def main():
 
     s0 = shape_of[id(all_ds[0])](0)
     params = model.init({"params": rng}, s0, s0)
+    if not args.load_model and args.evaluate:
+        # converted reference weights, when present
+        cand = os.path.join(base_path, "pretrained_models",
+                            f"{args.test_dataset}_{input_features}.npz")
+        if os.path.exists(cand):
+            args.load_model = cand
     if args.load_model:
-        params = restore_checkpoint(args.load_model, params)
+        if args.load_model.endswith(".npz"):
+            sys.path.insert(0, os.path.join(base_path, "..", "tools"))
+            from convert_torch_checkpoint import load_converted
+            params = load_converted(args.load_model)
+        else:
+            params = restore_checkpoint(args.load_model, params)
     if args.evaluate and not args.load_model:
         raise ValueError("--evaluate requires --load_model")
 

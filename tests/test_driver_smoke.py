@@ -222,3 +222,28 @@ def test_sampling_invariance_driver(tmp_path):
                ["--n_epoch", "1", "--batch_size", "2", "--k_eig", "8",
                 "--n_train", str(n_train), "--n_test", str(n_test),
                 "--data_dir", str(root)])
+
+
+def test_functional_correspondence_evaluate_pretrained(tmp_path):
+    """--evaluate auto-loads the converted reference checkpoint and runs the
+    eval path (fmap loss + exact-geodesic error) end-to-end."""
+    npz = os.path.join(EXP, "functional_correspondence", "pretrained_models",
+                       "faust_hks.npz")
+    if not os.path.exists(npz):
+        pytest.skip("converted checkpoint unavailable")
+    root = tmp_path / "fmaps"
+    off_dir = root / "faust" / "off_2"
+    vts_dir = root / "faust" / "corres"
+    off_dir.mkdir(parents=True)
+    vts_dir.mkdir(parents=True)
+    for i in range(5):  # 3 "train" + 2 held-out (only the 2 are evaluated)
+        verts, faces = small_mesh(i, subdivisions=3)  # 642 verts >= k_eig
+        write_off(str(off_dir / f"tr_reg_{i:03d}.off"), verts, faces)
+        rng = np.random.RandomState(300 + i)
+        np.savetxt(str(vts_dir / f"tr_reg_{i:03d}.vts"),
+                   rng.permutation(len(verts))[:40] + 1, fmt="%d")
+
+    run_driver("functional_correspondence", "functional_correspondence.py",
+               ["--evaluate", "--test_dataset", "faust",
+                "--k_eig", "128", "--n_fmap", "30", "--n_feat", "128",
+                "--n_train", "3", "--n_test", "2", "--data_dir", str(root)])
