@@ -69,16 +69,18 @@ def tpu_forward(ops, x):
                         evals=jops.evals, evecs=jops.evecs, gradX=gX,
                         gradY=gY)
 
-    # bf16 tiles for the big (V,K) operand streams, f32 accumulation
+    # bf16 streams (operators AND activations): single-mesh forward is
+    # HBM-bandwidth-bound, so halving the streams matters most here
     evecs16, gX16, gY16 = (jops.evecs.astype(jnp.bfloat16),
                            gX.astype(jnp.bfloat16), gY.astype(jnp.bfloat16))
+    xb16 = xb.astype(jnp.bfloat16)
 
     @jax.jit
     def fwd(params, xb, mass, evals, evecs, gX, gY):
         return megablock_apply(params, xb, mass, evals, evecs, gX, gY,
                                n_block=N_BLOCK, tile_v=2048)
 
-    args = (params, xb, jops.mass, jops.evals, evecs16, gX16, gY16)
+    args = (params, xb16, jops.mass, jops.evals, evecs16, gX16, gY16)
     compiled = fwd.lower(*args).compile()
     mem = compiled.memory_analysis()
     out = fwd(*args)
