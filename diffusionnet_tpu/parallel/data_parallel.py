@@ -18,29 +18,44 @@ from jax import shard_map
 
 
 def make_dp_train_step(loss_fn, optimizer: optax.GradientTransformation,
-                       mesh: Mesh, axis: str = "data", donate: bool = True):
+                       mesh: Mesh, axis: str = "data", donate: bool = True,
+                       has_aux: bool = False):
     """Build a jitted data-parallel train step.
 
-    loss_fn(params, batch, rng) -> scalar loss. batch is a pytree whose leaves all
-    carry a leading batch axis divisible by the mesh's `data` size.
+    loss_fn(params, batch, rng) -> scalar loss (or (loss, aux) with
+    has_aux=True; aux leaves are per-shard SUMS and get psum'd). batch is a
+    pytree whose leaves all carry a leading batch axis divisible by the mesh's
+    `data` size.
 
-    Returns train_step(params, opt_state, batch, rng) -> (params, opt_state, loss).
-    """
+    Because the model runs per-device INSIDE shard_map, this composes with
+    Pallas kernels (the megakernel fast path) — XLA cannot auto-partition a
+    custom call, but each device simply launches its own kernel on its shard.
+
+    Returns train_step(params, opt_state, batch, rng) ->
+    (params, opt_state, loss[, aux])."""
 
     def device_fn(params, opt_state, batch, rng):
         # decorrelate dropout across devices
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        if has_aux:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng)
+            aux = jax.lax.psum(aux, axis)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
         grads = jax.lax.pmean(grads, axis)
         loss = jax.lax.pmean(loss, axis)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if has_aux:
+            return params, opt_state, loss, aux
         return params, opt_state, loss
 
+    out_specs = (P(), P(), P(), P()) if has_aux else (P(), P(), P())
     sharded = shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(), P(), P(axis), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=out_specs,
         check_vma=False,
     )
 

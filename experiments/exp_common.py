@@ -197,6 +197,7 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
     rng = jax.random.PRNGKey(cfg.seed)
 
     shard_batch = None
+    dp_mesh = None
     if cfg.data_parallel:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
         devs = list(devices) if devices is not None else jax.devices()
@@ -231,16 +232,32 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         cfg.lr, cfg.decay_every * steps_per_epoch, cfg.decay_rate))
     opt_state = optimizer.init(params)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
-        def loss_fn(p):
-            preds = _apply_model(model, p, batch, rng, cfg, deterministic=False)
-            loss, counts = _loss_and_counts(preds, batch, cfg)
-            return loss, counts
+    if dp_mesh is not None:
+        # data-parallel via shard_map: each device runs the model (including
+        # Pallas megakernels, which XLA cannot auto-partition) on its batch
+        # shard; grads pmean over ICI; counts psum
+        from diffusionnet_tpu.parallel import make_dp_train_step
 
-        (loss, counts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, counts
+        def dp_loss(params, batch, rng):
+            preds = _apply_model(model, params, batch, rng, cfg,
+                                 deterministic=False)
+            return _loss_and_counts(preds, batch, cfg)
+
+        train_step = make_dp_train_step(dp_loss, optimizer, dp_mesh,
+                                        has_aux=True)
+    else:
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                preds = _apply_model(model, p, batch, rng, cfg,
+                                     deterministic=False)
+                loss, counts = _loss_and_counts(preds, batch, cfg)
+                return loss, counts
+
+            (loss, counts), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss, counts
 
     @jax.jit
     def eval_step(params, batch):

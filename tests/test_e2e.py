@@ -257,3 +257,22 @@ def test_megakernel_harness_path_learns():
     params, history, evaluate = fit(model, train_ds, test_ds, cfg,
                                     verbose=False)
     assert history[-1][1] >= 0.85, history
+
+
+@pytest.mark.e2e
+def test_data_parallel_megakernel_learns(cpu_devices):
+    """cfg.data_parallel + cfg.use_megakernel: the shard_map DP path launches
+    the (interpret-mode) megakernel per device — the composition XLA's
+    auto-partitioner cannot do with custom calls."""
+    from exp_common import FitConfig, build_model, fit
+    train_ds, test_ds = _make_classification_sets(n_per_class=6, n_test=2)
+
+    cfg = FitConfig(n_epoch=12, lr=1e-2, decay_every=50, batch_size=8,
+                    input_features="hks", label_smoothing=0.2,
+                    labels_kind="global", use_megakernel=True,
+                    data_parallel=True)
+    model = build_model(n_class=3, c_width=16, outputs_at="global_mean",
+                        dropout=False, input_features="hks", n_block=2)
+    params, history, evaluate = fit(model, train_ds, test_ds, cfg,
+                                    verbose=False, devices=cpu_devices)
+    assert history[-1][1] >= 0.85, history
