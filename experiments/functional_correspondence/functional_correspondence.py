@@ -64,6 +64,9 @@ def main():
     parser.add_argument("--n_test", type=int, default=20)
     parser.add_argument("--data_dir", type=str, default=None,
                         help="dataset root (default: ./data)")
+    parser.add_argument("--geodesic_method", type=str, default="exact",
+                        help="'exact' (reference parity) | 'heat' (fast "
+                             "approximate) | 'steiner' | 'graph'")
     args = parser.parse_args()
 
     k_eig, n_fmap, n_feat = args.k_eig, args.n_fmap, args.n_feat
@@ -166,7 +169,8 @@ def main():
                 errors = dnt.geodesic_label_errors(
                     test_ds.verts_list[i1], test_ds.faces_list[i1],
                     vts2on1, vts1, normalization="area",
-                    geodesic_cache_dir=geodesic_cache_dir)
+                    geodesic_cache_dir=geodesic_cache_dir,
+                    method=args.geodesic_method)
                 geo_errs.append(float(np.mean(errors)))
         return (np.mean(losses),
                 np.mean(geo_errs) if with_geodesic_error else -1.0)

@@ -32,7 +32,8 @@ from faust_with_robust_test_dataset import FaustWithRobustTestDataset  # noqa: E
 
 
 def per_mutation_geodesic_errors(model, params, test_ds, cfg,
-                                 verts_ref, faces_ref, geodesic_cache_dir):
+                                 verts_ref, faces_ref, geodesic_cache_dir,
+                                 method="exact"):
     """Reference sampling_invariance.py:212-225: mean geodesic error per
     mutation, measured on the training-reference mesh, diameter-normalized."""
     mut_errors = {}
@@ -49,7 +50,8 @@ def per_mutation_geodesic_errors(model, params, test_ds, cfg,
         valid = labels >= 0
         errors = dnt.geodesic_label_errors(
             verts_ref, faces_ref, pred_labels[valid], labels[valid],
-            normalization="diameter", geodesic_cache_dir=geodesic_cache_dir)
+            normalization="diameter", geodesic_cache_dir=geodesic_cache_dir,
+            method=method)
         mut = test_ds.mut_list[i_shape]
         mut_errors.setdefault(mut, []).extend(np.asarray(errors).tolist())
         i_shape += 1
@@ -69,6 +71,9 @@ def main():
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--k_eig", type=int, default=128)
     parser.add_argument("--megakernel", action="store_true")
+    parser.add_argument("--geodesic_method", type=str, default="exact",
+                        help="'exact' (reference parity) | 'heat' (fast "
+                             "approximate) | 'steiner' | 'graph'")
     parser.add_argument("--resume_from", type=str, default=None,
                         help="checkpoint dir: continue a crashed run")
     parser.add_argument("--bf16", action="store_true")
@@ -129,7 +134,8 @@ def main():
 
     print(f"Overall test accuracy: {100 * evaluate(params, test_dataset):06.3f}%")
     per_mutation_geodesic_errors(model, params, test_dataset, cfg,
-                                 verts_ref, faces_ref, geodesic_cache_dir)
+                                 verts_ref, faces_ref, geodesic_cache_dir,
+                                 method=args.geodesic_method)
 
 
 if __name__ == "__main__":
