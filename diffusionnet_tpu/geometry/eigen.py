@@ -70,7 +70,8 @@ def _cheb_coeffs(fn, lo: float, hi: float, degree: int) -> np.ndarray:
 def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = None,
                       eps: float = 1e-8, n_iter: int = 100,
                       lambda_cut: float | None = None,
-                      cheb_degree: int | None = None):
+                      cheb_degree: int | None = None,
+                      oversample: int | None = None):
     """TPU eigensolver for the k smallest generalized eigenpairs of
     L phi = lambda M phi — Chebyshev heat-filtered LOBPCG.
 
@@ -104,10 +105,15 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         y = row_scale[:, None] * y + eps * (row_scale[:, None] ** 2) * x
         return jnp.where(mask[:, None], y, big * x)
 
+    if oversample is None:
+        oversample = max(8, k_eig // 4)
+
     # Weyl's law cutoff estimate: lambda_j ~= 4 pi j / Area for a 2-manifold
+    # (covering the oversampled band so the filter keeps it alive)
     if lambda_cut is None:
         area = float(jnp.sum(massvec))
-        lambda_cut = max(4.0 * np.pi * (k_eig + 1) / max(area, 1e-30), eps)
+        lambda_cut = max(4.0 * np.pi * (k_eig + oversample + 1)
+                         / max(area, 1e-30), eps)
     t = 3.0 / lambda_cut
     if cheb_degree is None:
         cheb_degree = int(1.8 * np.sqrt(max(t * bound, 1.0))) + 12
@@ -134,8 +140,14 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         _, _, acc = jax.lax.fori_loop(2, cheb_degree + 1, body, (t0, t1, acc))
         return acc
 
+    # Oversampling: iterate a larger subspace than requested and keep the
+    # lowest k after the final Rayleigh-Ritz. The top of the requested band
+    # sits near the filter's noise floor (exp(-t*lambda) ~ e^-3); extra
+    # columns push the poorly-converged boundary OUT of the returned band.
+    n_cols = k_eig + oversample
+
     key = jax.random.PRNGKey(0)
-    X0 = jax.random.normal(key, (V, k_eig), dtype=jnp.float32)
+    X0 = jax.random.normal(key, (V, n_cols), dtype=jnp.float32)
     X0 = jnp.where(mask[:, None], X0, 0.0)
 
     from jax.experimental.sparse.linalg import lobpcg_standard
@@ -152,5 +164,5 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
 
     # back-transform: generalized evecs = M^-1/2 U; M-orthonormal by construction
     evecs = inv_sqrt_m[:, None] * U
-    order = jnp.argsort(evals)
+    order = jnp.argsort(evals)[:k_eig]  # drop the oversampled tail
     return evals[order], evecs[:, order]
