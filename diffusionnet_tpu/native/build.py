@@ -32,9 +32,14 @@ def get_lib() -> ctypes.CDLL:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC_ICH)):
-            cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                   _SRC, _SRC_ICH, "-o", _SO]
-            subprocess.run(cmd, check=True, capture_output=True)
+            cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                   "-std=c++17", "-pthread", _SRC, _SRC_ICH, "-o", _SO]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                # some toolchains reject -march=native (cross/sandboxed)
+                cmd.remove("-march=native")
+                subprocess.run(cmd, check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
 
         lib.dnet_knn.argtypes = [

@@ -146,7 +146,13 @@ class Solver {
   // single-source exact distances to all vertices; false on budget overflow
   bool solve(int64_t source, float* out_dist, int64_t window_budget) {
     dist_.assign(V_, std::numeric_limits<double>::infinity());
-    edge_wins_.assign(he_.size(), {});
+    // reuse per-edge window buffers across solves (keeps their capacity
+    // instead of reallocating ~3F vectors per source)
+    if (edge_wins_.size() != he_.size()) {
+      edge_wins_.assign(he_.size(), {});
+    } else {
+      for (auto& lst : edge_wins_) lst.clear();
+    }
     std::priority_queue<Window, std::vector<Window>, WinCmp> pq;
     processed_ = 0;
     budget_ = window_budget;
