@@ -119,7 +119,7 @@ def main():
             from diffusionnet_tpu.models.fast_path import megablock_apply_batched
             xc, evecs, gXc, gYc = x
             out = megablock_apply_batched(
-                params, xc, ops.mass.astype(xc.dtype), ops.evals, evecs,
+                params, xc, ops.mass, ops.evals, evecs,
                 gXc, gYc, n_block=N_BLOCK,
                 tile_v=int(os.environ.get("BENCH_TILE", "2048")))
         else:

@@ -87,6 +87,11 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     L_ell: symmetric PSD weak Laplacian in ELL layout (padded rows all-zero).
     massvec: (V,) strictly positive on valid rows, 0 on padding. Returns
     (evals (k,), evecs (V,k)), evecs M-orthonormal, padded rows exactly zero.
+
+    HBM scaling: LOBPCG holds an extended basis of 3(k+oversample) columns
+    plus temporaries — tens of (V, k+oversample) f32 arrays. 200k x k=128
+    fits a 16 GB chip comfortably; 1M x k=128 does NOT (measured ~36 GB) —
+    use the host path or shard at that scale.
     """
     V = L_ell.idx.shape[0]
     mask = massvec > 0
