@@ -34,13 +34,19 @@ def _block_params(params, b: int):
 def megablock_apply(params, x_in, mass, evals, evecs, gX_spec, gY_spec,
                     n_block: int, tile_v: int = 1024,
                     last_activation=None, dropout_rng=None,
-                    interpret: bool = False):
+                    interpret: bool = False, xhat_reduce=None):
     """Forward pass equivalent to DiffusionNet.apply for the supported config,
     with each block as ONE batched Pallas kernel.
 
     x_in (B, V, C_in); evecs/gX_spec/gY_spec (B, V, K); mass (B, V);
     evals (B, K). dropout_rng: optional PRNG key — when given, MiniMLP dropout
-    (rate 0.5) is active, with per-block on-core PRNG masks."""
+    (rate 0.5) is active, with per-block on-core PRNG masks.
+
+    xhat_reduce: optional callable applied to each block's x_hat = Phi^T(m x).
+    Under shard_map with the V axis sharded, the kernels compute PARTIAL
+    x_hat over the local vertex shard; pass
+    `lambda h: jax.lax.psum(h, "vert")` and the whole fast path becomes
+    vertex-sharded — x_hat (K, C) is the ONLY cross-shard quantity."""
     p = params["params"]
     x = x_in @ p["first_lin"]["kernel"] + p["first_lin"]["bias"]
     # inter-block activations inherit the input precision: with bf16 inputs
@@ -52,6 +58,8 @@ def megablock_apply(params, x_in, mass, evals, evecs, gX_spec, gY_spec,
     # block is a single Pallas sweep over V (see megablock_chained)
     x_hat = jnp.einsum("bvk,bvc->bkc", evecs, x * mass[..., None],
                        preferred_element_type=jnp.float32)
+    if xhat_reduce is not None:
+        x_hat = xhat_reduce(x_hat)
     for b in range(n_block):
         t, A_re, A_im, Ws, bs = _block_params(params, b)
         t = t + jax.lax.stop_gradient(jnp.maximum(t, 1e-8) - t)
@@ -65,6 +73,8 @@ def megablock_apply(params, x_in, mass, evals, evecs, gX_spec, gY_spec,
             x, evecs, gX_spec, gY_spec, mass, coefs, A_re, A_im, Ws, bs,
             seed, x_hat, tile_v, dropout_rng is not None,
             b < n_block - 1, interpret)
+        if x_hat is not None and xhat_reduce is not None:
+            x_hat = xhat_reduce(x_hat)
 
     x = x @ p["last_lin"]["kernel"] + p["last_lin"]["bias"]
     if last_activation is not None:

@@ -45,6 +45,49 @@ def shard_operators_by_vertex(ops: Operators, mesh: Mesh) -> Operators:
     )
 
 
+def vertex_sharded_megakernel_forward(params, x_in, ops: Operators,
+                                      mesh: Mesh, n_block: int,
+                                      tile_v: int = 1024,
+                                      last_activation=None,
+                                      interpret: bool = False):
+    """Vertex-sharded fast path: each device runs the whole-block Pallas
+    megakernel on its V shard; the chained kernels emit PARTIAL
+    x_hat = Phi^T(m x) over the local vertices, and a (K, C) psum over the
+    `vert` axis is the ONLY cross-shard communication per block — the
+    collective is tiny (K*C floats) while all (V, ...) traffic stays local.
+
+    x_in: (V, C_in) for ONE large surface. Requires dense spectral gradient
+    operators (ops.gradX_spec) and V divisible by n_vert_shards * tile_v."""
+    from jax import shard_map
+    from ..models.fast_path import megablock_apply
+
+    vshard = NamedSharding(mesh, P("vert"))
+    x_in = jax.device_put(x_in, vshard)
+    ops = shard_operators_by_vertex(ops, mesh)
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+    if ops.gradX_spec is None:
+        raise ValueError("vertex-sharded megakernel needs spectral gradient "
+                         "operators (ops.gradX_spec)")
+
+    def device_fn(params, x, mass, evals, evecs, gX, gY):
+        out = megablock_apply(
+            params, x[None], mass[None], evals[None], evecs[None], gX[None],
+            gY[None], n_block=n_block, tile_v=tile_v,
+            last_activation=last_activation, interpret=interpret,
+            xhat_reduce=lambda h: jax.lax.psum(h, "vert"))
+        return out[0]
+
+    fwd = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(), P("vert"), P("vert"), P(), P("vert"), P("vert"),
+                  P("vert")),
+        out_specs=P("vert"),
+        check_vma=False,
+    )
+    return jax.jit(fwd)(params, x_in, ops.mass, ops.evals, ops.evecs,
+                        ops.gradX_spec, ops.gradY_spec)
+
+
 def vertex_sharded_forward(model, params, x_in, ops: Operators, mesh: Mesh,
                            **call_kwargs):
     """Run model.apply with the V axis sharded over the `vert` mesh axis.

@@ -210,3 +210,43 @@ def test_two_axis_sharded_train_step(cpu_devices):
     p2, o2, l1 = step(params, opt_state, xs, mass, evals, evecs, gXs, gYs, ys)
     p3, o3, l2 = step(p2, o2, xs, mass, evals, evecs, gXs, gYs, ys)
     assert np.isfinite(float(l1)) and float(l2) < float(l1)
+
+
+def test_vertex_sharded_megakernel_matches_single(cpu_devices):
+    """The megakernel fast path under vertex sharding (per-shard Pallas
+    kernels + a (K,C) psum per block) matches the unsharded fast path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffusionnet_tpu.geometry import (compute_operators, pad_operators,
+                                           grad_operators)
+    from diffusionnet_tpu.models import DiffusionNet
+    from diffusionnet_tpu.models.fast_path import megablock_apply
+    from diffusionnet_tpu.parallel import make_mesh
+    from diffusionnet_tpu.parallel.vertex_sharded import (
+        vertex_sharded_megakernel_forward)
+    from tests.meshgen import icosphere
+
+    verts, faces = icosphere(subdivisions=2)
+    ops = compute_operators(verts, faces, k_eig=16)
+    ops = pad_operators(ops, v_pad=1024)  # 8 shards x 128-tile
+    jops = jax.tree.map(jnp.asarray, ops)
+    x = jnp.asarray(np.pad(verts.astype(np.float32),
+                           ((0, 1024 - verts.shape[0]), (0, 0))))
+
+    model = DiffusionNet(c_in=3, c_out=4, c_width=8, n_block=2, dropout=False)
+    gX, gY = grad_operators(ops)
+    params = model.init(jax.random.PRNGKey(0), x, jops.mass, evals=jops.evals,
+                        evecs=jops.evecs, gradX=jnp.asarray(gX),
+                        gradY=jnp.asarray(gY))
+
+    single = np.asarray(megablock_apply(
+        params, x[None], jops.mass[None], jops.evals[None], jops.evecs[None],
+        jnp.asarray(gX)[None], jnp.asarray(gY)[None], n_block=2, tile_v=128,
+        interpret=True))[0]
+
+    mesh = make_mesh(vert=8, devices=cpu_devices)
+    sharded = np.asarray(vertex_sharded_megakernel_forward(
+        params, x, jops, mesh, n_block=2, tile_v=128, interpret=True))
+
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-5)
