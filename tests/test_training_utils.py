@@ -121,3 +121,22 @@ def test_fit_raises_on_nonfinite_loss():
                         dropout=False, input_features="xyz", n_block=1)
     with pytest.raises(FloatingPointError):
         fit(model, ds, ds, cfg, verbose=False)
+
+
+def test_restore_params_only_from_full_state_checkpoint(tmp_path):
+    """--evaluate --load_model against a training checkpoint: a params-only
+    template extracts the params subtree from a full-train-state save."""
+    import numpy as np
+    from diffusionnet_tpu.training import (save_checkpoint, restore_checkpoint,
+                                           latest_checkpoint)
+    params = {"params": {"dense": {"kernel": np.ones((3, 4), np.float32),
+                                   "bias": np.zeros(4, np.float32)}}}
+    state = {"params": params, "opt_state": {"count": np.int32(7)},
+             "epoch": np.asarray(3, np.int32), "rng": np.zeros(2, np.uint32)}
+    p = save_checkpoint(str(tmp_path), state, step=3)
+    assert latest_checkpoint(str(tmp_path)) == p
+    full = restore_checkpoint(p, state)
+    assert int(full["epoch"]) == 3
+    only = restore_checkpoint(p, params)
+    np.testing.assert_array_equal(only["params"]["dense"]["kernel"],
+                                  params["params"]["dense"]["kernel"])
