@@ -29,4 +29,5 @@ from .host_frames import (
     vertex_normals_np,
     mesh_vertex_normals_np,
 )
-from .parallel_precompute import get_all_operators_parallel
+from .parallel_precompute import (get_all_operators_parallel,
+                                  precompute_shard_for_host)

@@ -39,3 +39,34 @@ def get_all_operators_parallel(verts_list, faces_list, k_eig: int,
     ctx = get_context("spawn")  # fork is unsafe with a live TPU/XLA client
     with ctx.Pool(min(n_workers, n)) as pool:
         return list(pool.map(_worker, jobs))
+
+
+def precompute_shard_for_host(verts_list, faces_list, k_eig: int,
+                              op_cache_dir: str,
+                              process_index: int | None = None,
+                              process_count: int | None = None,
+                              normals=None,
+                              n_workers: int | None = None) -> list[int]:
+    """Multi-host precompute: each host computes a round-robin slice of the
+    dataset into the SHARED op_cache_dir (the cache is race-tolerant, so
+    concurrent hosts are safe — worst case a duplicate bucket file). After all
+    hosts finish, every host loads the full dataset at cache-hit speed with
+    get_all_operators.
+
+    process_index/count default to jax.process_index()/process_count() (the
+    jax.distributed pod identity). Returns the indices this host computed.
+    """
+    if process_index is None or process_count is None:
+        import jax
+        process_index = jax.process_index()
+        process_count = jax.process_count()
+    mine = list(range(process_index, len(verts_list), process_count))
+    if not mine:
+        return mine
+    sub_v = [verts_list[i] for i in mine]
+    sub_f = [faces_list[i] for i in mine]
+    sub_n = None if normals is None else [normals[i] for i in mine]
+    get_all_operators_parallel(sub_v, sub_f, k_eig=k_eig,
+                               op_cache_dir=op_cache_dir, normals=sub_n,
+                               n_workers=n_workers)
+    return mine

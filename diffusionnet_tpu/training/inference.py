@@ -27,25 +27,63 @@ class InferenceSession:
     def __init__(self, model, params, k_eig: int = 128,
                  input_features: str = "hks",
                  op_cache_dir: str | None = None,
-                 buckets=utils.DEFAULT_BUCKETS):
+                 buckets=utils.DEFAULT_BUCKETS,
+                 use_megakernel: bool = False,
+                 bf16: bool = False):
+        """use_megakernel: whole-block Pallas fast path (TPU; falls back to
+        interpret mode on CPU). bf16: cast the big operand streams to bf16 —
+        single-mesh inference is bandwidth-bound, ~1.8x at 200k vertices."""
         self.model = model
         self.params = params
         self.k_eig = k_eig
         self.input_features = input_features
         self.op_cache_dir = op_cache_dir
         self.buckets = buckets
+        self.use_megakernel = use_megakernel
+        self.bf16 = bf16
         self._compiled: dict[int, Callable] = {}
 
     def _fn_for_bucket(self, v_pad: int):
         if v_pad not in self._compiled:
-            @jax.jit
-            def fwd(params, feats, mass, evals, evecs, gX, gY, faces):
-                kwargs = {}
-                if self.model.outputs_at == "faces":
-                    kwargs["faces"] = faces
-                return self.model.apply(params, feats, mass, evals=evals,
-                                        evecs=evecs, gradX=gX, gradY=gY,
-                                        deterministic=True, **kwargs)
+            if self.use_megakernel:
+                from ..models.fast_path import megablock_apply
+                m = self.model
+                if (m.diffusion_method != "spectral"
+                        or not m.with_gradient_features):
+                    raise ValueError("use_megakernel needs spectral diffusion "
+                                     "with gradient features")
+                dd = jax.config.jax_default_device
+                interpret = (dd.platform == "cpu" if dd is not None
+                             else jax.default_backend() == "cpu")
+                tile = next(t for t in (2048, 1024, 512, 256, 128)
+                            if v_pad % t == 0)
+
+                @jax.jit
+                def fwd(params, feats, mass, evals, evecs, gX, gY, faces):
+                    out = megablock_apply(
+                        params, feats[None], mass[None], evals[None],
+                        evecs[None], gX[None], gY[None],
+                        n_block=m.n_block, tile_v=tile,
+                        interpret=interpret)[0].astype(jnp.float32)
+                    # outputs_at remap BEFORE last_activation (reference
+                    # layers.py:376-405 order)
+                    if m.outputs_at == "global_mean":
+                        out = (jnp.sum(out * mass[:, None], axis=0)
+                               / jnp.sum(mass))
+                    elif m.outputs_at == "faces":
+                        out = sum(out[faces[:, i]] for i in range(3)) / 3.0
+                    if m.last_activation is not None:
+                        out = m.last_activation(out)
+                    return out
+            else:
+                @jax.jit
+                def fwd(params, feats, mass, evals, evecs, gX, gY, faces):
+                    kwargs = {}
+                    if self.model.outputs_at == "faces":
+                        kwargs["faces"] = faces
+                    return self.model.apply(params, feats, mass, evals=evals,
+                                            evecs=evecs, gradX=gX, gradY=gY,
+                                            deterministic=True, **kwargs)
             self._compiled[v_pad] = fwd
         return self._compiled[v_pad]
 
@@ -61,13 +99,17 @@ class InferenceSession:
         x = jnp.asarray(utils.pad_to(verts, v_pad))
         je = jax.tree.map(jnp.asarray, ops)
         feats = get_features(self.input_features, x, je.evals, je.evecs)
+        evecs, gX, gY = je.evecs, jnp.asarray(gX), jnp.asarray(gY)
+        if self.bf16 and self.use_megakernel:
+            feats = feats.astype(jnp.bfloat16)
+            evecs = evecs.astype(jnp.bfloat16)
+            gX, gY = gX.astype(jnp.bfloat16), gY.astype(jnp.bfloat16)
 
         faces_arr = (jnp.asarray(np.asarray(faces, np.int32))
                      if faces is not None and np.asarray(faces).size
                      else jnp.zeros((1, 3), jnp.int32))
         out = self._fn_for_bucket(v_pad)(
-            self.params, feats, je.mass, je.evals, je.evecs,
-            jnp.asarray(gX), jnp.asarray(gY), faces_arr)
+            self.params, feats, je.mass, je.evals, evecs, gX, gY, faces_arr)
         out = np.asarray(out)
         if self.model.outputs_at == "vertices":
             return out[:V]

@@ -300,8 +300,11 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
 
     history = []
     best_test_acc = -1.0
+    import time as _time
     for epoch in range(start_epoch, cfg.n_epoch):
+        epoch_t0 = _time.time()
         correct = total = 0
+        last_loss = None
         for batch in prefetch_to_device(
                 make_padded_batches(train_ds, cfg.batch_size,
                                     shuffle=True, seed=cfg.seed + epoch,
@@ -313,7 +316,8 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
                 params, opt_state, batch, step_rng)
             correct += int(c)
             total += int(t)
-            if not np.isfinite(float(loss)):
+            last_loss = float(loss)
+            if not np.isfinite(last_loss):
                 raise FloatingPointError(
                     f"non-finite training loss at epoch {epoch} "
                     "(step skipped would silently corrupt the run); inspect "
@@ -329,9 +333,16 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
                   f"Test overall: {ta}")
         if log_path is not None:
             import json
+            step_count = (epoch + 1) * steps_per_epoch
             with open(log_path, "a") as f:
-                f.write(json.dumps({"epoch": epoch, "train_acc": train_acc,
-                                    "test_acc": test_acc}) + "\n")
+                f.write(json.dumps({
+                    "epoch": epoch, "train_acc": train_acc,
+                    "test_acc": test_acc, "train_loss": last_loss,
+                    "lr": float(cfg.lr * cfg.decay_rate
+                                ** (step_count // max(1, cfg.decay_every
+                                                      * steps_per_epoch))),
+                    "epoch_seconds": round(_time.time() - epoch_t0, 3),
+                }) + "\n")
         # periodic best-checkpointing (the reference only saves once at the
         # end, human_segmentation_original.py:209; full train state here so a
         # crashed run resumes bit-identically)

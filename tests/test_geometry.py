@@ -406,3 +406,27 @@ def test_geodesic_eval_default_is_exact(tmp_path, grid_mesh):
     d1b = geometry.get_all_pairs_geodesic_distance(verts, faces, cache)
     np.testing.assert_allclose(d1, d1b)
     assert np.abs(d1 - d2).max() > 1e-4  # genuinely different methods
+
+
+def test_precompute_shard_for_host(tmp_path):
+    """Multi-host precompute: hosts compute disjoint round-robin slices into
+    the shared race-tolerant cache; afterwards any host loads everything at
+    cache-hit speed."""
+    from diffusionnet_tpu.geometry import (precompute_shard_for_host,
+                                           get_all_operators)
+    from tests.meshgen import icosphere, torus, flat_grid
+    shapes = [icosphere(1), torus(8, 6), flat_grid(6)]
+    vs = [s[0] for s in shapes]
+    fs = [s[1] for s in shapes]
+    cache = str(tmp_path)
+    done = []
+    for pidx in range(2):  # simulate a 2-host pod
+        done += precompute_shard_for_host(vs, fs, k_eig=4, op_cache_dir=cache,
+                                          process_index=pidx, process_count=2,
+                                          n_workers=1)
+    assert sorted(done) == [0, 1, 2]
+    import time
+    t0 = time.time()
+    ops = get_all_operators(vs, fs, k_eig=4, op_cache_dir=cache)
+    assert time.time() - t0 < 2.0  # pure cache hits
+    assert len(ops) == 3

@@ -140,3 +140,40 @@ def test_restore_params_only_from_full_state_checkpoint(tmp_path):
     only = restore_checkpoint(p, params)
     np.testing.assert_array_equal(only["params"]["dense"]["kernel"],
                                   params["params"]["dense"]["kernel"])
+
+
+def test_inference_session_megakernel_matches_xla(tmp_path):
+    """InferenceSession(use_megakernel=True) equals the XLA session."""
+    import numpy as np
+    import jax
+    from diffusionnet_tpu.models import DiffusionNet
+    from diffusionnet_tpu.training import InferenceSession
+    from tests.meshgen import icosphere
+
+    verts, faces = icosphere(subdivisions=2)
+    model = DiffusionNet(c_in=16, c_out=4, c_width=8, n_block=2,
+                         dropout=False, outputs_at="vertices",
+                         last_activation=jax.nn.log_softmax)
+    base = InferenceSession(model, None, k_eig=8, input_features="hks",
+                            op_cache_dir=str(tmp_path), buckets=(1024,))
+    # init params through one probe call pathway
+    import jax.numpy as jnp
+    from diffusionnet_tpu.geometry import (get_operators, pad_operators,
+                                           grad_operators)
+    from diffusionnet_tpu.data.features import get_features
+    ops = pad_operators(get_operators(verts, faces, k_eig=8), 1024)
+    gX, gY = grad_operators(ops)
+    jo = jax.tree.map(jnp.asarray, ops)
+    x = jnp.asarray(np.pad(verts.astype(np.float32), ((0, 1024 - len(verts)),
+                                                      (0, 0))))
+    feats = get_features("hks", x, jo.evals, jo.evecs)
+    params = model.init(jax.random.PRNGKey(0), feats, jo.mass,
+                        evals=jo.evals, evecs=jo.evecs,
+                        gradX=jnp.asarray(gX), gradY=jnp.asarray(gY))
+    base.params = params
+    fast = InferenceSession(model, params, k_eig=8, input_features="hks",
+                            op_cache_dir=str(tmp_path), buckets=(1024,),
+                            use_megakernel=True)
+    out_base = base(verts, faces)
+    out_fast = fast(verts, faces)
+    np.testing.assert_allclose(out_fast, out_base, rtol=2e-4, atol=2e-4)
