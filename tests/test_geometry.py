@@ -430,3 +430,46 @@ def test_precompute_shard_for_host(tmp_path):
     ops = get_all_operators(vs, fs, k_eig=4, op_cache_dir=cache)
     assert time.time() - t0 < 2.0  # pure cache hits
     assert len(ops) == 3
+
+
+def test_exact_geodesics_match_bruteforce_oracle():
+    """The native ICH solver equals a brute-force exhaustive-unfolding EXACT
+    oracle (tests/geodesic_oracle.py) to float32 precision on convex meshes —
+    icosahedron, icosphere, and random irregular convex hulls. On convex
+    polyhedra shortest paths never bend at vertices, so the oracle is complete
+    and this is a true machine-exactness check for the MMP-family solver."""
+    from scipy.spatial import ConvexHull
+    from tests.meshgen import icosphere
+    from tests.geodesic_oracle import exact_convex_geodesic
+    try:
+        from diffusionnet_tpu.native import exact_geodesics_native
+        exact_geodesics_native(*icosphere(0), np.array([0]))
+    except Exception:
+        pytest.skip("native build unavailable")
+
+    def check(verts, faces, seed, name):
+        rs = np.random.RandomState(seed)
+        V = len(verts)
+        srcs = rs.choice(V, size=3, replace=False)
+        d_ich = exact_geodesics_native(verts, faces, srcs)
+        for i, s in enumerate(srcs):
+            for t in rs.choice(V, size=3, replace=False):
+                o = exact_convex_geodesic(verts, faces, int(s), int(t))
+                np.testing.assert_allclose(d_ich[i, t], o, rtol=1e-6,
+                                           atol=1e-7, err_msg=f"{name} {s}->{t}")
+
+    check(*icosphere(subdivisions=0), 0, "icosahedron")
+    check(*icosphere(subdivisions=1), 1, "icosphere1")
+    for seed in (1, 2):
+        rs = np.random.RandomState(seed)
+        pts = rs.randn(14, 3)
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        pts *= 1.0 + 0.2 * rs.rand(14, 1)
+        hull = ConvexHull(pts)
+        faces = hull.simplices.astype(np.int64)
+        c = pts.mean(axis=0)  # orient all faces outward
+        for i, f in enumerate(faces):
+            n = np.cross(pts[f[1]] - pts[f[0]], pts[f[2]] - pts[f[0]])
+            if np.dot(n, pts[f].mean(axis=0) - c) < 0:
+                faces[i] = faces[i][::-1]
+        check(pts, faces, seed, f"hull{seed}")
