@@ -1,0 +1,224 @@
+"""SurfaceDataset + static-shape padded batching.
+
+TPU-first replacement for the reference's per-experiment
+torch.utils.data.Dataset + DataLoader(batch_size=None) pattern (one
+variable-shape mesh per optimizer step, reference classification_shrec11.py:64,
+human_segmentation_original_dataset.py:120-147). XLA compiles one program per
+shape signature, so variable shapes are poison; here every batch is padded to a
+vertex *bucket* with masked filler, giving a bounded number of compilations
+(SURVEY §7 "fixed shapes everywhere") and real batching (the reference model
+supports a batch dim but its loaders never use it, layers.py:324).
+
+Padding invariants:
+  * padded vertices have mass == 0 -> exact no-ops in every mass-weighted
+    reduction (reference layers.py:393-397);
+  * padded ELL entries have val == 0 -> exact no-ops in operator application;
+  * padding labels are -1 -> excluded from losses/metrics by the harness;
+  * filler samples (to square off a partial final batch) copy a real sample's
+    geometry but carry labels == -1 everywhere, so they never contribute.
+"""
+
+from __future__ import annotations
+
+import collections
+import itertools
+from typing import Iterator, NamedTuple, Sequence
+
+import numpy as np
+
+from .. import utils
+from ..geometry.operators import (Operators, get_operators, pad_operators)
+
+LABEL_KINDS = ("global", "vertex", "face")
+
+
+class PaddedBatch(NamedTuple):
+    """One statically-shaped training batch (a pytree of arrays; every leaf has
+    leading batch dim B, so `jax.device_put(batch, NamedSharding(mesh, P('data')))`
+    shards the whole batch data-parallel in one call)."""
+    verts: np.ndarray      # (B, Vp, 3) float32
+    ops: Operators         # stacked/padded operator bundle (leaves lead with B)
+    labels: np.ndarray     # (B,) | (B, Vp) | (B, Fp) int32; -1 = ignore
+    faces: np.ndarray      # (B, Fp, 3) int32; -1 rows = padding
+    face_mask: np.ndarray  # (B, Fp) bool; True on real faces of real samples
+
+
+class SurfaceDataset:
+    """A list of surfaces (mesh or point cloud), labels, and — after
+    `precompute()` — their spectral operator bundles.
+
+    labels_kind: 'global' (one int per shape), 'vertex' (V ints), or 'face'
+    (F ints) — matching the three label granularities of the reference suites
+    (classification_shrec11 / rna+sampling_invariance / human_segmentation).
+    """
+
+    def __init__(self, labels_kind: str = "global"):
+        if labels_kind not in LABEL_KINDS:
+            raise ValueError(f"labels_kind must be one of {LABEL_KINDS}, "
+                             f"got '{labels_kind}'")
+        self.labels_kind = labels_kind
+        self.verts_list: list[np.ndarray] = []
+        self.faces_list: list[np.ndarray] = []
+        self.labels_list: list[np.ndarray] = []
+        self.ops_list: list[Operators] = []
+
+    def __len__(self) -> int:
+        return len(self.verts_list)
+
+    def add(self, verts, faces, labels) -> None:
+        """Add one surface. faces: (F,3) int, or None/empty for a point cloud.
+        labels: an int ('global'), (V,) ints ('vertex'), or (F,) ints ('face')."""
+        verts = np.asarray(verts, dtype=np.float32)
+        if verts.ndim != 2 or verts.shape[1] != 3:
+            raise ValueError(f"verts must be (V, 3), got {verts.shape}")
+        if faces is None or np.asarray(faces).size == 0:
+            faces = np.zeros((0, 3), dtype=np.int64)
+        else:
+            faces = np.asarray(faces, dtype=np.int64)
+        labels = np.asarray(labels, dtype=np.int32)
+        if self.labels_kind == "global":
+            if labels.ndim != 0:
+                raise ValueError("'global' labels must be scalars")
+        elif self.labels_kind == "vertex":
+            if labels.shape != (verts.shape[0],):
+                raise ValueError(f"'vertex' labels must be (V,)={verts.shape[0]}, "
+                                 f"got {labels.shape}")
+        else:  # face
+            if labels.shape != (faces.shape[0],):
+                raise ValueError(f"'face' labels must be (F,)={faces.shape[0]}, "
+                                 f"got {labels.shape}")
+        self.verts_list.append(verts)
+        self.faces_list.append(faces)
+        self.labels_list.append(labels)
+
+    def precompute(self, k_eig: int, op_cache_dir: str | None = None,
+                   normals_list: Sequence | None = None,
+                   verbose: bool = True) -> None:
+        """Compute (or load from cache) the Operators bundle for every surface
+        (reference get_all_operators, geometry.py:395-424). normals_list:
+        optional per-sample (V,3) normal overrides (the sampling_invariance
+        cloud flow, reference dataset.py:107-115,146)."""
+        n = len(self)
+        if normals_list is not None and len(normals_list) != n:
+            raise ValueError(f"normals_list has {len(normals_list)} entries "
+                             f"for {n} samples")
+        self.ops_list = []
+        for i in range(n):
+            if verbose:
+                print(f"precomputing operators {i + 1} / {n}")
+            normals = None if normals_list is None else normals_list[i]
+            self.ops_list.append(get_operators(
+                self.verts_list[i], self.faces_list[i], k_eig=k_eig,
+                op_cache_dir=op_cache_dir, normals=normals))
+
+
+def _group_by_bucket(ds: SurfaceDataset, buckets) -> dict[int, list[int]]:
+    """sample index -> vertex bucket; buckets=None puts the whole dataset in
+    one bucket sized for its largest shape."""
+    if buckets is None:
+        v_pad = utils.bucket_size(max(v.shape[0] for v in ds.verts_list))
+        return {v_pad: list(range(len(ds)))}
+    groups: dict[int, list[int]] = {}
+    for i, v in enumerate(ds.verts_list):
+        groups.setdefault(utils.bucket_size(v.shape[0], buckets), []).append(i)
+    return dict(sorted(groups.items()))
+
+
+def _stack_group(ds: SurfaceDataset, idx: Sequence[int], n_fill: int,
+                 v_pad: int, f_pad: int, k_eig: int, d_l: int, d_g: int
+                 ) -> PaddedBatch:
+    """Assemble one PaddedBatch from sample indices + n_fill filler copies."""
+    import jax  # tree.map only; leaves stay numpy
+
+    take = list(idx) + [idx[0]] * n_fill
+    verts = np.stack([utils.pad_to(ds.verts_list[i], v_pad) for i in take])
+    faces = np.stack([utils.pad_to(ds.faces_list[i].astype(np.int32), f_pad,
+                                   value=-1) for i in take])
+    face_mask = np.zeros((len(take), f_pad), dtype=bool)
+    for b, i in enumerate(idx):
+        face_mask[b, :ds.faces_list[i].shape[0]] = True
+
+    if ds.labels_kind == "global":
+        labels = np.asarray([ds.labels_list[i] for i in idx]
+                            + [-1] * n_fill, np.int32)
+    else:
+        pad_len = v_pad if ds.labels_kind == "vertex" else f_pad
+        rows = [utils.pad_to(ds.labels_list[i], pad_len, value=-1) for i in idx]
+        rows += [np.full(pad_len, -1, np.int32)] * n_fill
+        labels = np.stack(rows).astype(np.int32)
+
+    def prep(o: Operators) -> Operators:
+        o = o._replace(
+            evals=o.evals[:k_eig], evecs=o.evecs[:, :k_eig],
+            gradX_spec=None if o.gradX_spec is None else o.gradX_spec[:, :k_eig],
+            gradY_spec=None if o.gradY_spec is None else o.gradY_spec[:, :k_eig])
+        return pad_operators(o, v_pad, k_eig, d_l, d_g)
+
+    ops = jax.tree.map(lambda *xs: np.stack(xs, axis=0),
+                       *[prep(ds.ops_list[i]) for i in take])
+    return PaddedBatch(verts=verts, ops=ops, labels=labels, faces=faces,
+                       face_mask=face_mask)
+
+
+def make_padded_batches(ds: SurfaceDataset, batch_size: int,
+                        shuffle: bool = False, seed: int = 0,
+                        buckets=None) -> Iterator[PaddedBatch]:
+    """Yield statically-shaped PaddedBatch pytrees.
+
+    Samples are grouped by vertex bucket (buckets=None: one bucket sized for
+    the dataset's largest shape); each group's pad shapes — v_pad, f_pad, ELL
+    max-degrees — are GROUP-wide constants so every batch of a group shares one
+    XLA program across epochs. A partial final batch is squared off with filler
+    samples whose labels are -1 everywhere (masked out by the loss/metrics).
+    """
+    if not ds.ops_list:
+        raise RuntimeError("call SurfaceDataset.precompute() before batching")
+    if len(ds.ops_list) != len(ds):
+        raise RuntimeError("ops_list is stale: precompute() after every add()")
+
+    rng = np.random.RandomState(seed) if shuffle else None
+    k_eig = min(o.evals.shape[0] for o in ds.ops_list)
+
+    for v_pad, idx in _group_by_bucket(ds, buckets).items():
+        group_ops = [ds.ops_list[i] for i in idx]
+        # group-wide static shapes (rounded so near-identical datasets share
+        # compiled programs)
+        d_l = utils.round_up_to_multiple(
+            max(o.L.max_degree for o in group_ops), 4)
+        d_g = utils.round_up_to_multiple(
+            max(max(o.gradX.max_degree, o.gradY.max_degree)
+                for o in group_ops), 4)
+        max_f = max(ds.faces_list[i].shape[0] for i in idx)
+        f_pad = utils.round_up_to_multiple(max_f, 128) if max_f else 4
+
+        order = list(idx)
+        if rng is not None:
+            order = [order[j] for j in rng.permutation(len(order))]
+        for start in range(0, len(order), batch_size):
+            chunk = order[start:start + batch_size]
+            yield _stack_group(ds, chunk, batch_size - len(chunk),
+                               v_pad, f_pad, k_eig, d_l, d_g)
+
+
+def prefetch_to_device(batches, size: int = 2):
+    """Move PaddedBatch pytrees to the default device ahead of consumption.
+
+    jax.device_put is async: issuing the next batch's host->device transfer
+    while the current step runs hides the PCIe/ICI copy behind compute (the
+    reference's .to(device) x10 per step is fully synchronous,
+    classification_shrec11.py:121-130).
+    """
+    import jax
+
+    queue: collections.deque = collections.deque()
+    it = iter(batches)
+
+    def enqueue(n: int) -> None:
+        for b in itertools.islice(it, n):
+            queue.append(jax.device_put(b))
+
+    enqueue(size)
+    while queue:
+        out = queue.popleft()
+        enqueue(1)
+        yield out
