@@ -1,16 +1,24 @@
-// Exact polyhedral geodesics via ICH (improved Chen-Han continuous Dijkstra),
-// the exact-geodesic capability matching the reference's use of libigl's MMP
-// (reference geometry.py:784-794). Computes exact source-to-all-VERTICES
-// distances, which is precisely what the geodesic-error metric consumes
-// (geometry.py:768-770).
+// Exact polyhedral geodesics via ICH (improved Chen-Han continuous Dijkstra)
+// with MMP-style pairwise window trimming, the exact-geodesic capability
+// matching the reference's use of libigl's MMP (reference geometry.py:784-794).
+// Computes exact source-to-all-VERTICES distances, which is precisely what the
+// geodesic-error metric consumes (geometry.py:768-770).
 //
 // Algorithm: windows (unfolded source images over directed half-edges)
 // propagate across faces in a priority queue ordered by minimal window
-// distance; vertex distance labels give Dijkstra-style pruning (windows
-// dominated by a through-vertex path are dropped); saddle/boundary vertices
-// spawn pseudo-sources. Pruning keeps the window count near-linear in
-// practice; a hard window budget guards the exponential worst case (the
-// caller falls back to Steiner-refined Dijkstra on failure).
+// distance; saddle/boundary vertices spawn pseudo-sources from their settled
+// labels. Window count is controlled by two exact prunes:
+//   1. vertex-label trimming — the MMP endpoint lemma applied as an interval
+//      CLIP (a window loses a prefix to the through-src path and a suffix to
+//      the through-dst path; the crossover is a 1-D quadratic);
+//   2. pairwise window trimming — windows stored per edge are kept PAIRWISE
+//      NON-OVERLAPPING: an incoming window is clipped against each stored
+//      window at the (unique, MMP Lemma) crossing of their distance functions,
+//      and stored windows are symmetrically clipped/split/killed where the
+//      newcomer wins. The queue holds window IDs, so a clipped or killed
+//      window never propagates its stale extent.
+// A hard budget on queue pops guards pathological inputs; the caller falls
+// back to Steiner-refined Dijkstra on failure.
 //
 // Mesh assumptions: triangle mesh, edge-manifold and consistently oriented
 // (each directed edge appears at most once). Returns 1 on success, 0 when the
@@ -29,6 +37,7 @@
 namespace ich {
 
 constexpr double kEps = 1e-12;
+constexpr double kMinWin = 1e-12;  // minimum surviving interval width
 
 struct HalfEdge {
   int32_t dst = -1;    // head vertex
@@ -39,44 +48,35 @@ struct HalfEdge {
   double len = 0.0;
 };
 
-struct Window {
-  int32_t he;      // directed half-edge the window lives on
-  double b0, b1;   // interval on [0, len(he)], measured from src(he)
-  double d0, d1;   // distances from interval endpoints to the pseudo-source
-  double sigma;    // distance from pseudo-source to the true source
-  double key;      // priority: sigma + min distance to interval
-  int32_t vevent = -1;  // >= 0: not a window but a vertex-settled event — when
-  // popped (in key order) the vertex's label is final and, if it is a saddle
-  // or boundary vertex, its pseudo-source windows are spawned exactly then
+// A window: interval [b0, b1] on half-edge `he` (param measured from src) with
+// the unfolded pseudo-source at (sx, sy), sy >= 0, and accumulated distance
+// sigma from the pseudo-source to the true source.
+struct StoredWin {
+  double b0, b1;
+  double sx, sy;
+  double sigma;
+  int32_t he;
+  bool dead;
 };
 
-struct WinCmp {
-  bool operator()(const Window& a, const Window& b) const {
+// distance carried by window w to edge parameter p
+inline double fdist(const StoredWin& w, double p) {
+  return w.sigma + std::hypot(p - w.sx, w.sy);
+}
+
+struct QEntry {
+  double key;       // sigma + min distance to the interval (at push time)
+  int32_t id;       // index into store_, or -1 for a vertex event
+  int32_t vevent;   // >= 0: vertex-settled event — when popped (in key order)
+  // the vertex's label is final and, if it is a saddle or boundary vertex,
+  // its pseudo-source windows are spawned exactly then
+};
+
+struct QCmp {
+  bool operator()(const QEntry& a, const QEntry& b) const {
     return a.key > b.key;
   }
 };
-
-// planar source position from (b0, b1, d0, d1): place the edge on the x-axis
-// (src at b0? no — absolute coordinates along the half-edge), source at y > 0.
-inline bool source_pos(const Window& w, double& sx, double& sy) {
-  double dx = w.b1 - w.b0;
-  if (dx < kEps) return false;
-  // |s - (b0,0)| = d0, |s - (b1,0)| = d1
-  double x = (w.d0 * w.d0 - w.d1 * w.d1 + w.b1 * w.b1 - w.b0 * w.b0)
-             / (2.0 * dx);
-  double y2 = w.d0 * w.d0 - (x - w.b0) * (x - w.b0);
-  sx = x;
-  sy = (y2 <= 0.0) ? 0.0 : std::sqrt(y2);
-  return true;
-}
-
-inline double min_window_dist(const Window& w) {
-  double sx, sy;
-  if (!source_pos(w, sx, sy)) return std::min(w.d0, w.d1);
-  if (sx < w.b0) return w.d0;
-  if (sx > w.b1) return w.d1;
-  return sy;  // perpendicular foot inside the interval
-}
 
 class Solver {
  public:
@@ -127,9 +127,7 @@ class Solver {
       // corner angle at src of this half-edge within its face
       const HalfEdge& a = he_[i];
       const HalfEdge& c = he_[he_[a.next].next];  // incoming at src
-      // angle between a (src->dst) and reversed c (src->c.src)
       double la = a.len, lb = he_[a.next].len, lc = c.len;
-      // opposite side of the corner at src is the edge a.next (dst->apex)
       double cosv = (la * la + lc * lc - lb * lb) / (2.0 * la * lc);
       cosv = std::max(-1.0, std::min(1.0, cosv));
       angle_[a.src] += std::acos(cosv);
@@ -146,14 +144,15 @@ class Solver {
   // single-source exact distances to all vertices; false on budget overflow
   bool solve(int64_t source, float* out_dist, int64_t window_budget) {
     dist_.assign(V_, std::numeric_limits<double>::infinity());
-    // reuse per-edge window buffers across solves (keeps their capacity
-    // instead of reallocating ~3F vectors per source)
-    if (edge_wins_.size() != he_.size()) {
-      edge_wins_.assign(he_.size(), {});
+    store_.clear();
+    // reuse per-edge id lists across solves (keeps their capacity instead of
+    // reallocating ~3F vectors per source)
+    if (edge_ids_.size() != he_.size()) {
+      edge_ids_.assign(he_.size(), {});
     } else {
-      for (auto& lst : edge_wins_) lst.clear();
+      for (auto& lst : edge_ids_) lst.clear();
     }
-    std::priority_queue<Window, std::vector<Window>, WinCmp> pq;
+    PQ pq;
     processed_ = 0;
     budget_ = window_budget;
 
@@ -161,23 +160,32 @@ class Solver {
     // initial windows: full opposite edge of every face incident to source
     for (int32_t hi : out_[source]) {
       const HalfEdge& h = he_[hi];
-      int32_t opp = h.next;  // edge (dst -> apex), opposite the source corner
-      push_source_windows(pq, opp, source, 0.0);
-      // direct edge distances
-      relax(pq, h.dst, h.len);
+      push_source_windows(pq, h.next, source, 0.0);
+      relax(pq, h.dst, h.len);  // direct edge distance
     }
 
     while (!pq.empty()) {
-      Window w = pq.top();
+      QEntry q = pq.top();
       pq.pop();
       if (++processed_ > budget_) return false;
-      if (w.vevent >= 0) {
+      if (q.vevent >= 0) {
         // spawn only if this event still matches the best label (stale events
         // from earlier, larger labels are skipped cheaply)
-        if (w.key <= dist_[w.vevent] + 1e-15) spawn_pseudo(pq, w.vevent);
+        if (q.key <= dist_[q.vevent] + 1e-15) spawn_pseudo(pq, q.vevent);
         continue;
       }
-      if (w.key > max_dist_bound()) continue;
+      if (store_[q.id].dead) continue;
+      // re-trim with the vertex labels as of NOW (tighter than at push time);
+      // stale queue entries die or shrink here before any unfolding work.
+      // The stored entry is updated so later arrivals clip against the
+      // tightened interval.
+      StoredWin w = store_[q.id];
+      if (!trim_stored(w)) {
+        store_[q.id].dead = true;
+        continue;
+      }
+      store_[q.id].b0 = w.b0;
+      store_[q.id].b1 = w.b1;
       propagate(pq, w);
     }
     for (int64_t v = 0; v < V_; ++v)
@@ -186,9 +194,7 @@ class Solver {
   }
 
  private:
-  using PQ = std::priority_queue<Window, std::vector<Window>, WinCmp>;
-
-  double max_dist_bound() const { return std::numeric_limits<double>::max(); }
+  using PQ = std::priority_queue<QEntry, std::vector<QEntry>, QCmp>;
 
   // Improve a vertex distance. Every improvement at a saddle/boundary vertex
   // must eventually spawn its pseudo-source windows — geodesics bend around
@@ -200,10 +206,7 @@ class Solver {
     if (d < dist_[v]) {
       dist_[v] = d;
       if (boundary_[v] || angle_[v] > 2.0 * M_PI + 1e-9) {
-        Window ev{};
-        ev.vevent = v;
-        ev.key = d;
-        pq.push(ev);
+        pq.push({d, -1, v});
       }
     }
   }
@@ -221,62 +224,258 @@ class Solver {
     }
     dA = std::sqrt(dA);
     dB = std::sqrt(dB);
-    relax(pq, h.src, sigma + dA);
-    relax(pq, h.dst, sigma + dB);
-    Window w{hi, 0.0, h.len, dA, dB, sigma, 0.0};
-    w.key = sigma + min_window_dist(w);
-    if (!dominated(w) && !window_dominated(w)) {
-      record_window(w);
-      pq.push(w);
-    }
-  }
-
-  // vertex-domination pruning: drop the window if a path through either edge
-  // endpoint is at least as good for BOTH interval endpoints
-  bool dominated(const Window& w) const {
-    const HalfEdge& h = he_[w.he];
-    double through_A0 = dist_[h.src] + w.b0;
-    double through_A1 = dist_[h.src] + w.b1;
-    double through_B0 = dist_[h.dst] + (h.len - w.b0);
-    double through_B1 = dist_[h.dst] + (h.len - w.b1);
-    double w0 = w.sigma + w.d0, w1 = w.sigma + w.d1;
-    if (through_A0 <= w0 + kEps && through_A1 <= w1 + kEps) return true;
-    if (through_B0 <= w0 + kEps && through_B1 <= w1 + kEps) return true;
-    return false;
+    insert_window(pq, hi, 0.0, h.len, dA, dB, sigma);
   }
 
   void spawn_pseudo(PQ& pq, int32_t v) {
     double sig = dist_[v];
-    for (int32_t hi : out_[v]) {
-      int32_t opp = he_[hi].next;
-      push_source_windows(pq, opp, v, sig);
+    for (int32_t hi : out_[v]) push_source_windows(pq, he_[hi].next, v, sig);
+  }
+
+  // Interval trimming against the edge-endpoint vertex labels — the MMP
+  // endpoint lemma applied as a CLIP instead of an all-or-nothing drop.
+  // Window distance along the edge parameter p:  f(p) = sigma + |(p,0)-(sx,sy)|
+  // vs the through-src path  g_a(p) = dist[src] + p        (f-g_a decreasing)
+  // and the through-dst path g_b(p) = dist[dst] + (L - p)  (f-g_b increasing),
+  // so src-domination removes a PREFIX and dst-domination a SUFFIX of [b0,b1].
+  // Labels only ever decrease, so trimming with the current labels is
+  // conservative-safe. Returns false when nothing survives.
+  bool trim_stored(StoredWin& w) const {
+    const HalfEdge& h = he_[w.he];
+    double ds = dist_[h.src];
+    if (ds + w.b0 <= fdist(w, w.b0) + kEps) {  // src path wins at b0
+      if (ds + w.b1 <= fdist(w, w.b1) + kEps) return false;
+      double c = ds - w.sigma;  // solve sqrt((p-sx)^2+sy^2) = c + p
+      double den = 2.0 * (w.sx + c);
+      if (std::fabs(den) > kEps) {
+        double p = (w.sx * w.sx + w.sy * w.sy - c * c) / den;
+        if (p > w.b0 && p < w.b1) w.b0 = p;
+      }
+    }
+    double dd = dist_[h.dst], L = h.len;
+    if (dd + (L - w.b1) <= fdist(w, w.b1) + kEps) {  // dst path wins at b1
+      if (dd + (L - w.b0) <= fdist(w, w.b0) + kEps) return false;
+      double c2 = dd + L - w.sigma;  // solve sqrt((p-sx)^2+sy^2) = c2 - p
+      double den = 2.0 * (c2 - w.sx);
+      if (std::fabs(den) > kEps) {
+        double p = (c2 * c2 - w.sx * w.sx - w.sy * w.sy) / den;
+        if (p > w.b0 && p < w.b1) w.b1 = p;
+      }
+    }
+    return w.b1 - w.b0 >= kMinWin;
+  }
+
+  // unique crossing of fdist(a,.) - fdist(b,.) on [lo, hi] (MMP Lemma: two
+  // windows' distance functions cross at most once on their overlap).
+  // Analytic: A - B = k with A/B the source distances linearizes to
+  // B = gamma*u + delta, then one more squaring gives a quadratic in u;
+  // roots are validated in-interval with the sign structure, falling back to
+  // bisection when the algebra degenerates (near-equal sources, k ~ 0 etc.).
+  static double cross_param(const StoredWin& a, const StoredWin& b,
+                            double lo, double hi, bool a_wins_lo) {
+    double k = b.sigma - a.sigma;
+    double alpha = 2.0 * (b.sx - a.sx);
+    double beta = a.sx * a.sx + a.sy * a.sy - b.sx * b.sx - b.sy * b.sy;
+    double span = hi - lo;
+    if (std::fabs(k) < 1e-14) {
+      // equal sigma: crossing where the squared distances match (linear)
+      if (std::fabs(alpha) > 1e-14) {
+        double u = -beta / alpha;
+        if (u > lo && u < hi) return u;
+      }
+    } else {
+      double gamma = alpha / (2.0 * k);
+      double delta = (beta - k * k) / (2.0 * k);
+      // (u - bx)^2 + by^2 = (gamma u + delta)^2
+      double qa = 1.0 - gamma * gamma;
+      double qb = -2.0 * (b.sx + gamma * delta);
+      double qc = b.sx * b.sx + b.sy * b.sy - delta * delta;
+      double u = std::numeric_limits<double>::quiet_NaN();
+      if (std::fabs(qa) < 1e-14) {
+        if (std::fabs(qb) > 1e-14) u = -qc / qb;
+        if (u > lo && u < hi && gamma * u + delta >= 0.0) return u;
+      } else {
+        double disc = qb * qb - 4.0 * qa * qc;
+        if (disc >= 0.0) {
+          double sq = std::sqrt(disc);
+          for (double r : {(-qb - sq) / (2.0 * qa), (-qb + sq) / (2.0 * qa)}) {
+            if (r > lo && r < hi && gamma * r + delta >= 0.0
+                && std::fabs(fdist(a, r) - fdist(b, r)) < 1e-9 * (1.0 + span))
+              return r;
+          }
+        }
+      }
+    }
+    // fallback: bisection (also handles roots rejected by rounding)
+    for (int it = 0; it < 40 && hi - lo > 1e-13; ++it) {
+      double mid = 0.5 * (lo + hi);
+      if ((fdist(a, mid) < fdist(b, mid)) == a_wins_lo) lo = mid;
+      else hi = mid;
+    }
+    return 0.5 * (lo + hi);
+  }
+
+  // fixed-capacity piece buffer: windows clipped against incumbents never
+  // split into many pieces in practice; on the (pathological) overflow the
+  // piece is kept UNCLIPPED, which only adds redundant coverage — sound
+  static constexpr int kMaxPieces = 32;
+  struct Pieces {
+    StoredWin buf[kMaxPieces];
+    int n = 0;
+    bool push(const StoredWin& w) {
+      if (n == kMaxPieces) return false;
+      buf[n++] = w;
+      return true;
+    }
+  };
+
+  // pc minus [lo, hi] -> up to two surviving pieces appended to `out`;
+  // returns false when `out` overflowed (caller keeps pc unclipped instead)
+  static bool subtract_interval(const StoredWin& pc, double lo, double hi,
+                                Pieces& out) {
+    if (lo - pc.b0 >= kMinWin) {
+      StoredWin l = pc;
+      l.b1 = lo;
+      if (!out.push(l)) return false;
+    }
+    if (pc.b1 - hi >= kMinWin) {
+      StoredWin r = pc;
+      r.b0 = hi;
+      if (!out.push(r)) return false;
+    }
+    return true;
+  }
+
+  void commit(PQ& pq, const StoredWin& w) {
+    double m = (w.sx < w.b0)   ? std::hypot(w.b0 - w.sx, w.sy)
+               : (w.sx > w.b1) ? std::hypot(w.b1 - w.sx, w.sy)
+                               : w.sy;
+    int32_t id = static_cast<int32_t>(store_.size());
+    store_.push_back(w);
+    edge_ids_[w.he].push_back(id);
+    pq.push({w.sigma + m, id, -1});
+  }
+
+  // remove [lo, hi] (where the newcomer wins) from stored window `id`
+  void clip_stored(PQ& pq, int32_t id, double lo, double hi) {
+    StoredWin e = store_[id];
+    bool left = lo - e.b0 >= kMinWin;
+    bool right = e.b1 - hi >= kMinWin;
+    if (left && right) {
+      StoredWin r = e;
+      r.b0 = hi;
+      store_[id].b1 = lo;  // shrink in place: its queue entry stays valid
+      commit(pq, r);       // the right part needs its own queue entry
+    } else if (left) {
+      store_[id].b1 = lo;
+    } else if (right) {
+      store_[id].b0 = hi;
+    } else {
+      store_[id].dead = true;
     }
   }
 
-  void propagate(PQ& pq, const Window& w) {
+  // Insert a window (b0..b1 on half-edge `hi_edge`, endpoint source distances
+  // d0/d1, accumulated sigma): relax edge-end vertices, clip against vertex
+  // labels, then mutually clip against the windows already stored on the edge
+  // so alive windows stay pairwise non-overlapping.
+  void insert_window(PQ& pq, int32_t hi_edge, double b0, double b1,
+                     double d0, double d1, double sigma) {
+    const HalfEdge& h = he_[hi_edge];
+    b0 = std::max(0.0, b0);
+    b1 = std::min(h.len, b1);
+    if (b1 - b0 < kMinWin) return;
+
+    // canonical planar source position from (b0, b1, d0, d1)
+    double dx = b1 - b0;
+    double x = (d0 * d0 - d1 * d1 + b1 * b1 - b0 * b0) / (2.0 * dx);
+    double y2 = d0 * d0 - (x - b0) * (x - b0);
+    StoredWin w{b0, b1, x, (y2 <= 0.0) ? 0.0 : std::sqrt(y2),
+                sigma, hi_edge, false};
+
+    // endpoint relaxations (valid whenever the interval reaches the vertex)
+    if (w.b0 < 1e-9) relax(pq, h.src, fdist(w, 0.0));
+    if (w.b1 > h.len - 1e-9) relax(pq, h.dst, fdist(w, h.len));
+
+    if (!trim_stored(w)) return;
+
+    Pieces bufs[2];
+    Pieces* pieces = &bufs[0];
+    Pieces* nextp = &bufs[1];
+    pieces->push(w);
+    auto& lst = edge_ids_[hi_edge];
+    size_t n0 = lst.size();  // ids appended during this insert (via
+    // clip_stored splits) are already consistent with the candidate
+    for (size_t li = 0; li < n0 && pieces->n > 0; ++li) {
+      int32_t eid = lst[li];
+      if (store_[eid].dead) continue;
+      StoredWin e = store_[eid];  // copy: store_ may reallocate below
+      Pieces& next = *nextp;
+      next.n = 0;
+      // stored windows are pairwise disjoint, and candidate pieces are only
+      // separated by intervals owned by OTHER stored windows — so at most one
+      // contiguous candidate-win region lies inside e
+      double win_lo = 1e300, win_hi = -1e300;
+      for (int pi = 0; pi < pieces->n; ++pi) {
+        const StoredWin& pc = pieces->buf[pi];
+        double lo = std::max(pc.b0, e.b0), hi2 = std::min(pc.b1, e.b1);
+        // emit(pc) keeps a piece without further clipping when the buffer is
+        // full — redundant coverage only, never lost coverage
+        auto emit = [&](const StoredWin& p) {
+          if (!next.push(p)) commit(pq, p);
+        };
+        if (hi2 - lo < kMinWin) {
+          emit(pc);
+          continue;
+        }
+        // ties favor the incumbent (strict '<' with slack): an identical
+        // duplicate window is absorbed instead of accumulating
+        bool pc_lo = fdist(pc, lo) < fdist(e, lo) - kEps;
+        bool pc_hi = fdist(pc, hi2) < fdist(e, hi2) - kEps;
+        if (!pc_lo && !pc_hi) {
+          // incumbent keeps the overlap: subtract it from the candidate
+          if (next.n + 2 <= kMaxPieces) subtract_interval(pc, lo, hi2, next);
+          else emit(pc);
+        } else if (pc_lo && pc_hi) {
+          win_lo = std::min(win_lo, lo);
+          win_hi = std::max(win_hi, hi2);
+          emit(pc);
+        } else {
+          double p = cross_param(pc, e, lo, hi2, pc_lo);
+          if (pc_lo) {
+            win_lo = std::min(win_lo, lo);
+            win_hi = std::max(win_hi, p);
+            if (next.n + 2 <= kMaxPieces) subtract_interval(pc, p, hi2, next);
+            else emit(pc);
+          } else {
+            win_lo = std::min(win_lo, p);
+            win_hi = std::max(win_hi, hi2);
+            if (next.n + 2 <= kMaxPieces) subtract_interval(pc, lo, p, next);
+            else emit(pc);
+          }
+        }
+      }
+      std::swap(pieces, nextp);
+      if (win_hi - win_lo >= kMinWin) clip_stored(pq, eid, win_lo, win_hi);
+    }
+    for (int pi = 0; pi < pieces->n; ++pi)
+      if (pieces->buf[pi].b1 - pieces->buf[pi].b0 >= kMinWin)
+        commit(pq, pieces->buf[pi]);
+  }
+
+  void propagate(PQ& pq, const StoredWin& w) {
     const HalfEdge& h = he_[w.he];
     if (h.twin < 0) return;  // boundary: nothing beyond
-    if (dominated(w)) return;
 
-    // unfold: place the twin's face in the plane. Coordinates: the shared
-    // edge on the x-axis from 0..len, window source at y > 0 (computed from
-    // b/d), the apex of the twin face at y < 0.
-    double sx, sy;
-    if (!source_pos(w, sx, sy)) return;
+    double sx = w.sx, sy = w.sy;
 
     const HalfEdge& t = he_[h.twin];             // dst->src direction
-    const HalfEdge& e1 = he_[t.next];            // src -> apex
-    const HalfEdge& e2 = he_[e1.next];           // apex -> dst
+    const HalfEdge& e1 = he_[t.next];            // h.src -> apex (at x=0)
+    const HalfEdge& e2 = he_[e1.next];           // apex -> h.dst (at x=L)
     double L = h.len;
-    // apex position (x, -y): from lengths |src-apex| = e1.len (from x=0),
-    // |dst-apex| = e2.len (from x=L). NOTE twin runs dst->src, so in OUR
-    // coordinates (origin at h.src): t.src == h.dst at x=L, t.dst == h.src
-    // at x=0; e1 = (h.dst -> apex) starts at x=L.
+    // unfold the twin face below the x-axis: apex at (ax, ay<=0) from lengths
+    // |h.src-apex| = e1.len (from x=0), |h.dst-apex| = e2.len (from x=L)
     double ax = (e1.len * e1.len - e2.len * e2.len + L * L) / (2.0 * L);
-    // wait: e1 runs from t.dst? recompute below from explicit endpoints.
-    // e1.src == t.dst == h.src (x=0); e1.dst == apex.
-    // e2.src == apex; e2.dst == t.src == h.dst (x=L).
-    ax = (e1.len * e1.len - e2.len * e2.len + L * L) / (2.0 * L);
     double ay2 = e1.len * e1.len - ax * ax;
     double ay = (ay2 <= 0.0) ? 0.0 : -std::sqrt(ay2);
     int32_t apex = e1.dst;
@@ -285,17 +484,14 @@ class Solver {
     double d_apex = std::hypot(sx - ax, sy - ay);
 
     // rays from source through interval endpoints (on the x-axis at b0/b1)
-    // continue into y < 0. Intersect with left edge (x=0..apex) = e1 and
-    // right edge (apex..x=L) = e2.
-    // Parametrize target edges; compute ray/segment intersections.
+    // continue into y < 0; intersect with the far edges e1 (x=0..apex) and
+    // e2 (apex..x=L)
     auto intersect = [&](double bx, double px, double py, double qx, double qy,
                          double& tt, double& ix, double& iy) -> bool {
-      // ray: from (sx, sy) through (bx, 0); segment p->q (both y <= 0)
       double rx = bx - sx, ry = -sy;
       double ex = qx - px, ey = qy - py;
       double den = rx * ey - ry * ex;
       if (std::fabs(den) < kEps) return false;
-      // solve s*(rx,ry) + (sx,sy) = (px,py) + t*(ex,ey)
       double ss = ((px - sx) * ey - (py - sy) * ex) / den;
       tt = (std::fabs(ex) > std::fabs(ey))
                ? ((sx + ss * rx) - px) / ex
@@ -306,18 +502,14 @@ class Solver {
       return tt >= -1e-9 && tt <= 1.0 + 1e-9;
     };
 
-    // which side of the apex do the rays pass? Use the signed area test of
-    // ray direction vs (apex - source).
+    // side of the apex relative to each boundary ray (sign of the cross
+    // product of ray direction with (apex - source))
     auto side_of_apex = [&](double bx) {
-      // cross of (b-s) x (a-s): >0 means apex is to the left of the ray
       return (bx - sx) * (ay - sy) - (0.0 - sy) * (ax - sx);
     };
     double c0 = side_of_apex(w.b0);
     double c1 = side_of_apex(w.b1);
 
-    // LEFT edge e1: from (0,0) to (ax,ay). RIGHT edge e2: (ax,ay) to (L,0).
-    // A ray hits the left edge when the apex is to its left... determine via
-    // intersection attempts (robust enough with the tt range checks).
     struct Hit { bool ok; double t, x, y; };
     auto hit_left = [&](double bx) {
       Hit r{false, 0, 0, 0};
@@ -337,23 +529,12 @@ class Solver {
                     double x_lo, double y_lo, double x_hi, double y_hi,
                     double edge_len) {
       if (t_hi - t_lo < 1e-12) return;
-      Window nw;
-      nw.he = edge_he;
-      nw.b0 = std::max(0.0, t_lo * edge_len);
-      nw.b1 = std::min(edge_len, t_hi * edge_len);
-      if (nw.b1 - nw.b0 < 1e-12) return;
-      nw.d0 = std::hypot(sx - x_lo, sy - y_lo);
-      nw.d1 = std::hypot(sx - x_hi, sy - y_hi);
-      nw.sigma = w.sigma;
-      nw.key = nw.sigma + min_window_dist(nw);
-      // endpoint relaxations
-      const HalfEdge& eh = he_[edge_he];
-      if (nw.b0 < 1e-9) relax(pq, eh.src, nw.sigma + nw.d0);
-      if (nw.b1 > edge_len - 1e-9) relax(pq, eh.dst, nw.sigma + nw.d1);
-      if (!dominated(nw) && !window_dominated(nw)) {
-        record_window(nw);
-        pq_push(pq, nw);
-      }
+      double nb0 = std::max(0.0, t_lo * edge_len);
+      double nb1 = std::min(edge_len, t_hi * edge_len);
+      if (nb1 - nb0 < 1e-12) return;
+      insert_window(pq, edge_he, nb0, nb1,
+                    std::hypot(sx - x_lo, sy - y_lo),
+                    std::hypot(sx - x_hi, sy - y_hi), w.sigma);
     };
 
     // strict apex-straddle test: the apex must lie INSIDE the window's cone;
@@ -379,8 +560,6 @@ class Solver {
     // lose coverage (over-estimate), never produce an invalid short path
   }
 
-  void pq_push(PQ& pq, const Window& w) { pq.push(w); }
-
   const double* pos_ = nullptr;
   int64_t V_ = 0;
   std::vector<HalfEdge> he_;
@@ -391,44 +570,9 @@ class Solver {
   int64_t processed_ = 0, budget_ = 0;
 
  public:
-  // per-edge record of accepted windows (for pairwise domination pruning)
-  struct EdgeWin {
-    double b0, b1, sx, sy, sigma;
-  };
-  std::vector<std::vector<EdgeWin>> edge_wins_;
-
-  // distance of an edge-window's source to edge parameter p
-  static double win_f(const EdgeWin& e, double p) {
-    return e.sigma + std::hypot(p - e.sx, e.sy);
-  }
-
-  // true if candidate w (with source (sx,sy), sigma) is dominated on its whole
-  // interval by an existing window: conservative 3-point check (endpoints +
-  // midpoint; distance functions are hyperbola branches, so this can very
-  // rarely keep a dominated window but prunes the flat-domain blowup)
-  bool window_dominated(const Window& w) {
-    double sx, sy;
-    if (!source_pos(w, sx, sy)) return false;
-    auto& lst = edge_wins_[w.he];
-    double m = 0.5 * (w.b0 + w.b1);
-    double f0 = w.sigma + w.d0, f1 = w.sigma + w.d1;
-    double fm = w.sigma + std::hypot(m - sx, sy);
-    for (const auto& e : lst) {
-      if (e.b0 > w.b0 + 1e-12 || e.b1 < w.b1 - 1e-12) continue;  // must cover
-      if (win_f(e, w.b0) <= f0 + 1e-12 && win_f(e, w.b1) <= f1 + 1e-12
-          && win_f(e, m) <= fm + 1e-12)
-        return true;
-    }
-    return false;
-  }
-
-  void record_window(const Window& w) {
-    double sx, sy;
-    if (!source_pos(w, sx, sy)) return;
-    auto& lst = edge_wins_[w.he];
-    if (lst.size() < 256)  // bounded per-edge memory
-      lst.push_back({w.b0, w.b1, sx, sy, w.sigma});
-  }
+  // window store + per-edge id lists (public for native test harnesses)
+  std::vector<StoredWin> store_;
+  std::vector<std::vector<int32_t>> edge_ids_;
 };
 
 }  // namespace ich
