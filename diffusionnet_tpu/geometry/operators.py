@@ -60,14 +60,18 @@ class Operators(NamedTuple):
     gradY_spec: np.ndarray | None = None  # (V, K) gradY @ evecs
 
 
-def spectral_gradients(gradX: Ell, gradY: Ell, evecs: np.ndarray):
+def spectral_gradients(gradX, gradY, evecs: np.ndarray):
     """Host computation of GX = gradX @ evecs, GY = gradY @ evecs (see
-    Operators docstring). O(V * D * K) — negligible next to the eigensolve."""
+    Operators docstring). O(V * D * K) — negligible next to the eigensolve.
+
+    gradX/gradY: scipy sparse matrices (fast C SpMM) or Ell bundles."""
     evecs = np.asarray(evecs)
 
-    def apply(ell: Ell):
-        gathered = evecs[np.asarray(ell.idx)]          # (V, D, K)
-        return np.einsum("vd,vdk->vk", np.asarray(ell.val), gathered)
+    def apply(op):
+        if isinstance(op, Ell):
+            gathered = evecs[np.asarray(op.idx)]       # (V, D, K)
+            return np.einsum("vd,vdk->vk", np.asarray(op.val), gathered)
+        return np.asarray(op @ evecs)
 
     return (apply(gradX).astype(evecs.dtype),
             apply(gradY).astype(evecs.dtype))
@@ -158,7 +162,7 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
 
     gradX_ell = _csc_to_ell(gradX_sp, dtype=dtype)
     gradY_ell = _csc_to_ell(gradY_sp, dtype=dtype)
-    gX_spec, gY_spec = spectral_gradients(gradX_ell, gradY_ell,
+    gX_spec, gY_spec = spectral_gradients(gradX_sp, gradY_sp,
                                           evecs_np.astype(dtype))
     ops = Operators(
         frames=frames.astype(dtype),
@@ -252,12 +256,12 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
                     os.remove(search_path)
                     break
 
-                gradX_ell = _csc_to_ell(_read_sp_mat(npzfile, "gradX"),
-                                        dtype=dtype)
-                gradY_ell = _csc_to_ell(_read_sp_mat(npzfile, "gradY"),
-                                        dtype=dtype)
+                gradX_sp = _read_sp_mat(npzfile, "gradX")
+                gradY_sp = _read_sp_mat(npzfile, "gradY")
+                gradX_ell = _csc_to_ell(gradX_sp, dtype=dtype)
+                gradY_ell = _csc_to_ell(gradY_sp, dtype=dtype)
                 evecs = npzfile["evecs"][:, :k_eig].astype(dtype)
-                gX_spec, gY_spec = spectral_gradients(gradX_ell, gradY_ell,
+                gX_spec, gY_spec = spectral_gradients(gradX_sp, gradY_sp,
                                                       evecs)
                 return Operators(
                     frames=npzfile["frames"].astype(dtype),

@@ -1,0 +1,123 @@
+"""Direct unit tests for diffusionnet_tpu.data (SurfaceDataset, padded
+batching, prefetch, features) — the TPU-native replacement for the reference's
+per-experiment torch Dataset + DataLoader(batch_size=None) pattern. Consumer
+paths are covered by test_e2e/test_ops; these pin the package's own contract.
+"""
+
+import numpy as np
+import pytest
+
+from diffusionnet_tpu.data import (PaddedBatch, SurfaceDataset,
+                                   make_padded_batches, prefetch_to_device)
+from diffusionnet_tpu.data.features import FEATURE_DIMS, get_features
+from tests.meshgen import icosphere
+
+
+def _ds(kind="global", n=3, label_fn=lambda v: 1):
+    ds = SurfaceDataset(labels_kind=kind)
+    for i in range(n):
+        v, f = icosphere(subdivisions=1)
+        ds.add(v * (1 + 0.01 * i), f, label_fn(v))
+    return ds
+
+
+def test_add_validates_shapes():
+    ds = SurfaceDataset(labels_kind="vertex")
+    v, f = icosphere(subdivisions=1)
+    with pytest.raises(ValueError):
+        ds.add(v, f, np.zeros(5, np.int32))       # wrong label length
+    with pytest.raises(ValueError):
+        ds.add(v[:, :2], f, np.zeros(len(v)))     # verts not (V, 3)
+    ds2 = SurfaceDataset(labels_kind="global")
+    with pytest.raises(ValueError):
+        ds2.add(v, f, np.zeros(3, np.int32))      # global label must be scalar
+    with pytest.raises(ValueError):
+        SurfaceDataset(labels_kind="edge")        # unknown kind
+
+
+def test_batching_requires_precompute():
+    ds = _ds()
+    with pytest.raises(RuntimeError):
+        next(iter(make_padded_batches(ds, 2)))
+    ds.precompute(k_eig=4, verbose=False)
+    batch = next(iter(make_padded_batches(ds, 2)))
+    assert isinstance(batch, PaddedBatch)
+    # stale ops_list after another add() is rejected
+    v, f = icosphere(subdivisions=1)
+    ds.add(v, f, 0)
+    with pytest.raises(RuntimeError):
+        next(iter(make_padded_batches(ds, 2)))
+
+
+def test_batch_static_shapes_and_masks():
+    """Every batch of a dataset shares ONE shape signature (one XLA program);
+    padding rows carry mass == 0 and labels == -1."""
+    ds = _ds(kind="vertex", n=5,
+             label_fn=lambda v: np.zeros(v.shape[0], np.int32))
+    ds.precompute(k_eig=4, verbose=False)
+    batches = list(make_padded_batches(ds, 2, shuffle=False))
+    assert len(batches) == 3
+    sigs = {tuple(np.asarray(leaf).shape for leaf in
+                  [b.verts, b.labels, b.faces, b.face_mask, b.ops.mass,
+                   b.ops.evecs, b.ops.L.idx]) for b in batches}
+    assert len(sigs) == 1, sigs
+    v_real = ds.verts_list[0].shape[0]
+    for b in batches:
+        mass = np.asarray(b.ops.mass)
+        labels = np.asarray(b.labels)
+        assert (mass[:, v_real:] == 0).all()      # padded vertices
+        assert (labels[:, v_real:] == -1).all()   # padded labels ignored
+    # filler sample in the last batch: label -1 on ALL rows
+    assert (np.asarray(batches[-1].labels)[1] == -1).all()
+
+
+def test_shuffle_is_seeded_and_complete():
+    ds = _ds(kind="global", n=7, label_fn=lambda v: 0)
+    for i, l in enumerate(ds.labels_list):
+        ds.labels_list[i] = np.asarray(i, np.int32)  # identify samples
+    ds.precompute(k_eig=4, verbose=False)
+
+    def order(seed):
+        out = []
+        for b in make_padded_batches(ds, 3, shuffle=True, seed=seed):
+            out += [int(x) for x in np.asarray(b.labels) if x >= 0]
+        return out
+
+    a, b_, c = order(1), order(1), order(2)
+    assert a == b_                      # deterministic per seed
+    assert a != c                       # seed changes the order
+    assert sorted(a) == list(range(7))  # a permutation — nothing dropped
+
+
+def test_point_cloud_samples_batch():
+    ds = SurfaceDataset(labels_kind="global")
+    v, _ = icosphere(subdivisions=1)
+    ds.add(v, None, 0)  # no faces -> point cloud
+    ds.precompute(k_eig=4, verbose=False)
+    b = next(iter(make_padded_batches(ds, 1)))
+    assert b.faces.shape[1] >= 1 and not np.asarray(b.face_mask).any()
+
+
+def test_prefetch_preserves_order_and_values():
+    import jax.numpy as jnp
+    ds = _ds(kind="global", n=4, label_fn=lambda v: 0)
+    for i in range(4):
+        ds.labels_list[i] = np.asarray(i, np.int32)
+    ds.precompute(k_eig=4, verbose=False)
+    plain = list(make_padded_batches(ds, 2, shuffle=False))
+    pre = list(prefetch_to_device(make_padded_batches(ds, 2, shuffle=False)))
+    assert len(plain) == len(pre)
+    for a, b in zip(plain, pre):
+        assert isinstance(b.verts, jnp.ndarray)
+        np.testing.assert_array_equal(np.asarray(a.labels),
+                                      np.asarray(b.labels))
+        np.testing.assert_allclose(np.asarray(a.verts), np.asarray(b.verts))
+
+
+def test_feature_dims_and_validation():
+    import jax.numpy as jnp
+    assert FEATURE_DIMS == {"xyz": 3, "hks": 16}
+    v = jnp.zeros((10, 3))
+    with pytest.raises(ValueError):
+        get_features("shot", v, jnp.zeros(4), jnp.zeros((10, 4)))
+    assert get_features("xyz", v, None, None).shape == (10, 3)
