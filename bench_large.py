@@ -119,6 +119,84 @@ def tpu_forward(ops, x, v_true):
     }
 
 
+def tpu_train_step(ops, x, v_true):
+    """Single-chip TRAINING step at 200k vertices — beyond the reference's
+    scale story ('easily train on meshes of 20k vertices ... infer on meshes
+    with 200k vertices', reference README.md:4): fwd+bwd+Adam through the
+    whole-block Pallas megakernel with bf16 operand streams."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from diffusionnet_tpu.geometry import stack_operators, grad_operators
+    from diffusionnet_tpu.models import DiffusionNet
+    from diffusionnet_tpu.models.fast_path import megablock_apply
+
+    sops = stack_operators([ops], v_pad=V_PAD)
+    jops = jax.tree.map(jnp.asarray, sops)
+    x_pad = np.zeros((V_PAD, 3), np.float32)
+    x_pad[:x.shape[0]] = x
+    xb = jnp.asarray(x_pad[None])
+
+    gX, gY = grad_operators(jops)
+    model = DiffusionNet(c_in=3, c_out=8, c_width=C_WIDTH, n_block=N_BLOCK,
+                         dropout=False, outputs_at="vertices")
+    params = model.init(jax.random.PRNGKey(0), xb, jops.mass, L=jops.L,
+                        evals=jops.evals, evecs=jops.evecs, gradX=gX,
+                        gradY=gY)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    consts = (xb.astype(jnp.bfloat16), jops.mass, jops.evals,
+              jops.evecs.astype(jnp.bfloat16), gX.astype(jnp.bfloat16),
+              gY.astype(jnp.bfloat16))
+
+    @jax.jit
+    def step(params, opt_state, xb, mass, evals, evecs, gX, gY):
+        def loss_fn(p):
+            out = megablock_apply(p, xb, mass, evals, evecs, gX, gY,
+                                  n_block=N_BLOCK, tile_v=2048
+                                  ).astype(jnp.float32)
+            m = (mass > 0)[..., None]
+            return jnp.sum((out * m) ** 2) / jnp.sum(m)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    compiled = step.lower(params, opt_state, *consts).compile()
+    mem = compiled.memory_analysis()
+    params, opt_state, loss = step(params, opt_state, *consts)
+    float(loss)
+
+    def run(n):
+        nonlocal params, opt_state
+        t0 = time.perf_counter()
+        loss = None
+        for _ in range(n):
+            params, opt_state, loss = step(params, opt_state, *consts)
+        float(loss)
+        return time.perf_counter() - t0
+
+    run(4)
+    n1, n2 = 10, 30
+    dts = []
+    for _ in range(3):
+        t1, t2 = run(n1), run(n2)
+        dts.append((t2 - t1) / (n2 - n1))
+    dt = max(min(dts), 1e-9)
+    return {
+        "metric": f"single-chip TRAIN step (fwd+bwd+Adam) @ {v_true} verts "
+                  f"(pad {V_PAD}), k={K_EIG}, {N_BLOCK}x{C_WIDTH}, bf16 "
+                  "tiles, Pallas megakernel",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms",
+        "meshes_per_sec": round(1.0 / dt, 1),
+        "hbm_args_bytes": int(getattr(mem, "argument_size_in_bytes", 0)),
+        "hbm_temp_bytes": int(getattr(mem, "temp_size_in_bytes", 0)),
+        "final_loss_finite": bool(np.isfinite(float(loss))),
+    }
+
+
 def sharded_forward(ops, x, n_devices=8):
     """Vertex-sharded forward on an n-device mesh (virtual CPU devices here;
     identical program on a real pod slice). Verifies against unsharded."""
@@ -170,6 +248,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip_tpu", action="store_true")
     ap.add_argument("--skip_sharded", action="store_true")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="skip the single-chip 200k TRAIN-step measurement")
     ap.add_argument("--v1m", action="store_true",
                     help="run at 1,000,000 vertices (pad 1,001,472) — 5x the "
                          "reference's 200k inference claim")
@@ -184,6 +264,8 @@ def main():
                 "value": round(precompute_s, 1), "unit": "s"}]
     if not args.skip_tpu:
         results.append(tpu_forward(ops, x, x.shape[0]))
+    if not args.skip_tpu and not args.skip_train:
+        results.append(tpu_train_step(ops, x, x.shape[0]))
     if not args.skip_sharded:
         results.append(sharded_forward(ops, x))
 
