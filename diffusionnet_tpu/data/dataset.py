@@ -93,11 +93,12 @@ class SurfaceDataset:
 
     def precompute(self, k_eig: int, op_cache_dir: str | None = None,
                    normals_list: Sequence | None = None,
-                   verbose: bool = True) -> None:
+                   verbose: bool = True, eigensolver: str = "host") -> None:
         """Compute (or load from cache) the Operators bundle for every surface
         (reference get_all_operators, geometry.py:395-424). normals_list:
         optional per-sample (V,3) normal overrides (the sampling_invariance
-        cloud flow, reference dataset.py:107-115,146)."""
+        cloud flow, reference dataset.py:107-115,146). eigensolver: 'host'
+        (ARPACK) or 'device' (TPU-resident LOBPCG)."""
         n = len(self)
         if normals_list is not None and len(normals_list) != n:
             raise ValueError(f"normals_list has {len(normals_list)} entries "
@@ -109,7 +110,8 @@ class SurfaceDataset:
             normals = None if normals_list is None else normals_list[i]
             self.ops_list.append(get_operators(
                 self.verts_list[i], self.faces_list[i], k_eig=k_eig,
-                op_cache_dir=op_cache_dir, normals=normals))
+                op_cache_dir=op_cache_dir, normals=normals,
+                eigensolver=eigensolver))
 
 
 def _group_by_bucket(ds: SurfaceDataset, buckets) -> dict[int, list[int]]:

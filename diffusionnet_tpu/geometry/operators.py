@@ -212,10 +212,16 @@ def _read_sp_mat(npzfile, prefix) -> scipy.sparse.csc_matrix:
 
 def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = None,
                   normals=None, overwrite_cache: bool = False,
-                  dtype=np.float32) -> Operators:
+                  dtype=np.float32, eigensolver: str = "host") -> Operators:
     """compute_operators with reference-compatible disk caching
     (geometry.py:426-570): SHA1-of-bytes key, linear probing on collision, exact
-    array-equality verification, k_eig truncation on load, race-tolerant writes."""
+    array-equality verification, k_eig truncation on load, race-tolerant writes.
+
+    eigensolver: 'host' (ARPACK shift-invert with the reference's eps ladder)
+    or 'device' (TPU-resident Chebyshev-filtered LOBPCG — moves the heaviest
+    precompute stage on-chip). Both produce valid mass-orthonormal bases; the
+    disk cache is shared (keyed on geometry only), so a cached entry computed
+    by either solver satisfies a request for the other."""
     verts_np = np.asarray(verts)
     faces_np = (np.asarray(faces) if faces is not None and np.asarray(faces).size
                 else np.zeros((0, 3), dtype=np.int64))
@@ -283,6 +289,7 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
 
     ops, sparse_mats = compute_operators(verts_np, faces_np, k_eig,
                                          normals=normals, dtype=dtype,
+                                         eigensolver=eigensolver,
                                          _return_sparse=True)
     if search_path is not None:
         _write_cache(search_path, np.asarray(verts_np, dtype=np.float64),
@@ -292,7 +299,7 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
 
 def get_all_operators(verts_list, faces_list, k_eig: int,
                       op_cache_dir: str | None = None,
-                      normals=None) -> list[Operators]:
+                      normals=None, eigensolver: str = "host") -> list[Operators]:
     """Batch precompute over a list of shapes (reference geometry.py:395-424).
     Returns a list of Operators (vs the reference's 7 parallel lists)."""
     out = []
@@ -301,7 +308,8 @@ def get_all_operators(verts_list, faces_list, k_eig: int,
         print(f"get_all_operators() processing {i} / {N} {i / N * 100:.3f}%")
         ni = None if normals is None else normals[i]
         out.append(get_operators(verts_list[i], faces_list[i], k_eig,
-                                 op_cache_dir, normals=ni))
+                                 op_cache_dir, normals=ni,
+                                 eigensolver=eigensolver))
     return out
 
 

@@ -75,3 +75,30 @@ def test_compute_operators_device_eigensolver(sphere_mesh):
     np.testing.assert_allclose(ops.evals, expected, atol=0.1)
     # gradX_spec must be built from the device eigenvectors consistently
     assert ops.gradX_spec.shape == (verts.shape[0], 9)
+
+
+def test_get_operators_device_eigensolver_plumbing(sphere_mesh, tmp_path):
+    """The high-level cached entry point exposes the TPU eigensolver:
+    get_operators(eigensolver='device') computes on-device and writes the
+    shared geometry-keyed cache; a later 'host' request loads that entry."""
+    from diffusionnet_tpu.geometry import get_operators
+    verts, faces = sphere_mesh
+    ops = get_operators(verts, faces, k_eig=6, op_cache_dir=str(tmp_path),
+                        eigensolver="device")
+    expected = np.array([0.0] + [2.0] * 3 + [6.0] * 2)
+    np.testing.assert_allclose(ops.evals, expected, atol=0.1)
+    # the cache is shared across solvers: the host request must hit it
+    ops2 = get_operators(verts, faces, k_eig=6, op_cache_dir=str(tmp_path),
+                         eigensolver="host")
+    np.testing.assert_array_equal(np.asarray(ops.evals, np.float32),
+                                  ops2.evals)
+
+
+def test_dataset_precompute_device_eigensolver(sphere_mesh):
+    """SurfaceDataset.precompute(eigensolver='device') end-to-end."""
+    from diffusionnet_tpu.data import SurfaceDataset
+    verts, faces = sphere_mesh
+    ds = SurfaceDataset(labels_kind="global")
+    ds.add(verts, faces, 0)
+    ds.precompute(k_eig=6, verbose=False, eigensolver="device")
+    np.testing.assert_allclose(ds.ops_list[0].evals[1:4], 2.0, atol=0.1)
