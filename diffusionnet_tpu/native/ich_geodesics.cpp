@@ -404,6 +404,18 @@ class Solver {
     Pieces* nextp = &bufs[1];
     pieces->push(w);
     auto& lst = edge_ids_[hi_edge];
+    // lazy compaction: dead ids otherwise accumulate and make this scan
+    // quadratic on churn-heavy edges
+    if (lst.size() > 16) {
+      size_t dead = 0;
+      for (int32_t id : lst) dead += store_[id].dead;
+      if (2 * dead > lst.size()) {
+        size_t out = 0;
+        for (int32_t id : lst)
+          if (!store_[id].dead) lst[out++] = id;
+        lst.resize(out);
+      }
+    }
     size_t n0 = lst.size();  // ids appended during this insert (via
     // clip_stored splits) are already consistent with the candidate
     for (size_t li = 0; li < n0 && pieces->n > 0; ++li) {
