@@ -10,6 +10,7 @@ statically padded `PaddedBatch` pytrees with masked filler samples).
 """
 
 from .dataset import (  # noqa: F401
+    DeviceDataset,
     PaddedBatch,
     SurfaceDataset,
     make_padded_batches,

@@ -20,8 +20,6 @@ Padding invariants:
 
 from __future__ import annotations
 
-import collections
-import itertools
 from typing import Iterator, NamedTuple, Sequence
 
 import numpy as np
@@ -162,25 +160,22 @@ def _stack_group(ds: SurfaceDataset, idx: Sequence[int], n_fill: int,
                        face_mask=face_mask)
 
 
-def make_padded_batches(ds: SurfaceDataset, batch_size: int,
-                        shuffle: bool = False, seed: int = 0,
-                        buckets=None) -> Iterator[PaddedBatch]:
-    """Yield statically-shaped PaddedBatch pytrees.
+def _stacked_groups(ds: SurfaceDataset, buckets):
+    """One padded, stacked pytree per vertex-bucket group, built ONCE per
+    (dataset, bucket config) and cached on the dataset — per-epoch batch
+    assembly is then a fancy-index copy instead of a re-pad + re-stack (at
+    20k-vertex scale the naive per-batch restack costs ~10 s/batch of host
+    work vs ~0.2 s of memcpy). Memory: one padded copy of the dataset in RAM
+    (padding waste is bounded by the bucket granularity). The cache is keyed
+    on the ops_list object, so re-running precompute() invalidates it."""
+    key = (id(ds.ops_list), len(ds),
+           tuple(buckets) if buckets is not None else None)
+    cached = getattr(ds, "_stacked_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
 
-    Samples are grouped by vertex bucket (buckets=None: one bucket sized for
-    the dataset's largest shape); each group's pad shapes — v_pad, f_pad, ELL
-    max-degrees — are GROUP-wide constants so every batch of a group shares one
-    XLA program across epochs. A partial final batch is squared off with filler
-    samples whose labels are -1 everywhere (masked out by the loss/metrics).
-    """
-    if not ds.ops_list:
-        raise RuntimeError("call SurfaceDataset.precompute() before batching")
-    if len(ds.ops_list) != len(ds):
-        raise RuntimeError("ops_list is stale: precompute() after every add()")
-
-    rng = np.random.RandomState(seed) if shuffle else None
     k_eig = min(o.evals.shape[0] for o in ds.ops_list)
-
+    groups = []
     for v_pad, idx in _group_by_bucket(ds, buckets).items():
         group_ops = [ds.ops_list[i] for i in idx]
         # group-wide static shapes (rounded so near-identical datasets share
@@ -192,35 +187,139 @@ def make_padded_batches(ds: SurfaceDataset, batch_size: int,
                 for o in group_ops), 4)
         max_f = max(ds.faces_list[i].shape[0] for i in idx)
         f_pad = utils.round_up_to_multiple(max_f, 128) if max_f else 4
+        stacked = _stack_group(ds, idx, 0, v_pad, f_pad, k_eig, d_l, d_g)
+        groups.append((np.asarray(idx), stacked))
+    ds._stacked_cache = (key, groups)
+    return groups
 
-        order = list(idx)
-        if rng is not None:
-            order = [order[j] for j in rng.permutation(len(order))]
-        for start in range(0, len(order), batch_size):
-            chunk = order[start:start + batch_size]
-            yield _stack_group(ds, chunk, batch_size - len(chunk),
-                               v_pad, f_pad, k_eig, d_l, d_g)
+
+def _batch_rows(stacked: PaddedBatch, order, start: int, batch_size: int,
+                take_fn) -> PaddedBatch:
+    """Assemble one batch from stacked group rows; filler rows repeat the
+    chunk's first sample with labels -1 / face_mask False."""
+    chunk = order[start:start + batch_size]
+    n_fill = batch_size - len(chunk)
+    rows = np.concatenate([chunk, np.full(n_fill, chunk[0], chunk.dtype)])
+    batch = take_fn(stacked, rows)
+    if n_fill:
+        labels = np.asarray(batch.labels).copy()
+        labels[len(chunk):] = -1
+        face_mask = np.asarray(batch.face_mask).copy()
+        face_mask[len(chunk):] = False
+        batch = batch._replace(labels=labels, face_mask=face_mask)
+    return batch
+
+
+def make_padded_batches(ds: SurfaceDataset, batch_size: int,
+                        shuffle: bool = False, seed: int = 0,
+                        buckets=None) -> Iterator[PaddedBatch]:
+    """Yield statically-shaped PaddedBatch pytrees.
+
+    Samples are grouped by vertex bucket (buckets=None: one bucket sized for
+    the dataset's largest shape); each group's pad shapes — v_pad, f_pad, ELL
+    max-degrees — are GROUP-wide constants so every batch of a group shares one
+    XLA program across epochs. A partial final batch is squared off with filler
+    samples whose labels are -1 everywhere (masked out by the loss/metrics).
+    """
+    import jax
+
+    if not ds.ops_list:
+        raise RuntimeError("call SurfaceDataset.precompute() before batching")
+    if len(ds.ops_list) != len(ds):
+        raise RuntimeError("ops_list is stale: precompute() after every add()")
+
+    rng = np.random.RandomState(seed) if shuffle else None
+
+    def take(stacked, rows):
+        return jax.tree.map(lambda a: a[rows], stacked)
+
+    for idx, stacked in _stacked_groups(ds, buckets):
+        n = len(idx)
+        order = rng.permutation(n) if rng is not None else np.arange(n)
+        for start in range(0, n, batch_size):
+            yield _batch_rows(stacked, order, start, batch_size, take)
 
 
 def prefetch_to_device(batches, size: int = 2):
     """Move PaddedBatch pytrees to the default device ahead of consumption.
 
-    jax.device_put is async: issuing the next batch's host->device transfer
-    while the current step runs hides the PCIe/ICI copy behind compute (the
-    reference's .to(device) x10 per step is fully synchronous,
-    classification_shrec11.py:121-130).
+    The producer (host-side batch stacking, which is the expensive part at
+    20k-vertex scale — ~100 MB of memcpy per batch) runs on a BACKGROUND
+    thread, and jax.device_put is async, so both the stacking and the
+    host->device copy overlap the device step (the reference's .to(device)
+    x10 per step is fully synchronous, classification_shrec11.py:121-130).
     """
+    import queue as queue_mod
+    import threading
+
     import jax
 
-    queue: collections.deque = collections.deque()
-    it = iter(batches)
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, size))
+    sentinel = object()
+    errors: list[BaseException] = []
 
-    def enqueue(n: int) -> None:
-        for b in itertools.islice(it, n):
-            queue.append(jax.device_put(b))
+    def producer():
+        try:
+            for b in batches:
+                q.put(jax.device_put(b))
+        except BaseException as e:  # surfaced on the consumer side
+            errors.append(e)
+        finally:
+            q.put(sentinel)
 
-    enqueue(size)
-    while queue:
-        out = queue.popleft()
-        enqueue(1)
-        yield out
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
+# ---------------------------------------------------------------------------
+# Device-resident dataset (TPU-idiomatic input pipeline — new capability)
+# ---------------------------------------------------------------------------
+
+class DeviceDataset:
+    """The whole (padded, stacked) dataset uploaded to device HBM ONCE;
+    per-batch assembly is an on-device gather instead of a host restack.
+
+    At 20k-vertex scale one padded sample is ~15-20 MB of operators, so
+    host-side per-epoch restacking (make_padded_batches) moves ~100 MB per
+    batch through memcpy + PCIe — 10x+ the device step time. Gathering rows
+    of a device-resident (N, ...) pytree is an HBM-to-HBM copy at memory
+    bandwidth and costs ~0.1 ms. Opt-in: the dataset must fit in HBM next to
+    the model/optimizer (e.g. ~7 GB for 380 meshes at the 8192 bucket).
+
+    Mixed-size datasets keep one device pytree per vertex bucket.
+    """
+
+    def __init__(self, ds: SurfaceDataset, buckets=None):
+        import jax
+        import jax.numpy as jnp
+
+        if not ds.ops_list or len(ds.ops_list) != len(ds):
+            raise RuntimeError("precompute() the dataset before uploading")
+        self.labels_kind = ds.labels_kind
+        # (sample_indices, device-resident PaddedBatch of ALL group rows)
+        self.groups = [(idx, jax.tree.map(jnp.asarray, stacked))
+                       for idx, stacked in _stacked_groups(ds, buckets)]
+
+    def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0):
+        """Yield PaddedBatch pytrees gathered on device. A partial final batch
+        repeats the chunk's first row with labels -1 / face_mask False
+        (identical semantics — and identical leaves — to make_padded_batches)."""
+        import jax
+        import jax.numpy as jnp
+
+        def take(stacked, rows):
+            r = jnp.asarray(rows)
+            return jax.tree.map(lambda a: jnp.take(a, r, axis=0), stacked)
+
+        rng = np.random.RandomState(seed) if shuffle else None
+        for idx, stacked in self.groups:
+            n = len(idx)
+            order = rng.permutation(n) if rng is not None else np.arange(n)
+            for start in range(0, n, batch_size):
+                yield _batch_rows(stacked, order, start, batch_size, take)

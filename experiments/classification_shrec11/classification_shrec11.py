@@ -33,6 +33,10 @@ def main():
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--device_data", action="store_true",
+                        help="keep the stacked dataset in device HBM"
+                             " and gather batches on-device (no"
+                             " per-step host transfer)")
     parser.add_argument("--megakernel", action="store_true",
                         help="whole-block Pallas megakernel (TPU)")
     parser.add_argument("--resume_from", type=str, default=None,
@@ -63,7 +67,8 @@ def main():
         batch_size=args.batch_size, input_features=args.input_features,
         augment_rotate=(args.input_features == "xyz"),
         label_smoothing=0.2, labels_kind="global",
-        use_megakernel=args.megakernel, bf16=args.bf16)
+        use_megakernel=args.megakernel, bf16=args.bf16,
+        device_data=args.device_data)
 
     model = build_model(n_class=30, c_width=64, outputs_at="global_mean",
                         dropout=False, input_features=args.input_features,

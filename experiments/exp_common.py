@@ -24,7 +24,8 @@ import optax
 
 import diffusionnet_tpu as dnt
 dnt.utils.enable_compilation_cache()
-from diffusionnet_tpu.data import make_padded_batches, prefetch_to_device
+from diffusionnet_tpu.data import (DeviceDataset, make_padded_batches,
+                                   prefetch_to_device)
 from diffusionnet_tpu.data.features import FEATURE_DIMS, get_features
 from diffusionnet_tpu.models import DiffusionNet
 from diffusionnet_tpu.training import (
@@ -51,6 +52,9 @@ class FitConfig:
     # operands, f32 params and accumulation (f32 keeps reference parity)
     use_megakernel: bool = False   # whole-block Pallas megakernel (TPU;
     # requires dropout off, default MLP dims, vertex outputs, V % 1024 == 0)
+    device_data: bool = False      # upload the stacked dataset to HBM once
+    # and gather batches on device (no per-epoch host restack; the dataset
+    # must fit in HBM next to the model/optimizer)
     seed: int = 0
 
 
@@ -266,11 +270,27 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         _, counts = _loss_and_counts(preds, batch, cfg)
         return counts, preds
 
+    # input pipeline: host path = background-thread stacking + async
+    # device_put; device path = dataset uploaded to HBM once, batches gathered
+    # on device (cfg.device_data)
+    device_sets: dict = {}
+
+    def _device_set(ds):
+        if id(ds) not in device_sets:
+            device_sets[id(ds)] = DeviceDataset(ds, buckets=cfg.buckets)
+        return device_sets[id(ds)]
+
+    def _batches(ds, shuffle, seed=0):
+        if cfg.device_data:
+            return _device_set(ds).batches(cfg.batch_size, shuffle=shuffle,
+                                           seed=seed)
+        return prefetch_to_device(
+            make_padded_batches(ds, cfg.batch_size, shuffle=shuffle,
+                                seed=seed, buckets=cfg.buckets))
+
     def evaluate(params, ds):
         correct = total = 0
-        for batch in prefetch_to_device(
-                make_padded_batches(ds, cfg.batch_size, shuffle=False,
-                                    buckets=cfg.buckets)):
+        for batch in _batches(ds, shuffle=False):
             (c, t), _ = eval_step(params, batch)
             correct += int(c)
             total += int(t)
@@ -305,10 +325,7 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         epoch_t0 = _time.time()
         correct = total = 0
         last_loss = None
-        for batch in prefetch_to_device(
-                make_padded_batches(train_ds, cfg.batch_size,
-                                    shuffle=True, seed=cfg.seed + epoch,
-                                    buckets=cfg.buckets)):
+        for batch in _batches(train_ds, shuffle=True, seed=cfg.seed + epoch):
             if shard_batch is not None:
                 batch = shard_batch(batch)
             rng, step_rng = jax.random.split(rng)

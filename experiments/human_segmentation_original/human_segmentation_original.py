@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=4)
     parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--device_data", action="store_true",
+                        help="keep the stacked dataset in device HBM"
+                             " and gather batches on-device (no"
+                             " per-step host transfer)")
     parser.add_argument("--megakernel", action="store_true")
     parser.add_argument("--resume_from", type=str, default=None,
                         help="checkpoint dir: continue a crashed run")
@@ -54,7 +58,8 @@ def main():
         n_epoch=args.n_epoch, lr=1e-3, decay_every=50, decay_rate=0.5,
         batch_size=args.batch_size, input_features=args.input_features,
         augment_rotate=(args.input_features == "xyz"), labels_kind="face",
-        use_megakernel=args.megakernel, bf16=args.bf16)
+        use_megakernel=args.megakernel, bf16=args.bf16,
+        device_data=args.device_data)
 
     model = build_model(n_class=8, c_width=128, outputs_at="faces",
                         dropout=True, input_features=args.input_features,

@@ -70,6 +70,10 @@ def main():
     parser.add_argument("--n_epoch", type=int, default=200)
     parser.add_argument("--batch_size", type=int, default=2)
     parser.add_argument("--k_eig", type=int, default=128)
+    parser.add_argument("--device_data", action="store_true",
+                        help="keep the stacked dataset in device HBM"
+                             " and gather batches on-device (no"
+                             " per-step host transfer)")
     parser.add_argument("--megakernel", action="store_true")
     parser.add_argument("--geodesic_method", type=str, default="exact",
                         help="'exact' (reference parity) | 'heat' (fast "
@@ -113,7 +117,8 @@ def main():
         batch_size=args.batch_size, input_features=args.input_features,
         augment_rotate=(args.input_features == "xyz"), rotate_axis="y",
         labels_kind="vertex",
-        use_megakernel=args.megakernel, bf16=args.bf16)
+        use_megakernel=args.megakernel, bf16=args.bf16,
+        device_data=args.device_data)
 
     model = build_model(n_class=n_class, c_width=256, outputs_at="vertices",
                         dropout=True, input_features=args.input_features,

@@ -121,3 +121,64 @@ def test_feature_dims_and_validation():
     with pytest.raises(ValueError):
         get_features("shot", v, jnp.zeros(4), jnp.zeros((10, 4)))
     assert get_features("xyz", v, None, None).shape == (10, 3)
+
+
+def test_device_dataset_matches_host_batches():
+    """DeviceDataset gathers must equal the host-stacked batches leaf-for-leaf
+    (same grouping, padding, and filler semantics)."""
+    from diffusionnet_tpu.data import DeviceDataset
+
+    for kind, label_fn in [
+        ("global", lambda v: 1),
+        ("vertex", lambda v: (v[:, 0] > 0).astype(np.int32)),
+    ]:
+        ds = SurfaceDataset(labels_kind=kind)
+        for i in range(5):
+            v, f = icosphere(subdivisions=1)
+            ds.add(v * (1 + 0.01 * i), f, label_fn(v))
+        ds.precompute(k_eig=4, verbose=False)
+        host = list(make_padded_batches(ds, 2, shuffle=False))
+        dev = list(DeviceDataset(ds).batches(2, shuffle=False))
+        assert len(host) == len(dev)
+        import jax
+        for hb, db in zip(host, dev):
+            jax.tree.map(lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6), hb, db)
+
+
+def test_device_dataset_shuffle_covers_all_samples():
+    from diffusionnet_tpu.data import DeviceDataset
+    ds = _ds(kind="global", n=7, label_fn=lambda v: 0)
+    for i in range(7):
+        ds.labels_list[i] = np.asarray(i, np.int32)
+    ds.precompute(k_eig=4, verbose=False)
+    seen = []
+    for b in DeviceDataset(ds).batches(3, shuffle=True, seed=3):
+        seen += [int(x) for x in np.asarray(b.labels) if x >= 0]
+    assert sorted(seen) == list(range(7))
+
+
+def test_fit_device_data_learns():
+    """cfg.device_data: the whole dataset lives on device; training matches
+    the host pipeline's learning behavior."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "experiments"))
+    from exp_common import FitConfig, build_model, fit
+    from tests.meshgen import torus
+
+    rs = np.random.RandomState(0)
+    ds = SurfaceDataset(labels_kind="global")
+    for cls in range(2):
+        for i in range(5):
+            v, f = (icosphere(subdivisions=1) if cls == 0
+                    else torus(n_major=8, n_minor=6))
+            ds.add(v * (1 + 0.05 * rs.randn(*v.shape)), f, cls)
+    ds.precompute(k_eig=8, verbose=False)
+    cfg = FitConfig(n_epoch=10, lr=1e-2, batch_size=4, input_features="xyz",
+                    labels_kind="global", device_data=True)
+    model = build_model(n_class=2, c_width=16, outputs_at="global_mean",
+                        dropout=False, input_features="xyz", n_block=1)
+    params, history, evaluate = fit(model, ds, ds, cfg, verbose=False)
+    assert history[-1][1] >= 0.9, history
+    assert evaluate(params, ds) >= 0.9
