@@ -67,6 +67,9 @@ def main():
     parser.add_argument("--geodesic_method", type=str, default="exact",
                         help="'exact' (reference parity) | 'heat' (fast "
                              "approximate) | 'steiner' | 'graph'")
+    parser.add_argument("--device_data", action="store_true",
+                        help="keep all padded shapes in device HBM and gather"
+                             " pairs on-device (no per-step host transfer)")
     args = parser.parse_args()
 
     k_eig, n_fmap, n_feat = args.k_eig, args.n_fmap, args.n_feat
@@ -108,6 +111,25 @@ def main():
     rng = jax.random.PRNGKey(0)
     shape_of = {id(d): make_shape_fn(d, v_pad, d_l, d_g, k_eig, input_features)
                 for d in all_ds}
+
+    if args.device_data:
+        # all padded shapes uploaded ONCE; a pair lookup is an on-device
+        # gather, and xyz rotation augmentation rotates the gathered features
+        # (for xyz, features ARE the positions) — no per-step host transfer
+        def device_shape_fn(d):
+            base = shape_of[id(d)]
+            shapes = [base(i) for i in range(len(d.verts_list))]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *shapes)
+
+            def shape(i, rng=None):
+                s = jax.tree.map(lambda a: a[i], stacked)
+                if rng is not None:
+                    s = dict(s, features=dnt.utils.random_rotate_points(
+                        s["features"], rng))
+                return s
+            return shape
+
+        shape_of = {id(d): device_shape_fn(d) for d in all_ds}
 
     s0 = shape_of[id(all_ds[0])](0)
     params = model.init({"params": rng}, s0, s0)

@@ -188,11 +188,12 @@ def test_functional_correspondence_driver(tmp_path):
         vts = rng.permutation(len(verts))[:30] + 1  # 1-based template samples
         np.savetxt(str(vts_dir / f"tr_reg_{i:03d}.vts"), vts, fmt="%d")
 
+    # --device_data: all padded shapes live in HBM, pairs gathered on-device
     run_driver("functional_correspondence", "functional_correspondence.py",
                ["--train_dataset", "faust", "--test_dataset", "faust",
                 "--n_epoch", "1", "--k_eig", "16", "--n_fmap", "8",
                 "--n_feat", "16", "--n_train", "3", "--n_test", "2",
-                "--data_dir", str(root)])
+                "--device_data", "--data_dir", str(root)])
 
 
 def test_sampling_invariance_driver(tmp_path):
