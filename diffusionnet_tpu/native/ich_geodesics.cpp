@@ -39,6 +39,12 @@ namespace ich {
 constexpr double kEps = 1e-12;
 constexpr double kMinWin = 1e-12;  // minimum surviving interval width
 
+// plain sqrt beats std::hypot ~3x in the innermost loops; coordinates here
+// are O(mesh diameter) so hypot's over/underflow guards buy nothing
+inline double dist2d(double dx, double dy) {
+  return std::sqrt(dx * dx + dy * dy);
+}
+
 struct HalfEdge {
   int32_t dst = -1;    // head vertex
   int32_t src = -1;    // tail vertex
@@ -61,7 +67,7 @@ struct StoredWin {
 
 // distance carried by window w to edge parameter p
 inline double fdist(const StoredWin& w, double p) {
-  return w.sigma + std::hypot(p - w.sx, w.sy);
+  return w.sigma + dist2d(p - w.sx, w.sy);
 }
 
 struct QEntry {
@@ -144,6 +150,8 @@ class Solver {
   // single-source exact distances to all vertices; false on budget overflow
   bool solve(int64_t source, float* out_dist, int64_t window_budget) {
     dist_.assign(V_, std::numeric_limits<double>::infinity());
+    n_inf_ = V_;
+    maxlab_ = std::numeric_limits<double>::infinity();
     store_.clear();
     // reuse per-edge id lists across solves (keeps their capacity instead of
     // reallocating ~3F vectors per source)
@@ -157,6 +165,7 @@ class Solver {
     budget_ = window_budget;
 
     dist_[source] = 0.0;
+    --n_inf_;
     // initial windows: full opposite edge of every face incident to source
     for (int32_t hi : out_[source]) {
       const HalfEdge& h = he_[hi];
@@ -168,6 +177,22 @@ class Solver {
       QEntry q = pq.top();
       pq.pop();
       if (++processed_ > budget_) return false;
+      // Early exit: only VERTEX distances are requested. Queue keys are
+      // non-decreasing (continuous Dijkstra), labels only decrease, and any
+      // relaxation from an entry with key k yields a distance >= k — so once
+      // every label is finite and the minimum key reaches the largest label,
+      // no label can strictly improve and the remaining queue (interior
+      // window refinement) is irrelevant. maxlab_ is refreshed lazily; a
+      // stale value only over-estimates the true max, which merely delays
+      // the exit.
+      if (n_inf_ == 0) {
+        if ((processed_ & 2047) == 0) {
+          double m = 0.0;
+          for (int64_t v = 0; v < V_; ++v) m = std::max(m, dist_[v]);
+          maxlab_ = m;
+        }
+        if (q.key >= maxlab_) break;
+      }
       if (q.vevent >= 0) {
         // spawn only if this event still matches the best label (stale events
         // from earlier, larger labels are skipped cheaply)
@@ -204,6 +229,7 @@ class Solver {
   // so each vertex spawns once, from its settled (final) label.
   void relax(PQ& pq, int32_t v, double d) {
     if (d < dist_[v]) {
+      if (std::isinf(dist_[v])) --n_inf_;
       dist_[v] = d;
       if (boundary_[v] || angle_[v] > 2.0 * M_PI + 1e-9) {
         pq.push({d, -1, v});
@@ -347,9 +373,13 @@ class Solver {
   }
 
   void commit(PQ& pq, const StoredWin& w) {
-    double m = (w.sx < w.b0)   ? std::hypot(w.b0 - w.sx, w.sy)
-               : (w.sx > w.b1) ? std::hypot(w.b1 - w.sx, w.sy)
+    double m = (w.sx < w.b0)   ? dist2d(w.b0 - w.sx, w.sy)
+               : (w.sx > w.b1) ? dist2d(w.b1 - w.sx, w.sy)
                                : w.sy;
+    // windows whose minimum possible distance already exceeds every vertex
+    // label can never improve a label (see the solve-loop early exit) —
+    // dropping them (not stored, not queued) loses only redundant coverage
+    if (w.sigma + m >= maxlab_) return;
     int32_t id = static_cast<int32_t>(store_.size());
     store_.push_back(w);
     edge_ids_[w.he].push_back(id);
@@ -493,7 +523,7 @@ class Solver {
     int32_t apex = e1.dst;
 
     // distance source -> apex through this window's unfolding
-    double d_apex = std::hypot(sx - ax, sy - ay);
+    double d_apex = dist2d(sx - ax, sy - ay);
 
     // rays from source through interval endpoints (on the x-axis at b0/b1)
     // continue into y < 0; intersect with the far edges e1 (x=0..apex) and
@@ -545,8 +575,8 @@ class Solver {
       double nb1 = std::min(edge_len, t_hi * edge_len);
       if (nb1 - nb0 < 1e-12) return;
       insert_window(pq, edge_he, nb0, nb1,
-                    std::hypot(sx - x_lo, sy - y_lo),
-                    std::hypot(sx - x_hi, sy - y_hi), w.sigma);
+                    dist2d(sx - x_lo, sy - y_lo),
+                    dist2d(sx - x_hi, sy - y_hi), w.sigma);
     };
 
     // strict apex-straddle test: the apex must lie INSIDE the window's cone;
@@ -580,6 +610,8 @@ class Solver {
   std::vector<bool> boundary_;
   std::vector<double> dist_;
   int64_t processed_ = 0, budget_ = 0;
+  int64_t n_inf_ = 0;   // vertices still at +inf (early exit gate)
+  double maxlab_ = std::numeric_limits<double>::infinity();
 
  public:
   // window store + per-edge id lists (public for native test harnesses)
