@@ -460,6 +460,18 @@ def test_exact_geodesics_match_bruteforce_oracle():
 
     check(*icosphere(subdivisions=0), 0, "icosahedron")
     check(*icosphere(subdivisions=1), 1, "icosphere1")
+
+    # disconnected mesh: the solver's vertex-label early exit only arms once
+    # every label is finite, so the unreachable component must stay +inf and
+    # the reachable component must match the single-component solve exactly
+    v1, f1 = icosphere(subdivisions=1)
+    v2 = v1 + np.array([10.0, 0.0, 0.0])
+    verts2 = np.concatenate([v1, v2])
+    faces2 = np.concatenate([f1, f1 + len(v1)])
+    d_two = exact_geodesics_native(verts2, faces2, np.array([0]))[0]
+    d_one = exact_geodesics_native(v1, f1, np.array([0]))[0]
+    assert np.isinf(d_two[len(v1):]).all()
+    np.testing.assert_allclose(d_two[:len(v1)], d_one, rtol=1e-6, atol=1e-7)
     for seed in (1, 2):
         rs = np.random.RandomState(seed)
         pts = rs.randn(14, 3)
