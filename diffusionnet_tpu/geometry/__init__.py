@@ -20,6 +20,7 @@ from .geodesics import (
     get_all_pairs_geodesic_distance,
     geodesic_label_errors,
 )
+from .heat_device import DeviceHeatMethodSolver, all_pairs_heat_device
 from .io import (read_mesh, read_off, read_obj, read_ply, write_mesh,
                  write_off, write_obj, write_ply)
 from .knn_host import find_knn_host

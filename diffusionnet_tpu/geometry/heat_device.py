@@ -1,0 +1,259 @@
+"""All-pairs geodesic distances on the accelerator — the heat method as pure
+MXU work.
+
+The host paths (geodesics.py) compute the all-pairs tables the correspondence
+evals consume (reference geometry.py:784-896) either exactly (native ICH,
+~minutes per mesh) or approximately (scipy-factorized heat method). This
+module is the TPU-idiomatic third point on that curve: the heat method
+(Crane, Weischedel & Wardetzky, "Geodesics in Heat", TOG 2013) batched over
+ALL sources at once on the device.
+
+Design notes (all load-bearing on real hardware):
+  * Only the SPARSE pieces travel to the device (COO of the cotan Laplacian,
+    ~7V entries, plus per-face geometry); the dense (V, V) systems are
+    scattered on device. Shipping dense operators through a tunneled chip
+    takes minutes; shipping COO is milliseconds.
+  * The Poisson operator is made SPD by PINNING vertex 0 (its row/col
+    replaced by the identity's), not by the host path's 1e-8 diagonal
+    shift: the shift leaves the condition number at ~lambda_max/shift
+    (~1e8 at 10k vertices), beyond f32; pinning gives
+    ~lambda_max/lambda_2 (~1e4), comfortably inside it. Both are exact up
+    to the method's own error. Symmetric Jacobi scaling normalizes the
+    diagonals before factorization, and the pinned shape stays (V, V) so
+    both systems share one compiled factor/solve program.
+  * After the (one-time) Cholesky, EXPLICIT inverses are formed in COLUMN
+    BLOCKS: XLA's triangular solve materializes its whole update history,
+    so solving against the full identity in one program OOMs at 10k — a
+    few thousand columns per call bounds the temporaries. With inverses in
+    HBM, every per-block distance solve is a dense matmul at full MXU rate,
+    and the heat step's delta-function RHS makes `u` a free column GATHER.
+
+At 10k vertices the steady-state all-pairs table is seconds on one chip vs
+~minutes for the host exact path — the right tool for screening,
+training-time metrics, and large sweeps, while `method='exact'` remains the
+eval oracle reported against reference numbers.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from .laplacian import cotan_laplacian, vertex_areas
+
+
+@lru_cache(maxsize=None)
+def _jitted():
+    """jit the kernels on first use (keeps module import jax-free)."""
+    import jax
+    return (jax.jit(_build_chol, static_argnames=("pin0",)),
+            jax.jit(_inv_columns),
+            jax.jit(_heat_block_solve))
+
+
+def _build_chol(rows, cols, vals, diag_add, pin0: bool):
+    """Scatter the COO system on device, optionally pin vertex 0, Jacobi-scale,
+    and Cholesky-factorize. Returns (C, s, finite) with A^-1 = s * C^-T C^-1 * s.
+
+    The matmul-precision context is load-bearing: on TPU the DEFAULT matmul
+    precision runs the factorization's internal dots in bf16, which destroys
+    the factor of an operator with condition ~1e4 — the CPU tests pass while
+    the real chip returns garbage. 'highest' forces f32-accurate passes."""
+    import jax
+    import jax.numpy as jnp
+
+    V = diag_add.shape[0]
+    with jax.default_matmul_precision("highest"):
+        A = jnp.zeros((V, V), jnp.float32).at[rows, cols].add(vals)
+        A = A + jnp.diag(diag_add)
+        if pin0:
+            A = A.at[0, :].set(0.0).at[:, 0].set(0.0).at[0, 0].set(1.0)
+        s = 1.0 / jnp.sqrt(jnp.diagonal(A))
+        C = jnp.linalg.cholesky(A * s[:, None] * s[None, :])
+        return C, s, jnp.isfinite(C).all()
+
+
+def _inv_columns(C, s, col_idx):
+    """Columns `col_idx` of A^-1 from the scaled Cholesky factor (C, s).
+    f32-accurate matmul precision required on TPU (see _build_chol)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.scipy.linalg import cho_solve
+
+    V = C.shape[0]
+    B = col_idx.shape[0]
+    with jax.default_matmul_precision("highest"):
+        rhs = jnp.zeros((V, B), jnp.float32).at[col_idx, jnp.arange(B)].set(
+            s[col_idx])
+        return cho_solve((C, True), rhs) * s[:, None]
+
+
+def _heat_block_solve(Hinv, Linv0, faces, rot_edges, cots, edge_vecs, srcs):
+    """One block of the heat method: srcs (S,) int32 -> (S, V) distances."""
+    import jax
+    import jax.numpy as jnp
+
+    # heat step: u = (M + tL)^{-1} delta_src — a gather of inverse columns
+    u = Hinv[:, srcs]                                      # (V,S)
+
+    # face gradients: uf (F,3,S); X = sum_c uf_c * rot_edges_c -> (F,3,S)
+    uf = u[faces]                                          # (F,3,S)
+    X = jnp.einsum("fcd,fcs->fds", rot_edges, uf,
+                   precision=jax.lax.Precision.HIGHEST)
+    # normalization epsilon must be RELATIVE to each source's gradient scale:
+    # far-field |X| can sit below sqrt(f32_min), where |X|^2 underflows to 0
+    # in the norm while X / tiny_eps amplifies the underflow noise by 1e10+
+    norm = jnp.linalg.norm(X, axis=1, keepdims=True)        # (F,1,S)
+    eps = 1e-10 * jnp.max(norm, axis=0, keepdims=True) + 1e-30
+    Xn = -X / (norm + eps)
+
+    # integrated divergence via scatter-add over face corners
+    V = Hinv.shape[0]
+    div = jnp.zeros((V, srcs.shape[0]), jnp.float32)
+    for corner in range(3):
+        j = (corner + 1) % 3
+        k = (corner + 2) % 3
+        e_ij = edge_vecs[:, k]
+        e_ik = -edge_vecs[:, j]
+        dot_ij = jnp.einsum("fd,fds->fs", e_ij, Xn,
+                            precision=jax.lax.Precision.HIGHEST)
+        dot_ik = jnp.einsum("fd,fds->fs", e_ik, Xn,
+                            precision=jax.lax.Precision.HIGHEST)
+        contrib = 0.5 * (cots[:, k][:, None] * dot_ij
+                         + cots[:, j][:, None] * dot_ik)
+        div = div.at[faces[:, corner]].add(contrib)
+
+    # Poisson solve = one MXU matmul against the pinned inverse (phi[0] = 0)
+    phi = jnp.matmul(Linv0, div,
+                     precision=jax.lax.Precision.HIGHEST)  # (V,S)
+    phi = phi - phi[srcs, jnp.arange(srcs.shape[0])][None, :]
+    return jnp.abs(phi).T                                  # (S,V)
+
+
+class DeviceHeatMethodSolver:
+    """Heat-method geodesics with device-resident dense inverses.
+
+    Mirrors HeatMethodSolver's API (`distance(sources) -> (S, V) float32`)
+    but runs the solves, gradients, and divergence on the default JAX device.
+    Dense (V, V) inverses cap the practical size at ~30k vertices on a 16 GB
+    chip; beyond that use the host path or exact ICH.
+    """
+
+    def __init__(self, verts: np.ndarray, faces: np.ndarray,
+                 t_coef: float = 1.0, source_block: int = 2048):
+        import jax.numpy as jnp
+
+        verts = np.asarray(verts, dtype=np.float64)
+        faces = np.asarray(faces, dtype=np.int64)
+        V = verts.shape[0]
+        self._V = V
+        self._block = min(int(source_block), V)
+
+        L = cotan_laplacian(verts, faces).tocoo()
+        mass = vertex_areas(verts, faces)
+
+        edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                                faces[:, [2, 0]]], axis=0)
+        h = np.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]],
+                           axis=1).mean()
+        # f32 far-field floor on the diffusion time: the one-step screened
+        # Poisson Green's function decays like e^(-d/sqrt(t)); with t = h^2
+        # the far field of a fine mesh falls below f32 resolution and the
+        # normalized gradients there are pure noise. sqrt(t) >= diam/12
+        # keeps e^(-12) ~ 6e-6 above the f32 noise floor; empirically the
+        # larger t also slightly IMPROVES accuracy (0.4% vs 1.1% max rel
+        # error on spheres — the normalization step absorbs the smoothing).
+        diam = np.linalg.norm(verts.max(axis=0) - verts.min(axis=0))
+        t = max(t_coef * h * h, (diam / 12.0) ** 2)
+
+        # per-face geometry (same construction as HeatMethodSolver)
+        coords = verts[faces]
+        e0 = coords[:, 2] - coords[:, 1]
+        e1 = coords[:, 0] - coords[:, 2]
+        e2 = coords[:, 1] - coords[:, 0]
+        n = np.cross(e2, -e1)
+        areas = 0.5 * np.linalg.norm(n, axis=1)
+        n_unit = n / (2.0 * areas[:, None] + 1e-300)
+        rot_edges = np.stack([np.cross(n_unit, e0),
+                              np.cross(n_unit, e1),
+                              np.cross(n_unit, e2)],
+                             axis=1) / (2.0 * areas[:, None, None] + 1e-300)
+
+        def cot(u, v):
+            cr = np.linalg.norm(np.cross(u, v), axis=1)
+            return np.sum(u * v, axis=1) / (cr + 1e-300)
+
+        cots = np.stack([cot(-e1, e2), cot(-e2, e0), cot(-e0, e1)], axis=1)
+        edge_vecs = np.stack([e0, e1, e2], axis=1)
+
+        f32 = jnp.float32
+        rows = jnp.asarray(L.row, jnp.int32)
+        cols = jnp.asarray(L.col, jnp.int32)
+        vals = jnp.asarray(L.data, f32)
+
+        Hinv = self._invert(rows, cols, vals * jnp.float32(t),
+                            jnp.asarray(mass, f32), pin0=False)
+        Linv0 = self._invert(rows, cols, vals,
+                             jnp.zeros(V, f32), pin0=True)
+        # the pinned inverse is blockdiag(1, L_red^-1); zero the 1 so
+        # `Linv0 @ div` yields phi[0] = 0 exactly
+        Linv0 = Linv0.at[0, 0].set(0.0)
+
+        self._ops = (Hinv, Linv0, jnp.asarray(faces, jnp.int32),
+                     jnp.asarray(rot_edges, f32), jnp.asarray(cots, f32),
+                     jnp.asarray(edge_vecs, f32))
+
+    def _invert(self, rows, cols, vals, diag_add, pin0):
+        """Explicit A^-1, built in column blocks to bound solve temporaries."""
+        import jax.numpy as jnp
+
+        V = diag_add.shape[0]
+        build_chol, inv_columns, _ = _jitted()
+        C, s, finite = build_chol(rows, cols, vals, diag_add, pin0=pin0)
+        if not bool(finite):
+            raise RuntimeError(
+                "f32 factorization of the heat/Poisson operator failed "
+                "(mesh too ill-conditioned for the device path); use "
+                "HeatMethodSolver")
+        B = min(2048, V)
+        blocks = []
+        for c0 in range(0, V, B):
+            idx = np.arange(c0, c0 + B, dtype=np.int64)
+            idx = np.minimum(idx, V - 1)  # pad block: dup cols, sliced off
+            blocks.append(inv_columns(C, s, jnp.asarray(idx, jnp.int32)))
+        n_keep = V - (len(blocks) - 1) * B
+        Ainv = jnp.concatenate(blocks[:-1] + [blocks[-1][:, :n_keep]], axis=1)
+        return Ainv
+
+    def distance(self, sources: np.ndarray) -> np.ndarray:
+        """Geodesic distance from each source vertex: (S, V) float32."""
+        import jax.numpy as jnp
+
+        sources = np.atleast_1d(np.asarray(sources, dtype=np.int64))
+        S = sources.shape[0]
+        out = np.empty((S, self._V), dtype=np.float32)
+        B = self._block
+        for s0 in range(0, S, B):
+            chunk = sources[s0:s0 + B]
+            n = chunk.shape[0]
+            if n < B:
+                # pad to the block size so every block shares one program
+                chunk = np.concatenate([chunk, np.full(B - n, chunk[0],
+                                                       np.int64)])
+            d = np.asarray(self._solve_block(chunk))
+            out[s0:s0 + n] = d[:n]
+        return out
+
+    def _solve_block(self, chunk):
+        import jax.numpy as jnp
+        return _jitted()[2](*self._ops, jnp.asarray(chunk, jnp.int32))
+
+
+def all_pairs_heat_device(verts: np.ndarray, faces: np.ndarray,
+                          t_coef: float = 1.0,
+                          source_block: int = 2048) -> np.ndarray:
+    """The full (V, V) heat-method distance table computed on the device."""
+    solver = DeviceHeatMethodSolver(verts, faces, t_coef=t_coef,
+                                    source_block=source_block)
+    return solver.distance(np.arange(np.asarray(verts).shape[0]))

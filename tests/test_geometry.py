@@ -432,6 +432,45 @@ def test_precompute_shard_for_host(tmp_path):
     assert len(ops) == 3
 
 
+def test_device_heat_geodesics_match_host():
+    """The accelerator-resident heat-method solver (dense Cholesky + batched
+    multi-RHS triangular solves) matches the scipy-factorized host solver and
+    stays inside the heat method's own error envelope on the sphere."""
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.geometry import (DeviceHeatMethodSolver,
+                                           HeatMethodSolver,
+                                           get_all_pairs_geodesic_distance)
+    verts, faces = icosphere(3)
+    src = np.arange(verts.shape[0])
+    # match the host solver's t to the device solver's f32 far-field floor
+    # (t = max(t_coef h^2, (diam/12)^2)) so the comparison isolates the
+    # backend, not the time step
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]], axis=0)
+    h = np.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]], axis=1).mean()
+    diam = np.linalg.norm(verts.max(axis=0) - verts.min(axis=0))
+    t_eff = max(h * h, (diam / 12.0) ** 2)
+    d_host = HeatMethodSolver(verts, faces,
+                              t_coef=t_eff / (h * h)).distance(src)
+    # source_block < V exercises the block-padding path
+    d_dev = DeviceHeatMethodSolver(verts, faces,
+                                   source_block=256).distance(src)
+    diam = d_host.max()
+    assert np.abs(d_host - d_dev).max() / diam < 1e-3
+    v = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    ana = np.arccos(np.clip(v @ v.T, -1, 1))
+    nz = ana > 0.2
+    assert np.abs(d_dev - ana)[nz].max() / ana.max() < 0.03
+
+    # and through the cached all-pairs entry point
+    table = get_all_pairs_geodesic_distance(verts, faces,
+                                            method="heat_device")
+    assert table.shape == (verts.shape[0],) * 2
+    # the entry point symmetrizes with fmin; heat distances are asymmetric
+    # at the method-error level, so compare at that tolerance
+    assert np.abs(table - d_dev).max() / diam < 1e-2
+
+
 def test_exact_geodesics_match_bruteforce_oracle():
     """The native ICH solver equals a brute-force exhaustive-unfolding EXACT
     oracle (tests/geodesic_oracle.py) to float32 precision on convex meshes —
