@@ -66,7 +66,8 @@ def main():
                         help="dataset root (default: ./data)")
     parser.add_argument("--geodesic_method", type=str, default="exact",
                         help="'exact' (reference parity) | 'heat' (fast "
-                             "approximate) | 'steiner' | 'graph'")
+                             "approximate) | 'heat_device' (full table on"
+                             " the accelerator) | 'steiner' | 'graph'")
     parser.add_argument("--device_data", action="store_true",
                         help="keep all padded shapes in device HBM and gather"
                              " pairs on-device (no per-step host transfer)")

@@ -77,7 +77,8 @@ def main():
     parser.add_argument("--megakernel", action="store_true")
     parser.add_argument("--geodesic_method", type=str, default="exact",
                         help="'exact' (reference parity) | 'heat' (fast "
-                             "approximate) | 'steiner' | 'graph'")
+                             "approximate) | 'heat_device' (full table on"
+                             " the accelerator) | 'steiner' | 'graph'")
     parser.add_argument("--resume_from", type=str, default=None,
                         help="checkpoint dir: continue a crashed run")
     parser.add_argument("--bf16", action="store_true")
