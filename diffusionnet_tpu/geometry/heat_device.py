@@ -101,12 +101,17 @@ def _heat_block_solve(Hinv, Linv0, faces, rot_edges, cots, edge_vecs, srcs):
     uf = u[faces]                                          # (F,3,S)
     X = jnp.einsum("fcd,fcs->fds", rot_edges, uf,
                    precision=jax.lax.Precision.HIGHEST)
-    # normalization epsilon must be RELATIVE to each source's gradient scale:
-    # far-field |X| can sit below sqrt(f32_min), where |X|^2 underflows to 0
-    # in the norm while X / tiny_eps amplifies the underflow noise by 1e10+
-    norm = jnp.linalg.norm(X, axis=1, keepdims=True)        # (F,1,S)
-    eps = 1e-10 * jnp.max(norm, axis=0, keepdims=True) + 1e-30
-    Xn = -X / (norm + eps)
+    # max-scaled normalization: far-field |X| sits below sqrt(f32_min),
+    # where |X|^2 underflows to 0 in a naive norm while X / tiny_eps
+    # amplifies the underflow noise by 1e10+. Dividing by the per-(face,
+    # source) max first keeps every square in range, so gradient DIRECTIONS
+    # stay valid all the way down to |X| ~ f32_min (~1e-38) — which is what
+    # lets the diffusion-time floor sit at (diam/60)^2 instead of
+    # (diam/12)^2 (decay e^-60 vs e^-12) and the far field stay sharp.
+    m = jnp.max(jnp.abs(X), axis=1, keepdims=True)          # (F,1,S)
+    m_safe = m + 1e-10 * jnp.max(m, axis=0, keepdims=True) + 1e-38
+    Z = X / m_safe
+    Xn = -Z / (jnp.linalg.norm(Z, axis=1, keepdims=True) + 1e-20)
 
     # integrated divergence via scatter-add over face corners
     V = Hinv.shape[0]
@@ -158,14 +163,15 @@ class DeviceHeatMethodSolver:
         h = np.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]],
                            axis=1).mean()
         # f32 far-field floor on the diffusion time: the one-step screened
-        # Poisson Green's function decays like e^(-d/sqrt(t)); with t = h^2
-        # the far field of a fine mesh falls below f32 resolution and the
-        # normalized gradients there are pure noise. sqrt(t) >= diam/12
-        # keeps e^(-12) ~ 6e-6 above the f32 noise floor; empirically the
-        # larger t also slightly IMPROVES accuracy (0.4% vs 1.1% max rel
-        # error on spheres — the normalization step absorbs the smoothing).
+        # Poisson Green's function decays like e^(-d/sqrt(t)); once it
+        # underflows f32 entirely (~1e-38) the normalized gradients are
+        # noise. With the max-scaled normalization below, directions stay
+        # valid down to that underflow line, so sqrt(t) >= diam/60 (decay
+        # e^-60 ~ 9e-27) suffices — close enough to t = h^2 on meshes up to
+        # ~60 edge lengths across that the smoothing cost is negligible
+        # (torus 20k: 4.5% max error vs 4.0% at exact t = h^2 in f64).
         diam = np.linalg.norm(verts.max(axis=0) - verts.min(axis=0))
-        t = max(t_coef * h * h, (diam / 12.0) ** 2)
+        t = max(t_coef * h * h, (diam / 60.0) ** 2)
 
         # per-face geometry (same construction as HeatMethodSolver)
         coords = verts[faces]
@@ -216,12 +222,16 @@ class DeviceHeatMethodSolver:
                 "f32 factorization of the heat/Poisson operator failed "
                 "(mesh too ill-conditioned for the device path); use "
                 "HeatMethodSolver")
-        B = min(2048, V)
+        # XLA's blocked triangular solve keeps ~O(V/panel) live versions of
+        # the (V, B) solution, so the per-call temp footprint is ~B*V*stages;
+        # shrink the column block as V grows to keep it bounded (~2.5 GB)
+        B = min(V, max(256, (2048 * 10240 // V) // 128 * 128 or 256))
         blocks = []
         for c0 in range(0, V, B):
             idx = np.arange(c0, c0 + B, dtype=np.int64)
             idx = np.minimum(idx, V - 1)  # pad block: dup cols, sliced off
             blocks.append(inv_columns(C, s, jnp.asarray(idx, jnp.int32)))
+        C = s = None  # free the factor before materializing the inverse
         n_keep = V - (len(blocks) - 1) * B
         Ainv = jnp.concatenate(blocks[:-1] + [blocks[-1][:, :n_keep]], axis=1)
         return Ainv

@@ -443,13 +443,13 @@ def test_device_heat_geodesics_match_host():
     verts, faces = icosphere(3)
     src = np.arange(verts.shape[0])
     # match the host solver's t to the device solver's f32 far-field floor
-    # (t = max(t_coef h^2, (diam/12)^2)) so the comparison isolates the
+    # (t = max(t_coef h^2, (diam/60)^2)) so the comparison isolates the
     # backend, not the time step
     edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
                             faces[:, [2, 0]]], axis=0)
     h = np.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]], axis=1).mean()
     diam = np.linalg.norm(verts.max(axis=0) - verts.min(axis=0))
-    t_eff = max(h * h, (diam / 12.0) ** 2)
+    t_eff = max(h * h, (diam / 60.0) ** 2)
     d_host = HeatMethodSolver(verts, faces,
                               t_coef=t_eff / (h * h)).distance(src)
     # source_block < V exercises the block-padding path
