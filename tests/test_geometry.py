@@ -470,6 +470,19 @@ def test_device_heat_geodesics_match_host():
     # at the method-error level, so compare at that tolerance
     assert np.abs(table - d_dev).max() / diam < 1e-2
 
+    # boundary mesh (flat grid): same backend-equivalence claim where the
+    # Poisson system has Neumann boundary rows
+    from tests.meshgen import flat_grid
+    verts, faces = flat_grid(n=16, jitter=0.3)
+    src = np.arange(0, verts.shape[0], 7)
+    h = np.linalg.norm(verts[faces[:, 0]] - verts[faces[:, 1]], axis=1).mean()
+    diam = np.linalg.norm(verts.max(axis=0) - verts.min(axis=0))
+    t_eff = max(h * h, (diam / 60.0) ** 2)
+    d_host = HeatMethodSolver(verts, faces,
+                              t_coef=t_eff / (h * h)).distance(src)
+    d_dev = DeviceHeatMethodSolver(verts, faces).distance(src)
+    assert np.abs(d_host - d_dev).max() / d_host.max() < 2e-3
+
 
 def test_exact_geodesics_match_bruteforce_oracle():
     """The native ICH solver equals a brute-force exhaustive-unfolding EXACT
