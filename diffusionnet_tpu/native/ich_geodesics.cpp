@@ -29,7 +29,6 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
-#include <queue>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -78,10 +77,50 @@ struct QEntry {
   // its pseudo-source windows are spawned exactly then
 };
 
-struct QCmp {
-  bool operator()(const QEntry& a, const QEntry& b) const {
-    return a.key > b.key;
+// 8-ary min-heap: ~3x shallower than a binary heap and each child scan
+// touches one 128-byte cache line (8 x 16B entries); sift-down dominates
+// pop cost, and the PQ is ~30% of solve time at 10k vertices.
+class PQ8 {
+ public:
+  bool empty() const { return v_.empty(); }
+  size_t size() const { return v_.size(); }
+  void reserve(size_t n) { v_.reserve(n); }
+  const QEntry& top() const { return v_[0]; }
+
+  void push(const QEntry& e) {
+    size_t i = v_.size();
+    v_.push_back(e);
+    while (i > 0) {
+      size_t p = (i - 1) >> 3;
+      if (v_[p].key <= e.key) break;
+      v_[i] = v_[p];
+      i = p;
+    }
+    v_[i] = e;
   }
+
+  void pop() {
+    QEntry last = v_.back();
+    v_.pop_back();
+    if (v_.empty()) return;
+    size_t n = v_.size(), i = 0;
+    for (;;) {
+      size_t c0 = (i << 3) + 1;
+      if (c0 >= n) break;
+      size_t cend = std::min(c0 + 8, n);
+      size_t m = c0;
+      double mk = v_[c0].key;
+      for (size_t c = c0 + 1; c < cend; ++c)
+        if (v_[c].key < mk) { mk = v_[c].key; m = c; }
+      if (mk >= last.key) break;
+      v_[i] = v_[m];
+      i = m;
+    }
+    v_[i] = last;
+  }
+
+ private:
+  std::vector<QEntry> v_;
 };
 
 class Solver {
@@ -161,6 +200,7 @@ class Solver {
       for (auto& lst : edge_ids_) lst.clear();
     }
     PQ pq;
+    pq.reserve(4096);
     processed_ = 0;
     budget_ = window_budget;
 
@@ -219,7 +259,7 @@ class Solver {
   }
 
  private:
-  using PQ = std::priority_queue<QEntry, std::vector<QEntry>, QCmp>;
+  using PQ = PQ8;
 
   // Improve a vertex distance. Every improvement at a saddle/boundary vertex
   // must eventually spawn its pseudo-source windows — geodesics bend around
