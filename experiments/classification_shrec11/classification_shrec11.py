@@ -68,7 +68,8 @@ def main():
         augment_rotate=(args.input_features == "xyz"),
         label_smoothing=0.2, labels_kind="global",
         use_megakernel=args.megakernel, bf16=args.bf16,
-        device_data=args.device_data)
+        device_data=args.device_data,
+        graceful_sigterm=True)
 
     model = build_model(n_class=30, c_width=64, outputs_at="global_mean",
                         dropout=False, input_features=args.input_features,

@@ -55,6 +55,9 @@ class FitConfig:
     device_data: bool = False      # upload the stacked dataset to HBM once
     # and gather batches on device (no per-epoch host restack; the dataset
     # must fit in HBM next to the model/optimizer)
+    graceful_sigterm: bool = False  # on SIGTERM/SIGINT: finish the current
+    # epoch, checkpoint the FULL train state, and return early — a preempted
+    # run (spot/TPU maintenance) resumes bit-identically via resume_from
     seed: int = 0
 
 
@@ -318,6 +321,23 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
                          "rng": np.asarray(rng)},
                         step=epoch)
 
+    # preemption safety: a SIGTERM/SIGINT sets a flag; the loop finishes the
+    # epoch in flight, checkpoints the full train state, and returns — so a
+    # spot eviction costs at most one epoch of work and resumes bit-identically
+    stop_requested = []
+    if cfg.graceful_sigterm:
+        import signal
+
+        def _request_stop(signum, frame):
+            stop_requested.append(signum)
+            print(f"signal {signum}: finishing the current epoch, "
+                  "checkpointing, and exiting")
+        try:
+            prev_handlers = {s: signal.signal(s, _request_stop)
+                             for s in (signal.SIGTERM, signal.SIGINT)}
+        except ValueError:  # not the main thread; run without the handler
+            prev_handlers = {}
+
     history = []
     best_test_acc = -1.0
     import time as _time
@@ -367,6 +387,19 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
                 and test_acc > best_test_acc):
             best_test_acc = test_acc
             save_state(epoch)
+        if stop_requested:
+            if model_save_path is not None:
+                save_state(epoch)
+                print(f"preemption checkpoint written at epoch {epoch}; "
+                      "resume with resume_from=")
+            break
+
+    if cfg.graceful_sigterm:
+        import signal
+        for s, h in prev_handlers.items():
+            signal.signal(s, h)
+    if stop_requested:
+        return params, history, evaluate
 
     if model_save_path is not None and cfg.n_epoch > 0:
         # the stored epoch is the last COMPLETED one (resume continues at +1)

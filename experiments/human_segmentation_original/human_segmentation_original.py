@@ -59,7 +59,8 @@ def main():
         batch_size=args.batch_size, input_features=args.input_features,
         augment_rotate=(args.input_features == "xyz"), labels_kind="face",
         use_megakernel=args.megakernel, bf16=args.bf16,
-        device_data=args.device_data)
+        device_data=args.device_data,
+        graceful_sigterm=True)
 
     model = build_model(n_class=8, c_width=128, outputs_at="faces",
                         dropout=True, input_features=args.input_features,

@@ -119,7 +119,8 @@ def main():
         augment_rotate=(args.input_features == "xyz"), rotate_axis="y",
         labels_kind="vertex",
         use_megakernel=args.megakernel, bf16=args.bf16,
-        device_data=args.device_data)
+        device_data=args.device_data,
+        graceful_sigterm=True)
 
     model = build_model(n_class=n_class, c_width=256, outputs_at="vertices",
                         dropout=True, input_features=args.input_features,
