@@ -71,6 +71,9 @@ def main():
     parser.add_argument("--device_data", action="store_true",
                         help="keep all padded shapes in device HBM and gather"
                              " pairs on-device (no per-step host transfer)")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="checkpoint dir: continue a crashed/preempted "
+                             "run at the exact training pair it stopped at")
     args = parser.parse_args()
 
     k_eig, n_fmap, n_feat = args.k_eig, args.n_fmap, args.n_feat
@@ -201,23 +204,88 @@ def main():
     if train:
         print("Training...")
         sf = shape_of[id(train_ds)]
-        order_rng = np.random.RandomState(0)
-        for epoch in range(args.n_epoch):
+        ckpt_dir = os.path.dirname(model_save_path) or "."
+        dnt.utils.ensure_dir_exists(ckpt_dir)
+        log_path = model_save_path + "_log.jsonl"
+
+        # full train state; the per-epoch pair order is STATELESS
+        # (seeded by epoch), so (epoch, pair_pos) pins the exact resume point
+        start_epoch, start_pos = 0, 0
+        if args.resume_from is not None:
+            from diffusionnet_tpu.training.checkpoint import latest_checkpoint
+            path = latest_checkpoint(args.resume_from)
+            if path is None:
+                raise FileNotFoundError(
+                    f"no checkpoint under {args.resume_from}")
+            template = {"params": params, "opt_state": opt_state,
+                        "epoch": np.zeros((), np.int32),
+                        "pair_pos": np.zeros((), np.int32), "rng": rng}
+            st = restore_checkpoint(path, template)
+            params, opt_state = st["params"], st["opt_state"]
+            rng = jnp.asarray(st["rng"])
+            start_epoch, start_pos = int(st["epoch"]), int(st["pair_pos"])
+            print(f"resumed from {path}: epoch {start_epoch}, "
+                  f"pair {start_pos}")
+
+        def save_state(epoch, pair_pos, step):
+            save_checkpoint(ckpt_dir,
+                            {"params": params, "opt_state": opt_state,
+                             "epoch": np.asarray(epoch, np.int32),
+                             "pair_pos": np.asarray(pair_pos, np.int32),
+                             "rng": np.asarray(rng)}, step=step)
+
+        # preemption safety: stop at a PAIR boundary (real-data epochs are
+        # thousands of pairs — too long for an eviction grace period), save
+        # the exact position, and exit; --resume_from continues there
+        import signal
+        stop_requested = []
+
+        def _request_stop(signum, frame):
+            stop_requested.append(signum)
+            print(f"signal {signum}: checkpointing at the next pair "
+                  "boundary and exiting")
+        try:
+            prev = {s: signal.signal(s, _request_stop)
+                    for s in (signal.SIGTERM, signal.SIGINT)}
+        except ValueError:
+            prev = {}
+
+        import json
+        import time as _time
+        for epoch in range(start_epoch, args.n_epoch):
+            epoch_t0 = _time.time()
             losses = []
-            order = order_rng.permutation(len(train_ds))
-            for idx in order:
-                i1, i2, C_gt = train_ds[int(idx)]
+            order = np.random.RandomState(1000 + epoch).permutation(
+                len(train_ds))
+            pos0 = start_pos if epoch == start_epoch else 0
+            for pos in range(pos0, len(order)):
+                i1, i2, C_gt = train_ds[int(order[pos])]
                 rng, r1, r2, rd = jax.random.split(rng, 4)
                 s1 = sf(i1, r1 if augment else None)
                 s2 = sf(i2, r2 if augment else None)
                 params, opt_state, loss = train_step(
                     params, opt_state, s1, s2, jnp.asarray(C_gt), rd)
                 losses.append(float(loss))
+                if stop_requested:
+                    save_state(epoch, pos + 1, step=epoch)
+                    for s, h in prev.items():
+                        signal.signal(s, h)
+                    print(f"preemption checkpoint: epoch {epoch}, "
+                          f"pair {pos + 1}; resume with --resume_from")
+                    return
             test_loss, test_geo = test(params, with_geodesic_error=True)
             print(f"Epoch {epoch} - Train: {np.mean(losses):.5e}  "
                   f"Test: {test_loss:.5e}  Test geodesic error: {test_geo:.5e}")
-            save_checkpoint(os.path.dirname(model_save_path) or ".", params,
-                            step=epoch)
+            with open(log_path, "a") as f:
+                f.write(json.dumps({
+                    "epoch": epoch, "train_loss": float(np.mean(losses)),
+                    "test_loss": float(test_loss),
+                    "test_geodesic_error": float(test_geo),
+                    "epoch_seconds": round(_time.time() - epoch_t0, 3),
+                }) + "\n")
+            save_state(epoch + 1, 0, step=epoch)
+        for s, h in prev.items():
+            signal.signal(s, h)
 
     mean_loss, mean_geo = test(params, with_geodesic_error=True)
     print(f"Overall test loss: {mean_loss:.5e}  geodesic error: {mean_geo:.5e}")

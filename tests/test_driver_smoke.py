@@ -195,6 +195,22 @@ def test_functional_correspondence_driver(tmp_path):
                 "--n_feat", "16", "--n_train", "3", "--n_test", "2",
                 "--device_data", "--data_dir", str(root)])
 
+    # the run above wrote a full-train-state checkpoint + a JSONL log;
+    # --resume_from continues from it (epoch 1 of 2) through the same path
+    import json
+    ckpt_dir = str(root / "saved_models")
+    log = root / "saved_models" / "faust_hks_log.jsonl"
+    assert log.exists()
+    rec = json.loads(log.read_text().splitlines()[0])
+    assert rec["epoch"] == 0 and "test_geodesic_error" in rec
+    run_driver("functional_correspondence", "functional_correspondence.py",
+               ["--train_dataset", "faust", "--test_dataset", "faust",
+                "--n_epoch", "2", "--k_eig", "16", "--n_fmap", "8",
+                "--n_feat", "16", "--n_train", "3", "--n_test", "2",
+                "--resume_from", ckpt_dir, "--data_dir", str(root)])
+    recs = [json.loads(l) for l in log.read_text().splitlines()]
+    assert [r["epoch"] for r in recs] == [0, 1]  # resumed at epoch 1
+
 
 def test_sampling_invariance_driver(tmp_path):
     root = tmp_path / "faust_robust"

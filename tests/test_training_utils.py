@@ -138,21 +138,24 @@ def test_fit_graceful_sigterm_checkpoints_and_resumes(tmp_path):
     p_full, _, _ = fit(model, ds, ds, make_cfg(4), verbose=False)
 
     # fire SIGTERM shortly after training starts; the loop must stop at an
-    # epoch boundary with a checkpoint on disk instead of dying mid-step
+    # epoch boundary with a checkpoint on disk instead of dying mid-step.
+    # n_epoch is far larger than 1s of (possibly jit-warm) epochs can cover,
+    # so the signal always lands mid-run.
     ck = str(tmp_path / "run" / "model")
+    prior_handler = signal.getsignal(signal.SIGTERM)
     timer = threading.Timer(1.0, os.kill, (os.getpid(), signal.SIGTERM))
     timer.start()
     try:
-        _, hist, _ = fit(model, ds, ds, make_cfg(50), model_save_path=ck,
-                         verbose=False)
+        _, hist, _ = fit(model, ds, ds, make_cfg(100000),
+                         model_save_path=ck, verbose=False)
     finally:
         timer.cancel()
-    assert 0 < len(hist) < 50, "SIGTERM did not stop the run early"
+    assert 0 < len(hist) < 100000, "SIGTERM did not stop the run early"
     from diffusionnet_tpu.training.checkpoint import latest_checkpoint
     assert latest_checkpoint(os.path.dirname(ck)) is not None
 
-    # the default SIGTERM disposition must be restored after fit returns
-    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+    # the prior SIGTERM disposition must be restored after fit returns
+    assert signal.getsignal(signal.SIGTERM) == prior_handler
 
     # resume from the preemption checkpoint to the 4-epoch horizon; where the
     # interruption landed at epoch >= 4 the comparison is void, so force a
