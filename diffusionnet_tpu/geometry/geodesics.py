@@ -92,8 +92,16 @@ class HeatMethodSolver:
 
             u = self._heat_factor.solve(rhs)                      # (V,S)
             X = self._grad_faces(u)                                # (F,3,S)
-            Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-300)
-            Xn = -Xn
+            # max-scaled normalization: far-field |X| can sit below
+            # sqrt(f64_min) where |X|^2 underflows in the norm while
+            # X / 1e-300 amplifies the underflow noise (same failure mode as
+            # the f32 device path, just at ~1e-150 instead of ~1e-19);
+            # dividing by the per-(face,source) max first keeps every square
+            # in range, so directions stay valid to the f64 underflow line
+            m = np.max(np.abs(X), axis=1, keepdims=True)
+            m_safe = m + 1e-12 * np.max(m, axis=0, keepdims=True) + 1e-300
+            Z = X / m_safe
+            Xn = -Z / (np.linalg.norm(Z, axis=1, keepdims=True) + 1e-30)
             div = self._divergence(Xn)                             # (V,S)
             phi = self._poisson_factor.solve(div)                  # (V,S)
             phi = phi - phi[srcs, np.arange(S)][None, :]

@@ -128,9 +128,12 @@ def test_make_pod_mesh_divisibility(cpu_devices):
         make_mesh(data=3, vert=2, devices=cpu_devices)
 
 
-def test_fit_data_parallel(cpu_devices):
+@pytest.mark.parametrize("device_data", [False, True])
+def test_fit_data_parallel(cpu_devices, device_data):
     """The generic fit() harness with cfg.data_parallel: batch sharded over the
-    8-device CPU mesh, XLA auto-parallelizes the train step."""
+    8-device CPU mesh, XLA auto-parallelizes the train step. With device_data
+    the HBM-resident gathered batches are re-placed onto the mesh sharding —
+    the production combination (resident dataset + multi-chip step)."""
     import os, sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
                                     "experiments"))
@@ -148,7 +151,8 @@ def test_fit_data_parallel(cpu_devices):
     ds.precompute(k_eig=8, verbose=False)
 
     cfg = FitConfig(n_epoch=8, lr=1e-2, batch_size=8, input_features="xyz",
-                    labels_kind="global", data_parallel=True)
+                    labels_kind="global", data_parallel=True,
+                    device_data=device_data)
     model = build_model(n_class=2, c_width=16, outputs_at="global_mean",
                         dropout=False, input_features="xyz", n_block=1)
     params, history, evaluate = fit(model, ds, ds, cfg, verbose=False,
