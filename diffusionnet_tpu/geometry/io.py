@@ -28,7 +28,10 @@ def read_mesh(path: str):
 def read_off(path: str):
     with open(path, "rb") as f:
         data = f.read().decode("utf-8", errors="replace")
-    tokens_iter = iter(data.split())
+    tokens_all = data.split()
+    if not tokens_all:
+        raise ValueError(f"malformed OFF file '{path}': empty file")
+    tokens_iter = iter(tokens_all)
     first = next(tokens_iter)
     if first in ("COFF", "NOFF"):
         raise ValueError(
@@ -42,36 +45,52 @@ def read_off(path: str):
         tokens = list(tokens_iter)
     else:
         tokens = [first] + list(tokens_iter)
-    nv, nf = int(tokens[0]), int(tokens[1])
-    # tokens[2] = edge count (ignored)
-    vals = np.array(tokens[3:3 + nv * 3], dtype=np.float64)
-    verts = vals.reshape(nv, 3)
-    faces = np.zeros((nf, 3), dtype=np.int64)
-    pos = 3 + nv * 3
-    for i in range(nf):
-        cnt = int(tokens[pos]); pos += 1
-        poly = [int(tokens[pos + j]) for j in range(cnt)]
-        pos += cnt
-        if cnt != 3:
-            raise ValueError("non-triangular face in OFF file")
-        faces[i] = poly
+    try:
+        nv, nf = int(tokens[0]), int(tokens[1])
+        # tokens[2] = edge count (ignored)
+        vals = np.array(tokens[3:3 + nv * 3], dtype=np.float64)
+        verts = vals.reshape(nv, 3)
+        faces = np.zeros((nf, 3), dtype=np.int64)
+        pos = 3 + nv * 3
+        for i in range(nf):
+            cnt = int(tokens[pos]); pos += 1
+            poly = [int(tokens[pos + j]) for j in range(cnt)]
+            pos += cnt
+            if cnt != 3:
+                raise ValueError("non-triangular face")
+            faces[i] = poly
+    except (IndexError, ValueError) as e:
+        raise ValueError(f"malformed OFF file '{path}': {e}") from None
+    if nf and (faces.min() < 0 or faces.max() >= nv):
+        raise ValueError(f"malformed OFF file '{path}': face index out of "
+                         f"range [0, {nv}) — got {faces.min()}..{faces.max()}")
     return verts, faces
 
 
 def read_obj(path: str):
     verts, faces = [], []
     with open(path, "r") as f:
-        for line in f:
-            if line.startswith("v "):
-                parts = line.split()
-                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
-            elif line.startswith("f "):
-                parts = line.split()[1:]
-                idx = [int(p.split("/")[0]) - 1 for p in parts]
-                for j in range(1, len(idx) - 1):  # fan-triangulate polygons
-                    faces.append([idx[0], idx[j], idx[j + 1]])
-    return (np.asarray(verts, dtype=np.float64),
-            np.asarray(faces, dtype=np.int64).reshape(-1, 3))
+        for ln, line in enumerate(f, 1):
+            try:
+                if line.startswith("v "):
+                    parts = line.split()
+                    verts.append([float(parts[1]), float(parts[2]),
+                                  float(parts[3])])
+                elif line.startswith("f "):
+                    parts = line.split()[1:]
+                    idx = [int(p.split("/")[0]) - 1 for p in parts]
+                    for j in range(1, len(idx) - 1):  # fan-triangulate
+                        faces.append([idx[0], idx[j], idx[j + 1]])
+            except (IndexError, ValueError) as e:
+                raise ValueError(
+                    f"malformed OBJ file '{path}' at line {ln}: {e}") from None
+    verts_np = np.asarray(verts, dtype=np.float64)
+    faces_np = np.asarray(faces, dtype=np.int64).reshape(-1, 3)
+    if faces_np.size and (faces_np.min() < 0
+                          or faces_np.max() >= len(verts_np)):
+        raise ValueError(f"malformed OBJ file '{path}': face index out of "
+                         f"range [0, {len(verts_np)})")
+    return verts_np, faces_np
 
 
 _PLY_TYPES = {
@@ -88,7 +107,11 @@ def read_ply(path: str):
     with open(path, "rb") as f:
         raw = f.read()
 
-    header_end = raw.find(b"end_header\n") + len(b"end_header\n")
+    marker = raw.find(b"end_header\n")
+    if marker < 0 or not raw.startswith(b"ply"):
+        raise ValueError(f"malformed PLY file '{path}': missing "
+                         "ply magic / end_header")
+    header_end = marker + len(b"end_header\n")
     header = raw[:header_end].decode("ascii", errors="replace").splitlines()
     body = raw[header_end:]
 

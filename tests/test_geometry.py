@@ -537,3 +537,27 @@ def test_exact_geodesics_match_bruteforce_oracle():
             if np.dot(n, pts[f].mean(axis=0) - c) < 0:
                 faces[i] = faces[i][::-1]
         check(pts, faces, seed, f"hull{seed}")
+
+
+def test_mesh_io_malformed_files_raise_clear_errors(tmp_path):
+    """Truncated/garbled mesh files raise ValueError naming the file instead
+    of cryptic numpy/index errors (production data arrives broken sometimes)."""
+    from diffusionnet_tpu.geometry import read_mesh
+
+    cases = {
+        "empty.off": "",
+        "truncated.off": "OFF\n10 5 0\n0.0 1.0\n",
+        "badcount.off": "OFF\nfoo bar 0\n",
+        "quad.off": "OFF\n4 1 0\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n",
+        "oob.off": "OFF\n3 1 0\n0 0 0\n1 0 0\n0 1 0\n3 0 1 7\n",
+        "badline.obj": "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 notanint\n",
+        "oob.obj": "v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 9\n",
+        "noheader.ply": "this is not a ply file at all\n",
+    }
+    for fname, content in cases.items():
+        p = tmp_path / fname
+        p.write_text(content)
+        with pytest.raises(ValueError) as ei:
+            read_mesh(str(p))
+        assert fname in str(ei.value) or "not supported" in str(ei.value), \
+            (fname, str(ei.value))
