@@ -25,7 +25,8 @@ import scipy.sparse
 import scipy.sparse.linalg as sla
 
 from .. import utils
-from .laplacian import cotan_laplacian, vertex_areas, face_areas_np
+from .laplacian import (cotan_laplacian, vertex_areas, face_areas_np,
+                        heat_face_geometry)
 
 
 class HeatMethodSolver:
@@ -44,39 +45,16 @@ class HeatMethodSolver:
         L = cotan_laplacian(verts, faces)
         mass = vertex_areas(verts, faces)
 
-        # time step: t = t_coef * h^2, h = mean edge length
-        edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
-                                faces[:, [2, 0]]], axis=0)
-        h = np.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]], axis=1).mean()
-        t = t_coef * h * h
+        # per-face geometry for gradient/divergence (shared with the device
+        # solver): grad u = sum_c u_c * rot_edges[c] (Crane et al.)
+        (self._rot_edges, self._cot, self._edge_vecs,
+         h) = heat_face_geometry(verts, faces)
+        t = t_coef * h * h  # time step: t = t_coef * (mean edge length)^2
 
         M = scipy.sparse.diags(mass)
         self._heat_factor = sla.splu((M + t * L).tocsc())
         self._poisson_factor = sla.splu(
             (L + scipy.sparse.identity(V) * 1e-8 * L.diagonal().mean()).tocsc())
-
-        # Per-face geometry for gradient/divergence
-        coords = verts[faces]  # (F,3,3)
-        e0 = coords[:, 2] - coords[:, 1]   # edge opposite corner 0
-        e1 = coords[:, 0] - coords[:, 2]
-        e2 = coords[:, 1] - coords[:, 0]
-        n = np.cross(e2, -e1)
-        self._areas = 0.5 * np.linalg.norm(n, axis=1)
-        n_unit = n / (2.0 * self._areas[:, None] + 1e-300)
-        # rotated (90deg about face normal) opposite edges, pre-scaled by 1/(2A):
-        # grad u = sum_c u_c * rot_edges[c]  (Crane et al. eq. for face gradient)
-        self._rot_edges = np.stack([np.cross(n_unit, e0),
-                                    np.cross(n_unit, e1),
-                                    np.cross(n_unit, e2)],
-                                   axis=1) / (2.0 * self._areas[:, None, None]
-                                              + 1e-300)  # (F,3corner,3)
-        # cotangents for divergence
-        def cot(u, v):
-            cr = np.linalg.norm(np.cross(u, v), axis=1)
-            return np.sum(u * v, axis=1) / (cr + 1e-300)
-        self._cot = np.stack([cot(-e1, e2), cot(-e2, e0), cot(-e0, e1)],
-                             axis=1)  # (F,3) cot at corner i
-        self._edge_vecs = np.stack([e0, e1, e2], axis=1)  # (F,3,3)
 
     def distance(self, sources: np.ndarray, block: int = 256) -> np.ndarray:
         """Geodesic distance from each source vertex: returns (S, V)."""

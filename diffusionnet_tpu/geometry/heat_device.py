@@ -39,22 +39,24 @@ from __future__ import annotations
 from functools import lru_cache
 
 import numpy as np
+import scipy.sparse
 
-from .laplacian import cotan_laplacian, vertex_areas
+from .laplacian import cotan_laplacian, vertex_areas, heat_face_geometry
 
 
 @lru_cache(maxsize=None)
 def _jitted():
     """jit the kernels on first use (keeps module import jax-free)."""
     import jax
-    return (jax.jit(_build_chol, static_argnames=("pin0",)),
+    return (jax.jit(_build_chol),
             jax.jit(_inv_columns),
             jax.jit(_heat_block_solve))
 
 
-def _build_chol(rows, cols, vals, diag_add, pin0: bool):
-    """Scatter the COO system on device, optionally pin vertex 0, Jacobi-scale,
-    and Cholesky-factorize. Returns (C, s, finite) with A^-1 = s * C^-T C^-1 * s.
+def _build_chol(rows, cols, vals, diag_add, pin_mask):
+    """Scatter the COO system on device, pin the vertices in pin_mask (their
+    rows/cols replaced by the identity's), Jacobi-scale, and
+    Cholesky-factorize. Returns (C, s, finite) with A^-1 = s * C^-T C^-1 * s.
 
     The matmul-precision context is load-bearing: on TPU the DEFAULT matmul
     precision runs the factorization's internal dots in bf16, which destroys
@@ -67,8 +69,9 @@ def _build_chol(rows, cols, vals, diag_add, pin0: bool):
     with jax.default_matmul_precision("highest"):
         A = jnp.zeros((V, V), jnp.float32).at[rows, cols].add(vals)
         A = A + jnp.diag(diag_add)
-        if pin0:
-            A = A.at[0, :].set(0.0).at[:, 0].set(0.0).at[0, 0].set(1.0)
+        keep = ~pin_mask
+        A = (A * (keep[:, None] & keep[None, :])
+             + jnp.diag(pin_mask.astype(jnp.float32)))
         s = 1.0 / jnp.sqrt(jnp.diagonal(A))
         C = jnp.linalg.cholesky(A * s[:, None] * s[None, :])
         return C, s, jnp.isfinite(C).all()
@@ -158,10 +161,9 @@ class DeviceHeatMethodSolver:
         L = cotan_laplacian(verts, faces).tocoo()
         mass = vertex_areas(verts, faces)
 
-        edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
-                                faces[:, [2, 0]]], axis=0)
-        h = np.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]],
-                           axis=1).mean()
+        # per-face geometry (shared with HeatMethodSolver)
+        rot_edges, cots, edge_vecs, h = heat_face_geometry(verts, faces)
+
         # f32 far-field floor on the diffusion time: the one-step screened
         # Poisson Green's function decays like e^(-d/sqrt(t)); once it
         # underflows f32 entirely (~1e-38) the normalized gradients are
@@ -173,50 +175,45 @@ class DeviceHeatMethodSolver:
         diam = np.linalg.norm(verts.max(axis=0) - verts.min(axis=0))
         t = max(t_coef * h * h, (diam / 60.0) ** 2)
 
-        # per-face geometry (same construction as HeatMethodSolver)
-        coords = verts[faces]
-        e0 = coords[:, 2] - coords[:, 1]
-        e1 = coords[:, 0] - coords[:, 2]
-        e2 = coords[:, 1] - coords[:, 0]
-        n = np.cross(e2, -e1)
-        areas = 0.5 * np.linalg.norm(n, axis=1)
-        n_unit = n / (2.0 * areas[:, None] + 1e-300)
-        rot_edges = np.stack([np.cross(n_unit, e0),
-                              np.cross(n_unit, e1),
-                              np.cross(n_unit, e2)],
-                             axis=1) / (2.0 * areas[:, None, None] + 1e-300)
-
-        def cot(u, v):
-            cr = np.linalg.norm(np.cross(u, v), axis=1)
-            return np.sum(u * v, axis=1) / (cr + 1e-300)
-
-        cots = np.stack([cot(-e1, e2), cot(-e2, e0), cot(-e0, e1)], axis=1)
-        edge_vecs = np.stack([e0, e1, e2], axis=1)
-
         f32 = jnp.float32
         rows = jnp.asarray(L.row, jnp.int32)
         cols = jnp.asarray(L.col, jnp.int32)
         vals = jnp.asarray(L.data, f32)
 
+        # pin ONE vertex per connected component: pinning only vertex 0
+        # would leave every other component's Laplacian block exactly
+        # singular — its f32 Cholesky pivot is rounding noise, which either
+        # fails the finite check or (worse) silently yields garbage
+        # distances for that component
+        import scipy.sparse.csgraph as csgraph
+        n_comp, labels = csgraph.connected_components(
+            scipy.sparse.csr_matrix(
+                (np.abs(L.data), (L.row, L.col)), shape=(V, V)),
+            directed=False)
+        pins = np.zeros(V, dtype=bool)
+        pins[np.unique(labels, return_index=True)[1]] = True
+
+        no_pins = jnp.zeros(V, dtype=bool)
         Hinv = self._invert(rows, cols, vals * jnp.float32(t),
-                            jnp.asarray(mass, f32), pin0=False)
-        Linv0 = self._invert(rows, cols, vals,
-                             jnp.zeros(V, f32), pin0=True)
-        # the pinned inverse is blockdiag(1, L_red^-1); zero the 1 so
-        # `Linv0 @ div` yields phi[0] = 0 exactly
-        Linv0 = Linv0.at[0, 0].set(0.0)
+                            jnp.asarray(mass, f32), no_pins)
+        Linv0 = self._invert(rows, cols, vals, jnp.zeros(V, f32),
+                             jnp.asarray(pins))
+        # the pinned inverse is blockdiag over {pins: 1, rest: L_red^-1};
+        # zero the pinned 1s so `Linv0 @ div` yields phi[pin] = 0 exactly
+        pin_idx = jnp.asarray(np.flatnonzero(pins), jnp.int32)
+        Linv0 = Linv0.at[pin_idx, pin_idx].set(0.0)
 
         self._ops = (Hinv, Linv0, jnp.asarray(faces, jnp.int32),
                      jnp.asarray(rot_edges, f32), jnp.asarray(cots, f32),
                      jnp.asarray(edge_vecs, f32))
 
-    def _invert(self, rows, cols, vals, diag_add, pin0):
+    def _invert(self, rows, cols, vals, diag_add, pin_mask):
         """Explicit A^-1, built in column blocks to bound solve temporaries."""
         import jax.numpy as jnp
 
         V = diag_add.shape[0]
         build_chol, inv_columns, _ = _jitted()
-        C, s, finite = build_chol(rows, cols, vals, diag_add, pin0=pin0)
+        C, s, finite = build_chol(rows, cols, vals, diag_add, pin_mask)
         if not bool(finite):
             raise RuntimeError(
                 "f32 factorization of the heat/Poisson operator failed "

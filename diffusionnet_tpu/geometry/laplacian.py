@@ -34,6 +34,37 @@ def vertex_areas(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return mass
 
 
+def heat_face_geometry(verts: np.ndarray, faces: np.ndarray):
+    """Per-face quantities shared by the heat-method solvers (host and
+    device): (rot_edges (F,3,3), cots (F,3), edge_vecs (F,3,3),
+    mean_edge_len). rot_edges[f, c] is the opposite edge of corner c rotated
+    90 degrees about the face normal and pre-scaled by 1/(2A), so
+    grad u = sum_c u_c * rot_edges[c] (Crane et al., "Geodesics in Heat")."""
+    verts = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(faces, dtype=np.int64)
+    coords = verts[faces]
+    e0 = coords[:, 2] - coords[:, 1]   # edge opposite corner 0
+    e1 = coords[:, 0] - coords[:, 2]
+    e2 = coords[:, 1] - coords[:, 0]
+    n = np.cross(e2, -e1)
+    areas = 0.5 * np.linalg.norm(n, axis=1)
+    n_unit = n / (2.0 * areas[:, None] + 1e-300)
+    rot_edges = np.stack([np.cross(n_unit, e0),
+                          np.cross(n_unit, e1),
+                          np.cross(n_unit, e2)],
+                         axis=1) / (2.0 * areas[:, None, None] + 1e-300)
+
+    def cot(u, v):
+        cr = np.linalg.norm(np.cross(u, v), axis=1)
+        return np.sum(u * v, axis=1) / (cr + 1e-300)
+
+    cots = np.stack([cot(-e1, e2), cot(-e2, e0), cot(-e0, e1)], axis=1)
+    edge_vecs = np.stack([e0, e1, e2], axis=1)
+    h = np.mean([np.linalg.norm(e0, axis=1), np.linalg.norm(e1, axis=1),
+                 np.linalg.norm(e2, axis=1)])
+    return rot_edges, cots, edge_vecs, h
+
+
 def cotan_laplacian(verts: np.ndarray, faces: np.ndarray,
                     denom_eps: float = 1e-10) -> scipy.sparse.csc_matrix:
     """Weak cotan Laplacian as a (V,V) CSC matrix, float64.

@@ -33,6 +33,35 @@ from diffusionnet_tpu.training import (
 )
 
 
+class graceful_stop:
+    """Context manager for preemption-safe loops: installs SIGTERM/SIGINT
+    handlers that append to the returned list (truthy once a signal arrived),
+    and ALWAYS restores the prior dispositions on exit — including when the
+    loop body raises, so a crashed run never leaves the process
+    un-interruptible. No-op (always-empty list) off the main thread."""
+
+    def __enter__(self):
+        import signal
+        self.stop_requested: list = []
+
+        def _request_stop(signum, frame):
+            self.stop_requested.append(signum)
+            print(f"signal {signum}: checkpointing at the next boundary "
+                  "and exiting")
+        try:
+            self._prev = {s: signal.signal(s, _request_stop)
+                          for s in (signal.SIGTERM, signal.SIGINT)}
+        except ValueError:  # not the main thread
+            self._prev = {}
+        return self.stop_requested
+
+    def __exit__(self, *exc):
+        import signal
+        for s, h in self._prev.items():
+            signal.signal(s, h)
+        return False
+
+
 @dataclass
 class FitConfig:
     n_epoch: int = 200
@@ -323,81 +352,70 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
 
     # preemption safety: a SIGTERM/SIGINT sets a flag; the loop finishes the
     # epoch in flight, checkpoints the full train state, and returns — so a
-    # spot eviction costs at most one epoch of work and resumes bit-identically
-    stop_requested = []
-    if cfg.graceful_sigterm:
-        import signal
-
-        def _request_stop(signum, frame):
-            stop_requested.append(signum)
-            print(f"signal {signum}: finishing the current epoch, "
-                  "checkpointing, and exiting")
-        try:
-            prev_handlers = {s: signal.signal(s, _request_stop)
-                             for s in (signal.SIGTERM, signal.SIGINT)}
-        except ValueError:  # not the main thread; run without the handler
-            prev_handlers = {}
+    # spot eviction costs at most one epoch of work and resumes bit-identically.
+    # graceful_stop restores the prior handlers even if the loop raises.
+    import contextlib
+    _stack = contextlib.ExitStack()
+    stop_requested = (_stack.enter_context(graceful_stop())
+                      if cfg.graceful_sigterm else [])
 
     history = []
     best_test_acc = -1.0
     import time as _time
-    for epoch in range(start_epoch, cfg.n_epoch):
-        epoch_t0 = _time.time()
-        correct = total = 0
-        last_loss = None
-        for batch in _batches(train_ds, shuffle=True, seed=cfg.seed + epoch):
-            if shard_batch is not None:
-                batch = shard_batch(batch)
-            rng, step_rng = jax.random.split(rng)
-            params, opt_state, loss, (c, t) = train_step(
-                params, opt_state, batch, step_rng)
-            correct += int(c)
-            total += int(t)
-            last_loss = float(loss)
-            if not np.isfinite(last_loss):
-                raise FloatingPointError(
-                    f"non-finite training loss at epoch {epoch} "
-                    "(step skipped would silently corrupt the run); inspect "
-                    "the learning rate / input data, or resume from the last "
-                    "checkpoint")
-        train_acc = correct / max(total, 1)
+    with _stack:
+        for epoch in range(start_epoch, cfg.n_epoch):
+            epoch_t0 = _time.time()
+            correct = total = 0
+            last_loss = None
+            for batch in _batches(train_ds, shuffle=True, seed=cfg.seed + epoch):
+                if shard_batch is not None:
+                    batch = shard_batch(batch)
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, loss, (c, t) = train_step(
+                    params, opt_state, batch, step_rng)
+                correct += int(c)
+                total += int(t)
+                last_loss = float(loss)
+                if not np.isfinite(last_loss):
+                    raise FloatingPointError(
+                        f"non-finite training loss at epoch {epoch} "
+                        "(step skipped would silently corrupt the run); inspect "
+                        "the learning rate / input data, or resume from the last "
+                        "checkpoint")
+            train_acc = correct / max(total, 1)
 
-        test_acc = evaluate(params, test_ds) if (epoch % eval_every == 0) else None
-        history.append((epoch, train_acc, test_acc))
-        if verbose:
-            ta = f"{100 * test_acc:06.3f}%" if test_acc is not None else "--"
-            print(f"Epoch {epoch} - Train overall: {100 * train_acc:06.3f}%  "
-                  f"Test overall: {ta}")
-        if log_path is not None:
-            import json
-            step_count = (epoch + 1) * steps_per_epoch
-            with open(log_path, "a") as f:
-                f.write(json.dumps({
-                    "epoch": epoch, "train_acc": train_acc,
-                    "test_acc": test_acc, "train_loss": last_loss,
-                    "lr": float(cfg.lr * cfg.decay_rate
-                                ** (step_count // max(1, cfg.decay_every
-                                                      * steps_per_epoch))),
-                    "epoch_seconds": round(_time.time() - epoch_t0, 3),
-                }) + "\n")
-        # periodic best-checkpointing (the reference only saves once at the
-        # end, human_segmentation_original.py:209; full train state here so a
-        # crashed run resumes bit-identically)
-        if (model_save_path is not None and test_acc is not None
-                and test_acc > best_test_acc):
-            best_test_acc = test_acc
-            save_state(epoch)
-        if stop_requested:
-            if model_save_path is not None:
+            test_acc = evaluate(params, test_ds) if (epoch % eval_every == 0) else None
+            history.append((epoch, train_acc, test_acc))
+            if verbose:
+                ta = f"{100 * test_acc:06.3f}%" if test_acc is not None else "--"
+                print(f"Epoch {epoch} - Train overall: {100 * train_acc:06.3f}%  "
+                      f"Test overall: {ta}")
+            if log_path is not None:
+                import json
+                step_count = (epoch + 1) * steps_per_epoch
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({
+                        "epoch": epoch, "train_acc": train_acc,
+                        "test_acc": test_acc, "train_loss": last_loss,
+                        "lr": float(cfg.lr * cfg.decay_rate
+                                    ** (step_count // max(1, cfg.decay_every
+                                                          * steps_per_epoch))),
+                        "epoch_seconds": round(_time.time() - epoch_t0, 3),
+                    }) + "\n")
+            # periodic best-checkpointing (the reference only saves once at the
+            # end, human_segmentation_original.py:209; full train state here so a
+            # crashed run resumes bit-identically)
+            if (model_save_path is not None and test_acc is not None
+                    and test_acc > best_test_acc):
+                best_test_acc = test_acc
                 save_state(epoch)
-                print(f"preemption checkpoint written at epoch {epoch}; "
-                      "resume with resume_from=")
-            break
+            if stop_requested:
+                if model_save_path is not None:
+                    save_state(epoch)
+                    print(f"preemption checkpoint written at epoch {epoch}; "
+                          "resume with resume_from=")
+                break
 
-    if cfg.graceful_sigterm:
-        import signal
-        for s, h in prev_handlers.items():
-            signal.signal(s, h)
     if stop_requested:
         return params, history, evaluate
 

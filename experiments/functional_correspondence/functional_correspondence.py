@@ -236,56 +236,47 @@ def main():
 
         # preemption safety: stop at a PAIR boundary (real-data epochs are
         # thousands of pairs — too long for an eviction grace period), save
-        # the exact position, and exit; --resume_from continues there
-        import signal
-        stop_requested = []
-
-        def _request_stop(signum, frame):
-            stop_requested.append(signum)
-            print(f"signal {signum}: checkpointing at the next pair "
-                  "boundary and exiting")
-        try:
-            prev = {s: signal.signal(s, _request_stop)
-                    for s in (signal.SIGTERM, signal.SIGINT)}
-        except ValueError:
-            prev = {}
+        # the exact position, and exit; --resume_from continues there.
+        # graceful_stop restores the prior handlers even if the loop raises.
+        from exp_common import graceful_stop
 
         import json
         import time as _time
-        for epoch in range(start_epoch, args.n_epoch):
-            epoch_t0 = _time.time()
-            losses = []
-            order = np.random.RandomState(1000 + epoch).permutation(
-                len(train_ds))
-            pos0 = start_pos if epoch == start_epoch else 0
-            for pos in range(pos0, len(order)):
-                i1, i2, C_gt = train_ds[int(order[pos])]
-                rng, r1, r2, rd = jax.random.split(rng, 4)
-                s1 = sf(i1, r1 if augment else None)
-                s2 = sf(i2, r2 if augment else None)
-                params, opt_state, loss = train_step(
-                    params, opt_state, s1, s2, jnp.asarray(C_gt), rd)
-                losses.append(float(loss))
-                if stop_requested:
-                    save_state(epoch, pos + 1, step=epoch)
-                    for s, h in prev.items():
-                        signal.signal(s, h)
-                    print(f"preemption checkpoint: epoch {epoch}, "
-                          f"pair {pos + 1}; resume with --resume_from")
-                    return
-            test_loss, test_geo = test(params, with_geodesic_error=True)
-            print(f"Epoch {epoch} - Train: {np.mean(losses):.5e}  "
-                  f"Test: {test_loss:.5e}  Test geodesic error: {test_geo:.5e}")
-            with open(log_path, "a") as f:
-                f.write(json.dumps({
-                    "epoch": epoch, "train_loss": float(np.mean(losses)),
-                    "test_loss": float(test_loss),
-                    "test_geodesic_error": float(test_geo),
-                    "epoch_seconds": round(_time.time() - epoch_t0, 3),
-                }) + "\n")
-            save_state(epoch + 1, 0, step=epoch)
-        for s, h in prev.items():
-            signal.signal(s, h)
+        with graceful_stop() as stop_requested:
+            for epoch in range(start_epoch, args.n_epoch):
+                epoch_t0 = _time.time()
+                losses = []
+                order = np.random.RandomState(1000 + epoch).permutation(
+                    len(train_ds))
+                pos0 = start_pos if epoch == start_epoch else 0
+                for pos in range(pos0, len(order)):
+                    i1, i2, C_gt = train_ds[int(order[pos])]
+                    rng, r1, r2, rd = jax.random.split(rng, 4)
+                    s1 = sf(i1, r1 if augment else None)
+                    s2 = sf(i2, r2 if augment else None)
+                    params, opt_state, loss = train_step(
+                        params, opt_state, s1, s2, jnp.asarray(C_gt), rd)
+                    losses.append(float(loss))
+                    if stop_requested:
+                        save_state(epoch, pos + 1, step=epoch)
+                        print(f"preemption checkpoint: epoch {epoch}, "
+                              f"pair {pos + 1}; resume with --resume_from")
+                        return
+                test_loss, test_geo = test(params, with_geodesic_error=True)
+                # a resume that landed exactly on an epoch boundary replays
+                # the epoch with zero pairs — report the loss as None, not NaN
+                train_loss = float(np.mean(losses)) if losses else None
+                tl = f"{train_loss:.5e}" if train_loss is not None else "--"
+                print(f"Epoch {epoch} - Train: {tl}  "
+                      f"Test: {test_loss:.5e}  Test geodesic error: {test_geo:.5e}")
+                with open(log_path, "a") as f:
+                    f.write(json.dumps({
+                        "epoch": epoch, "train_loss": train_loss,
+                        "test_loss": float(test_loss),
+                        "test_geodesic_error": float(test_geo),
+                        "epoch_seconds": round(_time.time() - epoch_t0, 3),
+                    }) + "\n")
+                save_state(epoch + 1, 0, step=epoch)
 
     mean_loss, mean_geo = test(params, with_geodesic_error=True)
     print(f"Overall test loss: {mean_loss:.5e}  geodesic error: {mean_geo:.5e}")

@@ -483,6 +483,20 @@ def test_device_heat_geodesics_match_host():
     d_dev = DeviceHeatMethodSolver(verts, faces).distance(src)
     assert np.abs(d_host - d_dev).max() / d_host.max() < 2e-3
 
+    # disconnected mesh: one vertex is pinned PER component (pinning only
+    # vertex 0 leaves the other components' Poisson blocks exactly singular,
+    # which an f32 Cholesky turns into silent garbage); within-component
+    # distances must match the single-component solve
+    v1, f1 = icosphere(2)
+    verts2 = np.concatenate([v1, v1 + np.array([5.0, 0.0, 0.0])])
+    faces2 = np.concatenate([f1, f1 + len(v1)])
+    d_two = DeviceHeatMethodSolver(verts2, faces2).distance(np.array([0]))[0]
+    d_one = DeviceHeatMethodSolver(v1, f1).distance(np.array([0]))[0]
+    assert np.isfinite(d_two).all()
+    # the two-component solver uses a larger t floor (bigger bbox diagonal),
+    # so compare at the heat-method level, normalized by the sphere diameter
+    assert np.abs(d_two[:len(v1)] - d_one).max() / d_one.max() < 0.08
+
 
 def test_exact_geodesics_match_bruteforce_oracle():
     """The native ICH solver equals a brute-force exhaustive-unfolding EXACT

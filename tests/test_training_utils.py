@@ -137,25 +137,36 @@ def test_fit_graceful_sigterm_checkpoints_and_resumes(tmp_path):
 
     p_full, _, _ = fit(model, ds, ds, make_cfg(4), verbose=False)
 
-    # fire SIGTERM shortly after training starts; the loop must stop at an
+    # fire SIGTERM repeatedly once training starts; the loop must stop at an
     # epoch boundary with a checkpoint on disk instead of dying mid-step.
-    # n_epoch is far larger than 1s of (possibly jit-warm) epochs can cover,
-    # so the signal always lands mid-run.
+    # A benign handler is pre-installed so a signal racing fit()'s handler
+    # installation can't kill the test process, and the signals repeat until
+    # one lands inside the guarded loop. n_epoch is far larger than the
+    # window can cover, so the run always stops early.
     ck = str(tmp_path / "run" / "model")
-    prior_handler = signal.getsignal(signal.SIGTERM)
-    timer = threading.Timer(1.0, os.kill, (os.getpid(), signal.SIGTERM))
-    timer.start()
+    benign = lambda *a: None
+    prior_handler = signal.signal(signal.SIGTERM, benign)
+    done = threading.Event()
+
+    def keep_signaling():
+        while not done.wait(1.0):
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    sender = threading.Thread(target=keep_signaling, daemon=True)
+    sender.start()
     try:
         _, hist, _ = fit(model, ds, ds, make_cfg(100000),
                          model_save_path=ck, verbose=False)
+        # fit must have restored the disposition it found (the benign one)
+        restored_to = signal.getsignal(signal.SIGTERM)
     finally:
-        timer.cancel()
+        done.set()
+        sender.join()
+        signal.signal(signal.SIGTERM, prior_handler)
     assert 0 < len(hist) < 100000, "SIGTERM did not stop the run early"
     from diffusionnet_tpu.training.checkpoint import latest_checkpoint
     assert latest_checkpoint(os.path.dirname(ck)) is not None
-
-    # the prior SIGTERM disposition must be restored after fit returns
-    assert signal.getsignal(signal.SIGTERM) == prior_handler
+    assert restored_to is benign
 
     # resume from the preemption checkpoint to the 4-epoch horizon; where the
     # interruption landed at epoch >= 4 the comparison is void, so force a
