@@ -78,6 +78,14 @@ def test_shrec11_simplified_driver(tmp_path):
                 "--n_epoch", "1", "--batch_size", "8", "--k_eig", "8",
                 "--data_dir", str(root)])
 
+    # --megakernel --bf16: the whole-block Pallas fast path through the real
+    # driver (interpret mode on CPU — same kernel code, executed by XLA:CPU);
+    # the op cache from the run above keeps precompute free
+    run_driver("classification_shrec11", "classification_shrec11.py",
+               ["--dataset_type", "simplified", "--split_size", "1",
+                "--n_epoch", "1", "--batch_size", "8", "--k_eig", "8",
+                "--megakernel", "--bf16", "--data_dir", str(root)])
+
 
 def test_shrec11_original_categories_txt(tmp_path):
     # categories.txt (NIST format: 2 header lines, then per class a blank-ish
