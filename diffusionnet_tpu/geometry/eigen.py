@@ -93,15 +93,27 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     fits a 16 GB chip comfortably; 1M x k=128 does NOT (measured ~36 GB) —
     use the host path or shard at that scale.
     """
+    if cheb_degree is not None and cheb_degree < 2:
+        raise ValueError(f"cheb_degree must be >= 2, got {cheb_degree} "
+                         "(the recurrence always consumes coeffs[0..1])")
     V = L_ell.idx.shape[0]
     mask = massvec > 0
+    if n_valid is not None:
+        # caller-declared valid-row count: rows at or beyond n_valid are
+        # padding even if their mass is nonzero
+        mask = mask & (jnp.arange(V) < n_valid)
     inv_sqrt_m = jnp.where(mask, 1.0 / jnp.sqrt(jnp.where(mask, massvec, 1.0)), 0.0)
     row_scale = inv_sqrt_m
 
-    # spectral radius bound of C (Gershgorin over the normalized entries)
-    bound = float(_gershgorin_bound(
+    # spectral radius bound of C (Gershgorin over the normalized entries,
+    # PLUS the eps * M^-1 regularization term of matvec_C — a tiny-mass
+    # vertex with a near-zero Laplacian row otherwise pushes lambda_max(C)
+    # outside the Chebyshev interval and T_n overflows f32)
+    bound = (float(_gershgorin_bound(
         Ell(L_ell.idx, L_ell.val * row_scale[:, None]
-            * row_scale[L_ell.idx]))) + eps
+            * row_scale[L_ell.idx])))
+             + eps * float(jnp.max(jnp.where(mask, row_scale, 0.0))) ** 2
+             + eps)
     big = bound  # padded rows act as big*I -> filtered to ~0, auto-excluded
 
     def matvec_C(x):  # x: (V, m); C x = r (L (r x)) + eps r^2 x, r = M^-1/2

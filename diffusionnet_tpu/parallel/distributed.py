@@ -19,13 +19,23 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Initialize jax.distributed from args or the TPU environment (no-op if
-    already initialized or single-process)."""
+    already initialized or single-process). A genuine init FAILURE with an
+    explicit coordinator_address re-raises — silently proceeding would run N
+    independent single-process copies that train divergently with no error."""
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError) as e:  # already initialized / 1-process
-        print(f"jax.distributed.initialize skipped: {e}")
+    except (RuntimeError, ValueError) as e:
+        msg = str(e).lower()
+        if "already" in msg and "initialize" in msg:
+            print(f"jax.distributed.initialize skipped: {e}")
+            return
+        if coordinator_address is None and num_processes in (None, 1):
+            # single-process environment probing: nothing to coordinate
+            print(f"jax.distributed.initialize skipped: {e}")
+            return
+        raise
 
 
 def make_pod_mesh(vert: int = 1) -> Mesh:
@@ -38,4 +48,12 @@ def make_pod_mesh(vert: int = 1) -> Mesh:
     devices = np.asarray(jax.devices())
     if devices.size % vert != 0:
         raise ValueError(f"{devices.size} devices not divisible by vert={vert}")
+    local = jax.local_device_count()
+    if vert > 1 and local % vert != 0 and vert % local != 0:
+        # a vert group would straddle a host/slice boundary, so the per-block
+        # psum would ride DCN instead of ICI — refuse instead of silently
+        # delivering orders-of-magnitude slower collectives
+        raise ValueError(
+            f"vert={vert} does not tile the {local} devices per process; "
+            "vert groups would span slices (collectives over DCN)")
     return Mesh(devices.reshape(-1, vert), axis_names=("data", "vert"))

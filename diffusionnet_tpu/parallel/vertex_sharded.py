@@ -12,6 +12,8 @@ code.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -58,9 +60,6 @@ def vertex_sharded_megakernel_forward(params, x_in, ops: Operators,
 
     x_in: (V, C_in) for ONE large surface. Requires dense spectral gradient
     operators (ops.gradX_spec) and V divisible by n_vert_shards * tile_v."""
-    from jax import shard_map
-    from ..models.fast_path import megablock_apply
-
     vshard = NamedSharding(mesh, P("vert"))
     x_in = jax.device_put(x_in, vshard)
     ops = shard_operators_by_vertex(ops, mesh)
@@ -68,6 +67,19 @@ def vertex_sharded_megakernel_forward(params, x_in, ops: Operators,
     if ops.gradX_spec is None:
         raise ValueError("vertex-sharded megakernel needs spectral gradient "
                          "operators (ops.gradX_spec)")
+
+    fwd = _sharded_mega_fn(mesh, n_block, tile_v, last_activation, interpret)
+    return fwd(params, x_in, ops.mass, ops.evals, ops.evecs,
+               ops.gradX_spec, ops.gradY_spec)
+
+
+@lru_cache(maxsize=32)
+def _sharded_mega_fn(mesh, n_block, tile_v, last_activation, interpret):
+    """One jitted shard_map program per (mesh, config) — calling the forward
+    in a loop over same-shape meshes must hit jit's cache, not retrace (a
+    fresh closure per call would recompile the full program every time)."""
+    from jax import shard_map
+    from ..models.fast_path import megablock_apply
 
     def device_fn(params, x, mass, evals, evecs, gX, gY):
         out = megablock_apply(
@@ -77,15 +89,18 @@ def vertex_sharded_megakernel_forward(params, x_in, ops: Operators,
             xhat_reduce=lambda h: jax.lax.psum(h, "vert"))
         return out[0]
 
-    fwd = shard_map(
+    return jax.jit(shard_map(
         device_fn, mesh=mesh,
         in_specs=(P(), P("vert"), P("vert"), P(), P("vert"), P("vert"),
                   P("vert")),
         out_specs=P("vert"),
         check_vma=False,
-    )
-    return jax.jit(fwd)(params, x_in, ops.mass, ops.evals, ops.evecs,
-                        ops.gradX_spec, ops.gradY_spec)
+    ))
+
+
+# jitted forward per (model, mesh, kwarg-names): repeat calls over same-shape
+# meshes hit jit's cache instead of retracing a fresh closure every time
+_FWD_CACHE: dict = {}
 
 
 def vertex_sharded_forward(model, params, x_in, ops: Operators, mesh: Mesh,
@@ -99,15 +114,31 @@ def vertex_sharded_forward(model, params, x_in, ops: Operators, mesh: Mesh,
     ops = shard_operators_by_vertex(ops, mesh)
     params = jax.device_put(params, NamedSharding(mesh, P()))
 
-    @jax.jit
-    def fwd(params, x_in, ops):
-        # prefer the dense spectral gradient operators: with the V axis sharded
-        # they are plain sharded matmuls (psum/all-gather inserted by XLA),
-        # whereas the ELL gather needs a full all-gather of x
-        gX = ops.gradX_spec if ops.gradX_spec is not None else ops.gradX
-        gY = ops.gradY_spec if ops.gradY_spec is not None else ops.gradY
-        return model.apply(params, x_in, ops.mass, L=ops.L, evals=ops.evals,
-                           evecs=ops.evecs, gradX=gX, gradY=gY,
-                           **call_kwargs)
+    # arrays travel as jit arguments; everything else (bools, strings) is
+    # static — closed over and part of the cache key, so Python control flow
+    # on those kwargs inside the model never sees a tracer
+    def _is_array(v):
+        import numpy as _np
+        return isinstance(v, (jax.Array, _np.ndarray))
 
-    return fwd(params, x_in, ops)
+    arr_names = tuple(sorted(k for k, v in call_kwargs.items()
+                             if _is_array(v)))
+    static = {k: v for k, v in call_kwargs.items() if k not in arr_names}
+    key = (model, mesh, arr_names, tuple(sorted(static.items())))
+    fwd = _FWD_CACHE.get(key)
+    if fwd is None:
+        @jax.jit
+        def fwd(params, x_in, ops, kw_vals):
+            # prefer the dense spectral gradient operators: with the V axis
+            # sharded they are plain sharded matmuls (psum/all-gather
+            # inserted by XLA), whereas the ELL gather needs a full
+            # all-gather of x
+            gX = ops.gradX_spec if ops.gradX_spec is not None else ops.gradX
+            gY = ops.gradY_spec if ops.gradY_spec is not None else ops.gradY
+            return model.apply(params, x_in, ops.mass, L=ops.L,
+                               evals=ops.evals, evecs=ops.evecs, gradX=gX,
+                               gradY=gY, **dict(zip(arr_names, kw_vals)),
+                               **static)
+        _FWD_CACHE[key] = fwd
+
+    return fwd(params, x_in, ops, tuple(call_kwargs[k] for k in arr_names))

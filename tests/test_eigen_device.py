@@ -102,3 +102,34 @@ def test_dataset_precompute_device_eigensolver(sphere_mesh):
     ds.add(verts, faces, 0)
     ds.precompute(k_eig=6, verbose=False, eigensolver="device")
     np.testing.assert_allclose(ds.ops_list[0].evals[1:4], 2.0, atol=0.1)
+
+
+def test_device_eigensolver_tiny_mass_isolated_vertex():
+    """An isolated vertex with near-zero mass must not push lambda_max(C)
+    outside the Chebyshev interval (the eps*M^-1 regularization term has to
+    be inside the spectral-radius bound, else T_n overflows f32 and LOBPCG
+    returns garbage with no error)."""
+    import jax
+    import jax.numpy as jnp
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.geometry import cotan_laplacian, vertex_areas
+    from diffusionnet_tpu.geometry.eigen import eigensolve_device
+    from diffusionnet_tpu.ops.sparse import ell_from_coo
+
+    sverts, faces = icosphere(2)
+    V = sverts.shape[0] + 1  # plus one isolated vertex
+    L = cotan_laplacian(sverts, faces).tocoo()
+    ell = jax.tree.map(jnp.asarray,
+                       ell_from_coo(L.row, L.col, L.data, n_rows=V))
+    mass = np.concatenate([vertex_areas(sverts, faces), [1e-12]])
+    evals, evecs = eigensolve_device(ell, jnp.asarray(mass, jnp.float32),
+                                     k_eig=6)
+    e = np.asarray(evals)
+    assert np.isfinite(e).all()
+    np.testing.assert_allclose(e[:4], [0.0, 2.0, 2.0, 2.0], atol=0.3)
+
+    # cheb_degree < 2 must be rejected, not silently compute a wrong filter
+    import pytest
+    with pytest.raises(ValueError):
+        eigensolve_device(ell, jnp.asarray(mass, jnp.float32), k_eig=4,
+                          cheb_degree=0)

@@ -258,3 +258,44 @@ def test_inference_session_megakernel_matches_xla(tmp_path):
     out_base = base(verts, faces)
     out_fast = fast(verts, faces)
     np.testing.assert_allclose(out_fast, out_base, rtol=2e-4, atol=2e-4)
+
+
+def test_checkpoint_relative_path_and_params_only_restore(tmp_path,
+                                                          monkeypatch):
+    """Relative checkpoint dirs restore (Orbax requires absolute paths — the
+    API absolutizes), and a params-only template extracts the params subtree
+    from a full-train-state checkpoint in BOTH backends (Orbax and the keyed
+    npz fallback)."""
+    import builtins
+
+    from diffusionnet_tpu.training.checkpoint import latest_checkpoint
+
+    state = {"params": {"w": jnp.arange(4.0)},
+             "opt_state": {"m": jnp.ones(3)},
+             "epoch": np.asarray(3, np.int32)}
+    monkeypatch.chdir(tmp_path)
+
+    # Orbax branch, relative dir
+    save_checkpoint("ck", state, step=1)
+    p = latest_checkpoint("ck")
+    full = restore_checkpoint(p, jax.tree.map(jnp.zeros_like, state))
+    np.testing.assert_allclose(np.asarray(full["params"]["w"]), [0, 1, 2, 3])
+    po = restore_checkpoint(p, {"w": jnp.zeros(4)})
+    np.testing.assert_allclose(np.asarray(po["w"]), [0, 1, 2, 3])
+
+    # npz fallback branch (orbax import blocked)
+    real_import = builtins.__import__
+
+    def no_orbax(name, *a, **k):
+        if name.startswith("orbax"):
+            raise ImportError("simulated absence")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_orbax)
+    save_checkpoint("ck2", state, step=1)
+    p2 = latest_checkpoint("ck2")
+    assert p2.endswith(".npz")
+    full2 = restore_checkpoint(p2, jax.tree.map(jnp.zeros_like, state))
+    np.testing.assert_allclose(np.asarray(full2["params"]["w"]), [0, 1, 2, 3])
+    po2 = restore_checkpoint(p2, {"w": jnp.zeros(4)})
+    np.testing.assert_allclose(np.asarray(po2["w"]), [0, 1, 2, 3])
