@@ -166,12 +166,15 @@ def _stacked_groups(ds: SurfaceDataset, buckets):
     assembly is then a fancy-index copy instead of a re-pad + re-stack (at
     20k-vertex scale the naive per-batch restack costs ~10 s/batch of host
     work vs ~0.2 s of memcpy). Memory: one padded copy of the dataset in RAM
-    (padding waste is bounded by the bucket granularity). The cache is keyed
-    on the ops_list object, so re-running precompute() invalidates it."""
-    key = (id(ds.ops_list), len(ds),
+    (padding waste is bounded by the bucket granularity). The cache key holds
+    the ops_list OBJECT (identity-compared): re-running precompute() rebinds
+    the attribute to a new list and invalidates the cache. Storing id() would
+    not — CPython reuses a freed list's id almost immediately."""
+    key = (ds.ops_list, len(ds),
            tuple(buckets) if buckets is not None else None)
     cached = getattr(ds, "_stacked_cache", None)
-    if cached is not None and cached[0] == key:
+    if (cached is not None and cached[0][0] is key[0]
+            and cached[0][1:] == key[1:]):
         return cached[1]
 
     k_eig = min(o.evals.shape[0] for o in ds.ops_list)
@@ -194,19 +197,30 @@ def _stacked_groups(ds: SurfaceDataset, buckets):
 
 
 def _batch_rows(stacked: PaddedBatch, order, start: int, batch_size: int,
-                take_fn) -> PaddedBatch:
+                take_fn, on_device: bool = False) -> PaddedBatch:
     """Assemble one batch from stacked group rows; filler rows repeat the
-    chunk's first sample with labels -1 / face_mask False."""
+    chunk's first sample with labels -1 / face_mask False. With on_device the
+    filler masking happens with jnp.where so device-resident batches never
+    round-trip through the host (np.asarray on a device array is a blocking
+    transfer)."""
     chunk = order[start:start + batch_size]
     n_fill = batch_size - len(chunk)
     rows = np.concatenate([chunk, np.full(n_fill, chunk[0], chunk.dtype)])
     batch = take_fn(stacked, rows)
     if n_fill:
-        labels = np.asarray(batch.labels).copy()
-        labels[len(chunk):] = -1
-        face_mask = np.asarray(batch.face_mask).copy()
-        face_mask[len(chunk):] = False
-        batch = batch._replace(labels=labels, face_mask=face_mask)
+        if on_device:
+            import jax.numpy as jnp
+            fill = jnp.arange(batch_size) >= len(chunk)
+            lbl_fill = fill.reshape((-1,) + (1,) * (batch.labels.ndim - 1))
+            batch = batch._replace(
+                labels=jnp.where(lbl_fill, jnp.int32(-1), batch.labels),
+                face_mask=jnp.where(fill[:, None], False, batch.face_mask))
+        else:
+            labels = np.asarray(batch.labels).copy()
+            labels[len(chunk):] = -1
+            face_mask = np.asarray(batch.face_mask).copy()
+            face_mask[len(chunk):] = False
+            batch = batch._replace(labels=labels, face_mask=face_mask)
     return batch
 
 
@@ -257,24 +271,47 @@ def prefetch_to_device(batches, size: int = 2):
     q: queue_mod.Queue = queue_mod.Queue(maxsize=max(1, size))
     sentinel = object()
     errors: list[BaseException] = []
+    abandoned = threading.Event()
 
     def producer():
         try:
             for b in batches:
-                q.put(jax.device_put(b))
+                item = jax.device_put(b)
+                # bounded put that notices consumer abandonment — a consumer
+                # that breaks out of the epoch early (exception, early stop)
+                # must not leave this thread blocked forever holding
+                # device-resident batches in HBM
+                while not abandoned.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if abandoned.is_set():
+                    return
         except BaseException as e:  # surfaced on the consumer side
             errors.append(e)
         finally:
             q.put(sentinel)
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        # generator closed/abandoned: release the producer and drain so the
+        # queued device arrays are dropped promptly
+        abandoned.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue_mod.Empty:
+            pass
 
 
 # ---------------------------------------------------------------------------
@@ -322,4 +359,5 @@ class DeviceDataset:
             n = len(idx)
             order = rng.permutation(n) if rng is not None else np.arange(n)
             for start in range(0, n, batch_size):
-                yield _batch_rows(stacked, order, start, batch_size, take)
+                yield _batch_rows(stacked, order, start, batch_size, take,
+                                  on_device=True)

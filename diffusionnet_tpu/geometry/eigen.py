@@ -33,11 +33,17 @@ def eigensolve_host(L: scipy.sparse.spmatrix, massvec: np.ndarray, k_eig: int,
 
     L_eigsh = (L + scipy.sparse.identity(L.shape[0]) * eps).tocsc()
     Mmat = scipy.sparse.diags(np.asarray(massvec, dtype=np.float64))
+    # deterministic ARPACK start: the default v0 is drawn from numpy's GLOBAL
+    # RNG, making eigenpairs (and borderline test tolerances) depend on
+    # whatever ran before in the process; a fixed seeded start removes that
+    # without changing the eigenproblem
+    v0 = np.random.RandomState(777).randn(L.shape[0])
 
     failcount = 0
     while True:
         try:
-            evals, evecs = sla.eigsh(L_eigsh, k=k_eig, M=Mmat, sigma=eps)
+            evals, evecs = sla.eigsh(L_eigsh, k=k_eig, M=Mmat, sigma=eps,
+                                     v0=v0)
             evals = np.clip(evals, a_min=0.0, a_max=float("inf"))
             return evals, evecs
         except Exception as e:  # same ladder as reference geometry.py:345-361

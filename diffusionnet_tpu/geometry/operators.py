@@ -201,6 +201,13 @@ def _write_cache(search_path, verts_np, faces_np, k_eig, ops, sparse_mats):
         gradX_indptr=gX.indptr, gradX_shape=gX.shape,
         gradY_data=gY.data.astype(f32), gradY_indices=gY.indices,
         gradY_indptr=gY.indptr, gradY_shape=gY.shape,
+        # extra keys beyond the reference's set (readers load by name, so
+        # byte-level read-compatibility is preserved): the dense spectral
+        # gradient operators, so a cache hit skips the O(nnz*K) host SpMM
+        gradX_spec=(np.zeros((0, 0), f32) if ops.gradX_spec is None
+                    else ops.gradX_spec.astype(f32)),
+        gradY_spec=(np.zeros((0, 0), f32) if ops.gradY_spec is None
+                    else ops.gradY_spec.astype(f32)),
     )
 
 
@@ -267,8 +274,15 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
                 gradX_ell = _csc_to_ell(gradX_sp, dtype=dtype)
                 gradY_ell = _csc_to_ell(gradY_sp, dtype=dtype)
                 evecs = npzfile["evecs"][:, :k_eig].astype(dtype)
-                gX_spec, gY_spec = spectral_gradients(gradX_sp, gradY_sp,
-                                                      evecs)
+                if ("gradX_spec" in npzfile.files
+                        and npzfile["gradX_spec"].size):
+                    # cached spectral gradient operators (truncate columns
+                    # like evecs — they are linear in the eigenbasis columns)
+                    gX_spec = npzfile["gradX_spec"][:, :k_eig].astype(dtype)
+                    gY_spec = npzfile["gradY_spec"][:, :k_eig].astype(dtype)
+                else:  # entry written by the reference or an older version
+                    gX_spec, gY_spec = spectral_gradients(gradX_sp, gradY_sp,
+                                                          evecs)
                 return Operators(
                     frames=npzfile["frames"].astype(dtype),
                     mass=npzfile["mass"].astype(dtype),

@@ -64,8 +64,7 @@ class LearnedTimeDiffusion(nn.Module):
         if self.method == "spectral":
             x_spec = to_basis(x, evecs, mass,
                               compute_dtype=self.compute_dtype)   # (..., K, C)
-            coefs = jnp.exp(-evals[..., :, None] * t)             # (..., K, C)
-            x_diffuse_spec = coefs * x_spec
+            x_diffuse_spec = self.coefs(evals) * x_spec
             x_diffuse = from_basis(x_diffuse_spec, evecs,
                                    compute_dtype=self.compute_dtype)
             if return_spectral:
@@ -218,10 +217,14 @@ class DiffusionNetBlock(nn.Module):
                     gX = gX.astype(self.compute_dtype)
                     gY = gY.astype(self.compute_dtype)
                     s_spec = s_spec.astype(self.compute_dtype)
-                x_gradX = jnp.einsum("...vk,...kc->...vc", gX, s_spec,
-                                     preferred_element_type=x_in.dtype)
-                x_gradY = jnp.einsum("...vk,...kc->...vc", gY, s_spec,
-                                     preferred_element_type=x_in.dtype)
+                # f32 accumulation over K regardless of operand dtype (the
+                # module's mixed-precision contract, like to_basis/from_basis)
+                x_gradX = jnp.einsum(
+                    "...vk,...kc->...vc", gX, s_spec,
+                    preferred_element_type=jnp.float32).astype(x_in.dtype)
+                x_gradY = jnp.einsum(
+                    "...vk,...kc->...vc", gY, s_spec,
+                    preferred_element_type=jnp.float32).astype(x_in.dtype)
             else:
                 x_gradX = ell_matvec(gradX, x_diffuse)
                 x_gradY = ell_matvec(gradY, x_diffuse)
@@ -294,9 +297,11 @@ class DiffusionNet(nn.Module):
                                   name="first_lin")
         self.last_lin = nn.Dense(self.c_out, dtype=self.compute_dtype,
                                  name="last_lin")
-        # flax offsets static_argnums by one for the module object;
-        # index 7 -> the `deterministic` python bool
-        block_cls = (nn.remat(DiffusionNetBlock, static_argnums=(7,))
+        # flax's remat counts `self` at index 0 and applies static_argnums to
+        # POSITIONAL args only — `deterministic` is therefore passed
+        # positionally below and marked static as index 8 (self, x, mass, L,
+        # evals, evecs, gradX, gradY, deterministic)
+        block_cls = (nn.remat(DiffusionNetBlock, static_argnums=(8,))
                      if self.remat_blocks else DiffusionNetBlock)
         self.blocks = [
             block_cls(
@@ -334,8 +339,9 @@ class DiffusionNet(nn.Module):
 
         x = self.first_lin(x_in)
         for block in self.blocks:
-            x = block(x, mass, L, evals, evecs, gradX, gradY,
-                      deterministic=deterministic)
+            # deterministic passed POSITIONALLY: remat's static_argnums only
+            # covers positional arguments (see setup)
+            x = block(x, mass, L, evals, evecs, gradX, gradY, deterministic)
         x = self.last_lin(x)
 
         if self.outputs_at == "vertices":

@@ -78,6 +78,12 @@ class FunctionalMapCorrespondence(nn.Module):
         feat_y = extract(shape_y)
 
         k = self.n_fmap
+        for name, s in (("shape_x", shape_x), ("shape_y", shape_y)):
+            if s["evals"].shape[-1] < k:
+                # [..., :k] would silently yield a smaller map than n_fmap
+                raise ValueError(
+                    f"{name} carries only {s['evals'].shape[-1]} eigenpairs "
+                    f"but n_fmap={k}; precompute with k_eig >= n_fmap")
 
         def trans(s):
             # (K, V) mass-weighted transposed eigenvectors

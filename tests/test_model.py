@@ -200,3 +200,33 @@ def test_invalid_options_raise():
     with pytest.raises(ValueError):
         DiffusionNet(c_in=3, c_out=2, diffusion_method="bogus").init(
             jax.random.PRNGKey(0), jnp.zeros((4, 3)), jnp.ones(4))
+
+
+def test_remat_blocks_trains_with_dropout(small_ops):
+    """remat_blocks=True must work in its intended use case — training with
+    dropout on: flax remat counts `self` at index 0 and only covers
+    POSITIONAL args, so `deterministic` has to be positional + static (a
+    keyword there raises TracerBoolConversionError inside nn.Dropout)."""
+    verts, faces, ops = small_ops
+    ops = _as_jnp_ops(ops)
+    model = DiffusionNet(c_in=3, c_out=2, c_width=8, n_block=2, dropout=True,
+                         remat_blocks=True)
+    x = jnp.asarray(verts)
+    params = model.init({"params": jax.random.PRNGKey(0)}, x, ops.mass,
+                        **_call_kwargs(ops))
+
+    def loss(p, rng):
+        out = model.apply(p, x, ops.mass, deterministic=False,
+                          rngs={"dropout": rng}, **_call_kwargs(ops))
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params, jax.random.PRNGKey(1))
+    assert all(np.isfinite(np.asarray(t)).all() for t in jax.tree.leaves(g))
+
+    # remat must not change the forward value
+    out_remat = model.apply(params, x, ops.mass, **_call_kwargs(ops))
+    plain = DiffusionNet(c_in=3, c_out=2, c_width=8, n_block=2, dropout=True,
+                         remat_blocks=False)
+    out_plain = plain.apply(params, x, ops.mass, **_call_kwargs(ops))
+    np.testing.assert_allclose(np.asarray(out_remat), np.asarray(out_plain),
+                               rtol=1e-6, atol=1e-6)
