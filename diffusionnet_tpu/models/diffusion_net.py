@@ -195,12 +195,19 @@ class DiffusionNetBlock(nn.Module):
             from ..ops.pallas_fused import (
                 fused_spectral_block, fused_spectral_block_batched)
             coefs = diffusion.coefs(evals)
+            # interpret mode on CPU (tests / accelerator-less machines):
+            # same kernel code, executed by XLA:CPU
+            dd = jax.config.jax_default_device
+            interp = (dd.platform == "cpu" if dd is not None
+                      else jax.default_backend() == "cpu")
             if x_in.ndim == 3:
                 x_diffuse, x_gradX, x_gradY = fused_spectral_block_batched(
-                    x_in, evecs, gradX, gradY, mass, coefs, self.pallas_tile_v)
+                    x_in, evecs, gradX, gradY, mass, coefs,
+                    self.pallas_tile_v, interp)
             else:
                 x_diffuse, x_gradX, x_gradY = fused_spectral_block(
-                    x_in, evecs, gradX, gradY, mass, coefs, self.pallas_tile_v)
+                    x_in, evecs, gradX, gradY, mass, coefs,
+                    self.pallas_tile_v, interp)
         elif spectral_grads:
             x_diffuse, x_diffuse_spec = diffusion(
                 x_in, L, mass, evals, evecs, return_spectral=True)

@@ -52,6 +52,13 @@ class KDTree3 {
     search(root_, q, k, heap_);
     std::sort_heap(heap_.begin(), heap_.end());
     int m = static_cast<int>(heap_.size());
+    if (m == 0) {  // empty tree: no out_d[m-1] to repeat (would be OOB)
+      for (int i = 0; i < k; ++i) {
+        out_d[i] = std::numeric_limits<double>::infinity();
+        out_i[i] = -1;
+      }
+      return;
+    }
     for (int i = 0; i < k; ++i) {
       if (i < m) {
         out_d[i] = std::sqrt(heap_[i].first);

@@ -61,7 +61,10 @@ def find_knn(points_source, points_target, k: int, largest: bool = False,
         d2 = jnp.maximum(d2, 0.0)
         if omit_diagonal:
             tgt_ids = jnp.arange(points_target.shape[0])
-            d2 = jnp.where(ids[:, None] == tgt_ids[None, :], jnp.inf, d2)
+            # mask the self-match to the WORST value for the selection
+            # direction: +inf would be picked first by largest=True
+            fill = -jnp.inf if largest else jnp.inf
+            d2 = jnp.where(ids[:, None] == tgt_ids[None, :], fill, d2)
         if largest:
             vals, inds = jax.lax.top_k(d2, k)
         else:
@@ -97,7 +100,10 @@ def farthest_point_sampling(points, n_sample: int):
         chosen, min_dists, i = state
         dists = norm2(pts[i][None, :] - pts)
         min_dists = jnp.minimum(dists, min_dists)
-        i_next = jnp.argmax(min_dists)
+        # never re-pick a chosen point: with duplicate points min_dists can
+        # be 0 everywhere and a bare argmax would return an already-chosen
+        # index, yielding fewer than n_sample True entries
+        i_next = jnp.argmax(jnp.where(chosen, -1.0, min_dists))
         return chosen.at[i_next].set(True), min_dists, i_next
 
     chosen, _, _ = jax.lax.fori_loop(0, n_sample - 1, body, (chosen, min_dists, i0))

@@ -56,13 +56,28 @@ def _kernel(x_ref, evecs_ref, gx_ref, gy_ref, mass_ref, coefs_ref,
         def _():
             acc_ref[:] = coefs_ref[:] * acc_ref[:]  # s = coefs . x_hat
         s = acc_ref[:]
-        y_ref[:] = jnp.dot(evecs_ref[:], s, preferred_element_type=jnp.float32)
-        ygx_ref[:] = jnp.dot(gx_ref[:], s, preferred_element_type=jnp.float32)
-        ygy_ref[:] = jnp.dot(gy_ref[:], s, preferred_element_type=jnp.float32)
+        # casts are no-ops for f32 outputs; with bf16 inputs the out refs
+        # are bf16 and a raw f32 store is a dtype error
+        y_ref[:] = jnp.dot(evecs_ref[:], s,
+                           preferred_element_type=jnp.float32
+                           ).astype(y_ref.dtype)
+        ygx_ref[:] = jnp.dot(gx_ref[:], s,
+                             preferred_element_type=jnp.float32
+                             ).astype(ygx_ref.dtype)
+        ygy_ref[:] = jnp.dot(gy_ref[:], s,
+                             preferred_element_type=jnp.float32
+                             ).astype(ygy_ref.dtype)
+
+
+def _check_tile(V, tile_v):
+    if V % tile_v:
+        raise ValueError(f"V={V} must be a multiple of tile_v={tile_v} "
+                         "(pad to a bucket)")
 
 
 def _fused_fwd_impl(x, evecs, gX, gY, mass, coefs, tile_v: int,
                     interpret: bool = False):
+    _check_tile(x.shape[-2], tile_v)
     V, C = x.shape
     K = evecs.shape[1]
     n_tiles = V // tile_v
@@ -124,9 +139,11 @@ def _bwd(tile_v, interpret, res, cts):
     ds = (jnp.einsum("vk,vc->kc", evecs, dy)
           + jnp.einsum("vk,vc->kc", gX, dgx)
           + jnp.einsum("vk,vc->kc", gY, dgy))
-    dcoefs = ds * x_hat
+    dcoefs = (ds * x_hat).astype(coefs.dtype)
     dxhat = ds * coefs
-    dx = mass[:, None] * jnp.einsum("vk,kc->vc", evecs, dxhat)
+    # cotangent dtype must match the primal (x may be bf16)
+    dx = (mass[:, None] * jnp.einsum("vk,kc->vc", evecs, dxhat)
+          ).astype(x.dtype)
     zeros_like = jax.tree.map(jnp.zeros_like, (evecs, gX, gY, mass))
     return (dx, *zeros_like, dcoefs)
 
@@ -156,13 +173,20 @@ def _kernel_batched(x_ref, evecs_ref, gx_ref, gy_ref, mass_ref, coefs_ref,
         def _():
             acc_ref[:] = coefs_ref[0] * acc_ref[:]
         s = acc_ref[:]
-        y_ref[0] = jnp.dot(evecs_ref[0], s, preferred_element_type=jnp.float32)
-        ygx_ref[0] = jnp.dot(gx_ref[0], s, preferred_element_type=jnp.float32)
-        ygy_ref[0] = jnp.dot(gy_ref[0], s, preferred_element_type=jnp.float32)
+        y_ref[0] = jnp.dot(evecs_ref[0], s,
+                           preferred_element_type=jnp.float32
+                           ).astype(y_ref.dtype)
+        ygx_ref[0] = jnp.dot(gx_ref[0], s,
+                             preferred_element_type=jnp.float32
+                             ).astype(ygx_ref.dtype)
+        ygy_ref[0] = jnp.dot(gy_ref[0], s,
+                             preferred_element_type=jnp.float32
+                             ).astype(ygy_ref.dtype)
 
 
 def _fused_fwd_batched_impl(x, evecs, gX, gY, mass, coefs, tile_v: int,
                             interpret: bool = False):
+    _check_tile(x.shape[-2], tile_v)
     B, V, C = x.shape
     K = evecs.shape[-1]
     n_tiles = V // tile_v
@@ -218,9 +242,11 @@ def _bwd_b(tile_v, interpret, res, cts):
     ds = (jnp.einsum("bvk,bvc->bkc", evecs, dy)
           + jnp.einsum("bvk,bvc->bkc", gX, dgx)
           + jnp.einsum("bvk,bvc->bkc", gY, dgy))
-    dcoefs = ds * x_hat
+    dcoefs = (ds * x_hat).astype(coefs.dtype)
     dxhat = ds * coefs
-    dx = mass[..., None] * jnp.einsum("bvk,bkc->bvc", evecs, dxhat)
+    # cotangent dtype must match the primal (x may be bf16)
+    dx = (mass[..., None] * jnp.einsum("bvk,bkc->bvc", evecs, dxhat)
+          ).astype(x.dtype)
     zeros_like = jax.tree.map(jnp.zeros_like, (evecs, gX, gY, mass))
     return (dx, *zeros_like, dcoefs)
 

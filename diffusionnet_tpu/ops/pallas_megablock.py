@@ -200,6 +200,9 @@ def _fwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed,
     B, V, C = x.shape
     K = evecs.shape[-1]
     n_dense = len(Ws)
+    if V % tile_v:
+        raise ValueError(f"V={V} must be a multiple of "
+                         f"tile_v={tile_v} (pad to a bucket)")
     n_tiles = V // tile_v
     grid = (B, 2, n_tiles)
 
@@ -309,6 +312,9 @@ def _fwd_impl_chained(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
     B, V, C = x.shape
     K = evecs.shape[-1]
     n_dense = len(Ws)
+    if V % tile_v:
+        raise ValueError(f"V={V} must be a multiple of "
+                         f"tile_v={tile_v} (pad to a bucket)")
     grid = (B, V // tile_v)
 
     row = lambda b, i: (b, i, 0)
@@ -489,6 +495,9 @@ def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
     B, V, C = x.shape
     K = evecs.shape[-1]
     n_dense = len(Ws)
+    if V % tile_v:
+        raise ValueError(f"V={V} must be a multiple of "
+                         f"tile_v={tile_v} (pad to a bucket)")
     n_tiles = V // tile_v
     grid = (B, n_tiles)
 
@@ -601,8 +610,9 @@ def _mb_bwd(tile_v, dropout, interpret, res, dout):
     # the spectral chain: s = coefs . x_hat; x_hat = Phi^T (m x)
     dcoefs = ds * x_hat
     dxhat = ds * coefs
-    dx = dx_direct + mass[..., None] * jnp.einsum(
+    dx = (dx_direct + mass[..., None] * jnp.einsum(
         "bvk,bkc->bvc", evecs, dxhat, preferred_element_type=jnp.float32)
+          ).astype(x.dtype)  # cotangent dtype must match the primal (bf16 x)
     zeros = jax.tree.map(jnp.zeros_like, (evecs, gX, gY, mass))
     dseed = np.zeros(jnp.shape(seed), dtype=jax.dtypes.float0)
     return (dx, *zeros, dcoefs, dA_re, dA_im, tuple(dWs), tuple(dbs), dseed)

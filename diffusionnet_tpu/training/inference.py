@@ -33,6 +33,11 @@ class InferenceSession:
         """use_megakernel: whole-block Pallas fast path (TPU; falls back to
         interpret mode on CPU). bf16: cast the big operand streams to bf16 —
         single-mesh inference is bandwidth-bound, ~1.8x at 200k vertices."""
+        if model.outputs_at == "edges":
+            raise ValueError(
+                "InferenceSession does not support outputs_at='edges' (it "
+                "has no edge list input); use model.apply directly with an "
+                "edges array")
         self.model = model
         self.params = params
         self.k_eig = k_eig
@@ -55,8 +60,12 @@ class InferenceSession:
                 dd = jax.config.jax_default_device
                 interpret = (dd.platform == "cpu" if dd is not None
                              else jax.default_backend() == "cpu")
-                tile = next(t for t in (2048, 1024, 512, 256, 128)
-                            if v_pad % t == 0)
+                tile = next((t for t in (2048, 1024, 512, 256, 128)
+                             if v_pad % t == 0), None)
+                if tile is None:
+                    raise ValueError(
+                        f"megakernel needs the vertex bucket ({v_pad}) to be "
+                        "a multiple of 128; adjust `buckets`")
 
                 @jax.jit
                 def fwd(params, feats, mass, evals, evecs, gX, gY, faces):
@@ -77,12 +86,13 @@ class InferenceSession:
                     return out
             else:
                 @jax.jit
-                def fwd(params, feats, mass, evals, evecs, gX, gY, faces):
+                def fwd(params, feats, mass, L, evals, evecs, gX, gY, faces):
                     kwargs = {}
                     if self.model.outputs_at == "faces":
                         kwargs["faces"] = faces
-                    return self.model.apply(params, feats, mass, evals=evals,
-                                            evecs=evecs, gradX=gX, gradY=gY,
+                    return self.model.apply(params, feats, mass, L=L,
+                                            evals=evals, evecs=evecs,
+                                            gradX=gX, gradY=gY,
                                             deterministic=True, **kwargs)
             self._compiled[v_pad] = fwd
         return self._compiled[v_pad]
@@ -94,12 +104,20 @@ class InferenceSession:
                             op_cache_dir=self.op_cache_dir, normals=normals)
         v_pad = utils.bucket_size(V, self.buckets)
         ops = pad_operators(ops, v_pad)
-        gX, gY = grad_operators(ops)
+        # implicit_dense diffusion solves against L and applies the ELL
+        # gradient operators; the dense spectral operators are only valid
+        # for diffusion_method='spectral'
+        spectral = self.model.diffusion_method == "spectral"
+        gX, gY = grad_operators(ops, prefer_spectral=spectral)
 
         x = jnp.asarray(utils.pad_to(verts, v_pad))
         je = jax.tree.map(jnp.asarray, ops)
         feats = get_features(self.input_features, x, je.evals, je.evecs)
-        evecs, gX, gY = je.evecs, jnp.asarray(gX), jnp.asarray(gY)
+        # gX/gY are dense (V,K) arrays for spectral models, Ell bundles for
+        # implicit_dense — both are pytrees of arrays
+        evecs = je.evecs
+        gX = jax.tree.map(jnp.asarray, gX)
+        gY = jax.tree.map(jnp.asarray, gY)
         if self.bf16 and self.use_megakernel:
             feats = feats.astype(jnp.bfloat16)
             evecs = evecs.astype(jnp.bfloat16)
@@ -108,8 +126,14 @@ class InferenceSession:
         faces_arr = (jnp.asarray(np.asarray(faces, np.int32))
                      if faces is not None and np.asarray(faces).size
                      else jnp.zeros((1, 3), jnp.int32))
-        out = self._fn_for_bucket(v_pad)(
-            self.params, feats, je.mass, je.evals, evecs, gX, gY, faces_arr)
+        if self.use_megakernel:
+            out = self._fn_for_bucket(v_pad)(
+                self.params, feats, je.mass, je.evals, evecs, gX, gY,
+                faces_arr)
+        else:
+            out = self._fn_for_bucket(v_pad)(
+                self.params, feats, je.mass, je.L, je.evals, evecs, gX, gY,
+                faces_arr)
         out = np.asarray(out)
         if self.model.outputs_at == "vertices":
             return out[:V]

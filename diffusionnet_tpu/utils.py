@@ -128,8 +128,11 @@ def normalize_positions_np(pos: np.ndarray, faces=None, method: str = "mean",
         raise ValueError("unrecognized method")
 
     if scale_method == "max_rad":
-        scale = np.linalg.norm(pos, axis=-1).max(axis=-1)
-        pos = pos / scale
+        # keepdims so a batched (B, V, 3) input scales per batch element
+        # (like ops.transforms.normalize_positions) instead of broadcasting
+        # (B,) against the coordinate axis
+        scale = np.linalg.norm(pos, axis=-1).max(axis=-1, keepdims=True)
+        pos = pos / scale[..., None]
     elif scale_method == "area":
         if faces is None:
             raise ValueError("must pass faces for area normalization")

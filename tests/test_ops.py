@@ -243,3 +243,29 @@ def test_padded_batches_multibucket():
             assert (np.asarray(b.labels) == 0).all()
         else:
             assert (np.asarray(b.labels) == 1).all()
+
+
+def test_find_knn_largest_omit_diagonal():
+    """largest=True with omit_diagonal must exclude the self-match — the
+    diagonal is masked to the WORST value for the selection direction (a
+    +inf mask is exactly what top_k(largest) would pick first)."""
+    pts = jnp.asarray(np.random.RandomState(0).randn(16, 3))
+    d, i = ops.find_knn(pts, pts, 3, largest=True, omit_diagonal=True)
+    assert not (np.asarray(i) == np.arange(16)[:, None]).any()
+    assert np.isfinite(np.asarray(d)).all()
+    # and the values really are the farthest non-self distances
+    full = np.linalg.norm(np.asarray(pts)[:, None] - np.asarray(pts)[None],
+                          axis=-1)
+    np.fill_diagonal(full, -np.inf)
+    np.testing.assert_allclose(np.asarray(d)[:, 0], full.max(axis=1),
+                               rtol=1e-5)
+
+
+def test_farthest_point_sampling_duplicate_points():
+    """FPS must return exactly n_sample True entries even when the cloud
+    contains duplicates (min_dists hits 0 everywhere once all distinct
+    locations are chosen; a bare argmax would re-pick a chosen index)."""
+    pts = jnp.asarray(np.concatenate([np.zeros((9, 3)),
+                                      np.ones((1, 3))]).astype(np.float32))
+    mask = ops.farthest_point_sampling(pts, 5)
+    assert int(np.asarray(mask).sum()) == 5
