@@ -45,6 +45,10 @@ def main():
                         help="bf16 tiles / f32 accumulation")
     parser.add_argument("--data_dir", type=str, default=None,
                         help="dataset root (default: ./data/{dataset_type})")
+    parser.add_argument("--model_save_path", type=str, default=None,
+                        help="checkpoint base path (default: <data_dir>/"
+                             "saved_models/shrec11_<type>_<features>; "
+                             "checkpoints land in <path>_ckpt/)")
     args = parser.parse_args()
 
     base_path = os.path.dirname(__file__)
@@ -75,7 +79,11 @@ def main():
                         dropout=False, input_features=args.input_features,
                         bf16=args.bf16)
 
+    model_save_path = args.model_save_path or os.path.join(
+        dataset_path, "saved_models",
+        f"shrec11_{args.dataset_type}_{args.input_features}")
     params, history, evaluate = fit(model, train_dataset, test_dataset, cfg,
+                                    model_save_path=model_save_path,
                                     resume_from=args.resume_from)
     print(f"Overall test accuracy: {100 * evaluate(params, test_dataset):06.3f}%")
 

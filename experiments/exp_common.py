@@ -224,11 +224,13 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
     With cfg.data_parallel, batches are sharded over `devices` (default: all)
     and XLA auto-parallelizes the step (gradient all-reduce over ICI).
 
-    Checkpoints (model_save_path) hold the FULL train state — params,
-    optimizer state, epoch, and the PRNG chain — so `resume_from=<ckpt dir>`
-    continues a crashed run bit-identically to an uninterrupted one (the
-    reference restarts from epoch 0, SURVEY §5). A non-finite training loss
-    raises immediately instead of silently corrupting the run.
+    Checkpoints are written under `<model_save_path>_ckpt/` (one dir per
+    config, so configs sharing a dataset dir never clobber each other) and
+    hold the FULL train state — params, optimizer state, epoch, and the
+    PRNG chain — so `resume_from=<model_save_path>_ckpt` continues a
+    crashed run bit-identically to an uninterrupted one (the reference
+    restarts from epoch 0, SURVEY §5). A non-finite training loss raises
+    immediately instead of silently corrupting the run.
     """
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -344,7 +346,11 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
             print(f"resumed from {path} at epoch {start_epoch}")
 
     def save_state(epoch):
-        save_checkpoint(os.path.dirname(model_save_path) or ".",
+        # per-CONFIG checkpoint dir: saving into dirname(model_save_path)
+        # would make every config sharing a dataset dir clobber the same
+        # step_N files (and resume could silently restore another config's
+        # same-shaped weights)
+        save_checkpoint(model_save_path + "_ckpt",
                         {"params": params, "opt_state": opt_state,
                          "epoch": np.asarray(epoch, np.int32),
                          "rng": np.asarray(rng)},
@@ -392,14 +398,15 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
                       f"Test overall: {ta}")
             if log_path is not None:
                 import json
-                step_count = (epoch + 1) * steps_per_epoch
                 with open(log_path, "a") as f:
                     f.write(json.dumps({
                         "epoch": epoch, "train_acc": train_acc,
                         "test_acc": test_acc, "train_loss": last_loss,
+                        # the staircase factor THIS epoch's steps actually
+                        # used ((epoch+1)*spe reported the NEXT epoch's lr
+                        # at every decay boundary)
                         "lr": float(cfg.lr * cfg.decay_rate
-                                    ** (step_count // max(1, cfg.decay_every
-                                                          * steps_per_epoch))),
+                                    ** (epoch // max(1, cfg.decay_every))),
                         "epoch_seconds": round(_time.time() - epoch_t0, 3),
                     }) + "\n")
             # periodic best-checkpointing (the reference only saves once at the

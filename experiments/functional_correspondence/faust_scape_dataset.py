@@ -52,10 +52,21 @@ class FaustScapeDataset:
                 f"{name} meshes not found at {mesh_dirpath}; see the README"
                 " in this directory for download instructions")
         vts_dirpath = os.path.join(root_dir, name, "corres")
-        mesh_files = sorted(os.path.join(mesh_dirpath, f)
-                            for f in os.listdir(mesh_dirpath))
-        vts_files = sorted(os.path.join(vts_dirpath, f)
-                           for f in os.listdir(vts_dirpath))
+        # derive each .vts path FROM the mesh filename — zipping two
+        # independently sorted listings silently misaligns every pair after
+        # any stray file (.DS_Store, README) or a single missing .vts
+        mesh_files = sorted(
+            os.path.join(mesh_dirpath, f) for f in os.listdir(mesh_dirpath)
+            if f.lower().endswith((".off", ".obj", ".ply")))
+        vts_files = [os.path.join(vts_dirpath,
+                                  os.path.splitext(os.path.basename(m))[0]
+                                  + ".vts")
+                     for m in mesh_files]
+        missing = [v for v in vts_files if not os.path.exists(v)]
+        if missing:
+            raise FileNotFoundError(
+                f"correspondence files missing for {len(missing)} meshes, "
+                f"e.g. {missing[0]}")
 
         print(f"loading {len(mesh_files)} meshes")
         for mesh_path, vts_path in zip(mesh_files, vts_files):
@@ -75,13 +86,20 @@ class FaustScapeDataset:
 
     def gt_fmap(self, idx1: int, idx2: int) -> np.ndarray:
         """C_gt: least-squares map aligning evecs at corresponding template
-        samples (reference faust_scape_dataset.py:186-191)."""
-        k = self.n_fmap
-        e1 = self.ops_list[idx1].evecs[:, :k][self.vts_list[idx1]]
-        e2 = self.ops_list[idx2].evecs[:, :k][self.vts_list[idx2]]
-        sol, *_ = np.linalg.lstsq(e1.astype(np.float64),
-                                  e2.astype(np.float64), rcond=None)
-        return sol.T.astype(np.float32)  # (k, k)
+        samples (reference faust_scape_dataset.py:186-191). Cached per pair —
+        the identical float64 lstsq would otherwise be re-solved for every
+        pair on every epoch (6320 solves/epoch at FAUST scale)."""
+        cache = getattr(self, "_fmap_cache", None)
+        if cache is None:
+            cache = self._fmap_cache = {}
+        if (idx1, idx2) not in cache:
+            k = self.n_fmap
+            e1 = self.ops_list[idx1].evecs[:, :k][self.vts_list[idx1]]
+            e2 = self.ops_list[idx2].evecs[:, :k][self.vts_list[idx2]]
+            sol, *_ = np.linalg.lstsq(e1.astype(np.float64),
+                                      e2.astype(np.float64), rcond=None)
+            cache[(idx1, idx2)] = sol.T.astype(np.float32)  # (k, k)
+        return cache[(idx1, idx2)]
 
     def __getitem__(self, idx):
         idx1, idx2 = self.combinations[idx]

@@ -204,7 +204,9 @@ def main():
     if train:
         print("Training...")
         sf = shape_of[id(train_ds)]
-        ckpt_dir = os.path.dirname(model_save_path) or "."
+        # per-config dir: faust/scape share parameter shapes, so a shared
+        # dir would let resume silently restore the other dataset's weights
+        ckpt_dir = model_save_path + "_ckpt"
         dnt.utils.ensure_dir_exists(ckpt_dir)
         log_path = model_save_path + "_log.jsonl"
 

@@ -102,13 +102,24 @@ def main():
                                               op_cache_dir=op_cache_dir,
                                               n_train=args.n_train,
                                               n_test=args.n_test)
-    train_dataset = FaustWithRobustTestDataset(dataset_path, train=True,
-                                               k_eig=k_eig,
-                                               op_cache_dir=op_cache_dir,
-                                               n_train=args.n_train,
-                                               n_test=args.n_test)
-    verts_ref = train_dataset.verts_list[0]
-    faces_ref = train_dataset.faces_list[0]
+    if args.evaluate:
+        # only the template mesh is needed (verts_ref / faces_ref / n_class)
+        # — precomputing all 80 train operator bundles just for that would
+        # cost minutes of host eigensolves before the cache is warm
+        verts_ref, faces_ref = dnt.geometry.read_mesh(os.path.join(
+            dataset_path, "train", "MPI-FAUST", "training", "registrations",
+            "tr_reg_000.ply"))
+        # same normalization the train dataset applies to the template
+        verts_ref = dnt.utils.normalize_positions_np(verts_ref,
+                                                     method="bbox")
+    else:
+        train_dataset = FaustWithRobustTestDataset(dataset_path, train=True,
+                                                   k_eig=k_eig,
+                                                   op_cache_dir=op_cache_dir,
+                                                   n_train=args.n_train,
+                                                   n_test=args.n_test)
+        verts_ref = train_dataset.verts_list[0]
+        faces_ref = train_dataset.faces_list[0]
     # = 6890 on real FAUST (reference sampling_invariance.py:30 hardcodes it);
     # derived from the template so predictions always index valid vertices
     n_class = verts_ref.shape[0]

@@ -6,8 +6,8 @@ functional_correspondence {faust,scape}x{xyz,hks}); this converter makes them
 loadable here, giving --evaluate flows exact reference weights.
 
 Usage:
-  python convert_torch_checkpoint.py IN.pth OUT.npz \
-      --c_in 16 --c_out 8 --c_width 128 --n_block 4 [--fmaps]
+  python convert_torch_checkpoint.py IN.pth OUT.npz [--n_block 4] [--fmaps]
+(channel sizes are inferred from the state_dict's tensor shapes)
 
 Weight mapping: torch Linear.weight (out,in) -> flax Dense kernel (in,out)^T;
 module paths follow models/diffusion_net.py naming (block_i/diffusion/

@@ -206,7 +206,7 @@ def test_functional_correspondence_driver(tmp_path):
     # the run above wrote a full-train-state checkpoint + a JSONL log;
     # --resume_from continues from it (epoch 1 of 2) through the same path
     import json
-    ckpt_dir = str(root / "saved_models")
+    ckpt_dir = str(root / "saved_models" / "faust_hks_ckpt")
     log = root / "saved_models" / "faust_hks_log.jsonl"
     assert log.exists()
     rec = json.loads(log.read_text().splitlines()[0])
@@ -245,6 +245,18 @@ def test_sampling_invariance_driver(tmp_path):
 
     run_driver("sampling_invariance", "sampling_invariance.py",
                ["--n_epoch", "1", "--batch_size", "2", "--k_eig", "8",
+                "--n_train", str(n_train), "--n_test", str(n_test),
+                "--data_dir", str(root)])
+
+    # --evaluate: loads the checkpoint the train run wrote; the template
+    # mesh is read directly (no train-set precompute in evaluate mode)
+    from diffusionnet_tpu.training.checkpoint import latest_checkpoint
+    ck = latest_checkpoint(str(root / "saved_models"
+                               / "categorical_correspondence_xyz_4x256_ckpt"))
+    assert ck is not None
+    run_driver("sampling_invariance", "sampling_invariance.py",
+               ["--evaluate", "--load_model", ck,
+                "--batch_size", "2", "--k_eig", "8",
                 "--n_train", str(n_train), "--n_test", str(n_test),
                 "--data_dir", str(root)])
 

@@ -94,7 +94,7 @@ def test_fit_resume_bit_identical(tmp_path):
     ck = str(tmp_path / "run" / "model")
     fit(model, ds, ds, make_cfg(2), model_save_path=ck, verbose=False)
     p_res, _, _ = fit(model, ds, ds, make_cfg(4), model_save_path=ck,
-                      resume_from=os.path.dirname(ck), verbose=False)
+                      resume_from=ck + "_ckpt", verbose=False)
 
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7), p_full, p_res)
@@ -165,7 +165,7 @@ def test_fit_graceful_sigterm_checkpoints_and_resumes(tmp_path):
         signal.signal(signal.SIGTERM, prior_handler)
     assert 0 < len(hist) < 100000, "SIGTERM did not stop the run early"
     from diffusionnet_tpu.training.checkpoint import latest_checkpoint
-    assert latest_checkpoint(os.path.dirname(ck)) is not None
+    assert latest_checkpoint(ck + "_ckpt") is not None
     assert restored_to is benign
 
     # resume from the preemption checkpoint to the 4-epoch horizon; where the
@@ -175,7 +175,7 @@ def test_fit_graceful_sigterm_checkpoints_and_resumes(tmp_path):
     # resumed run completes and produces finite params
     p_res, hist2, _ = fit(model, ds, ds, make_cfg(len(hist) + 2),
                           model_save_path=ck,
-                          resume_from=os.path.dirname(ck), verbose=False)
+                          resume_from=ck + "_ckpt", verbose=False)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree.leaves(p_res))
     assert hist2[0][0] == len(hist)  # resumed at the next epoch
