@@ -166,6 +166,13 @@ def get_all_pairs_geodesic_distance(verts_np: np.ndarray, faces_np: np.ndarray,
                 return npzfile["dist"]
             except FileNotFoundError:
                 break
+            except Exception as E:
+                # corrupted / partially-written cache entry: recompute and
+                # overwrite instead of crashing every future call (same
+                # policy as the operator cache, operators.py)
+                print(f"unexpected error loading geodesic cache: {E}"
+                      " -- recomputing")
+                break
 
     print(f"Computing all-pairs geodesic distance ({method} method)")
     if method == "graph":

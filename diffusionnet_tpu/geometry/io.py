@@ -50,15 +50,39 @@ def read_off(path: str):
         # tokens[2] = edge count (ignored)
         vals = np.array(tokens[3:3 + nv * 3], dtype=np.float64)
         verts = vals.reshape(nv, 3)
-        faces = np.zeros((nf, 3), dtype=np.int64)
         pos = 3 + nv * 3
-        for i in range(nf):
-            cnt = int(tokens[pos]); pos += 1
-            poly = [int(tokens[pos + j]) for j in range(cnt)]
-            pos += cnt
-            if cnt != 3:
+        face_tokens = tokens[pos:]
+        if len(face_tokens) == 4 * nf and nf:
+            # uniform '3 i j k' faces (the common case): one vectorized parse
+            # instead of ~4F interpreter-loop int() calls — minutes saved at
+            # the repo's 1M-vertex scale
+            quad = np.array(face_tokens, dtype=np.int64).reshape(nf, 4)
+            if (quad[:, 0] != 3).any():
                 raise ValueError("non-triangular face")
-            faces[i] = poly
+            faces = quad[:, 1:]
+        else:
+            # general path (line-based): tolerates per-face color extensions
+            # ('3 i j k r g b') by taking the first cnt indices per FACE LINE
+            # and ignoring the rest of the line
+            lines = [ln.split() for ln in data.splitlines()
+                     if ln.split() and not ln.lstrip().startswith("#")]
+            li = 0
+            if lines[li][0] in ("OFF",) or lines[li][0].startswith("OFF"):
+                if len(lines[li]) == 1 and lines[li][0] == "OFF":
+                    li += 1          # counts on the next line
+                elif lines[li][0] == "OFF":
+                    lines[li] = lines[li][1:]  # 'OFF 492 980 0' on one line
+                else:                # glued 'OFF492 980 0'
+                    lines[li][0] = lines[li][0][3:]
+            li += 1                  # skip the counts line
+            li += nv                 # skip the vertex lines (one per line)
+            faces = np.zeros((nf, 3), dtype=np.int64)
+            for i in range(nf):
+                toks = lines[li + i]
+                cnt = int(toks[0])
+                if cnt != 3:
+                    raise ValueError("non-triangular face")
+                faces[i] = [int(toks[1]), int(toks[2]), int(toks[3])]
     except (IndexError, ValueError) as e:
         raise ValueError(f"malformed OFF file '{path}': {e}") from None
     if nf and (faces.min() < 0 or faces.max() >= nv):
@@ -107,12 +131,15 @@ def read_ply(path: str):
     with open(path, "rb") as f:
         raw = f.read()
 
-    marker = raw.find(b"end_header\n")
+    marker = raw.find(b"end_header")
     if marker < 0 or not raw.startswith(b"ply"):
         raise ValueError(f"malformed PLY file '{path}': missing "
                          "ply magic / end_header")
-    header_end = marker + len(b"end_header\n")
+    # the header line terminator may be \n or \r\n (Windows-authored files)
+    nl = raw.find(b"\n", marker)
+    header_end = (nl + 1) if nl >= 0 else len(raw)
     header = raw[:header_end].decode("ascii", errors="replace").splitlines()
+    header = [ln.strip() for ln in header]  # strips trailing \r too
     body = raw[header_end:]
 
     fmt = None
@@ -153,8 +180,10 @@ def read_ply(path: str):
                 rows = []
                 for _ in range(count):
                     cnt = int(tokens[pos]); pos += 1
-                    rows.append([int(tokens[pos + j]) for j in range(cnt)])
+                    poly = [int(tokens[pos + j]) for j in range(cnt)]
                     pos += cnt
+                    for j in range(1, cnt - 1):  # fan-triangulate polygons
+                        rows.append([poly[0], poly[j], poly[j + 1]])
                 if name == "face" and rows:
                     faces = np.asarray(rows, dtype=np.int64)
     elif fmt == "binary_little_endian":
@@ -181,8 +210,11 @@ def read_ply(path: str):
                     offset += ct_dt.itemsize
                     idx = np.frombuffer(body, dtype=it_dt, count=cnt, offset=offset)
                     offset += it_dt.itemsize * cnt
-                    if cnt == 3 and name == "face":
-                        rows.append(idx.astype(np.int64))
+                    if name == "face":
+                        poly = idx.astype(np.int64)
+                        for j in range(1, cnt - 1):  # fan-triangulate
+                            rows.append(np.array([poly[0], poly[j],
+                                                  poly[j + 1]]))
                 if name == "face" and rows:
                     faces = np.stack(rows)
     else:

@@ -17,6 +17,14 @@ def find_knn_host(points_source: np.ndarray, points_target: np.ndarray, k: int,
     if omit_diagonal and points_source.shape[0] != points_target.shape[0]:
         raise ValueError("omit_diagonal requires same source/target shape")
 
+    # clamp to the target count: scipy fills missing neighbors with the
+    # out-of-range sentinel index V (and dist inf), which would leak into
+    # downstream gathers on tiny clouds (V <= k)
+    V = points_target.shape[0]
+    k = min(k, V - 1 if omit_diagonal else V)
+    if k < 1:
+        raise ValueError(f"need at least {'2' if omit_diagonal else '1'} "
+                         f"target points, got {V}")
     k_search = k + 1 if omit_diagonal else k
 
     try:

@@ -219,7 +219,8 @@ def _read_sp_mat(npzfile, prefix) -> scipy.sparse.csc_matrix:
 
 def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = None,
                   normals=None, overwrite_cache: bool = False,
-                  dtype=np.float32, eigensolver: str = "host") -> Operators:
+                  dtype=np.float32, eigensolver: str = "host",
+                  cache_only: bool = False) -> Operators | None:
     """compute_operators with reference-compatible disk caching
     (geometry.py:426-570): SHA1-of-bytes key, linear probing on collision, exact
     array-equality verification, k_eig truncation on load, race-tolerant writes.
@@ -300,6 +301,11 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
                 print("unexpected error loading file: " + str(E))
                 print("-- constructing operators")
                 break
+
+    if cache_only:
+        # cache-probe mode (parallel precompute loads hits in-process and
+        # farms only the misses to worker processes)
+        return None
 
     ops, sparse_mats = compute_operators(verts_np, faces_np, k_eig,
                                          normals=normals, dtype=dtype,

@@ -31,14 +31,34 @@ def get_all_operators_parallel(verts_list, faces_list, k_eig: int,
     """Parallel version of get_all_operators. Results keep input order."""
     n = len(verts_list)
     n_workers = n_workers if n_workers is not None else (os.cpu_count() or 1)
+
+    # cache hits load in-process (I/O-bound and fast); only MISSES go to the
+    # spawn pool — routing hits through workers would pay process startup
+    # plus pickling every full Operators bundle back through a pipe
+    results: list = [None] * n
+    miss = []
+    for i in range(n):
+        if op_cache_dir is not None:
+            results[i] = get_operators(
+                verts_list[i], faces_list[i], k_eig=k_eig,
+                op_cache_dir=op_cache_dir,
+                normals=None if normals is None else normals[i],
+                cache_only=True)
+        if results[i] is None:
+            miss.append(i)
+
     jobs = [(np.asarray(verts_list[i]), np.asarray(faces_list[i]), k_eig,
              op_cache_dir, None if normals is None else normals[i])
-            for i in range(n)]
-    if n_workers <= 1 or n <= 1:
-        return [_worker(j) for j in jobs]
-    ctx = get_context("spawn")  # fork is unsafe with a live TPU/XLA client
-    with ctx.Pool(min(n_workers, n)) as pool:
-        return list(pool.map(_worker, jobs))
+            for i in miss]
+    if n_workers <= 1 or len(miss) <= 1:
+        computed = [_worker(j) for j in jobs]
+    else:
+        ctx = get_context("spawn")  # fork is unsafe with a live TPU/XLA client
+        with ctx.Pool(min(n_workers, len(miss))) as pool:
+            computed = list(pool.map(_worker, jobs))
+    for i, ops in zip(miss, computed):
+        results[i] = ops
+    return results
 
 
 def precompute_shard_for_host(verts_list, faces_list, k_eig: int,

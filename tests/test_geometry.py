@@ -575,3 +575,47 @@ def test_mesh_io_malformed_files_raise_clear_errors(tmp_path):
             read_mesh(str(p))
         assert fname in str(ei.value) or "not supported" in str(ei.value), \
             (fname, str(ei.value))
+
+
+def test_mesh_io_tolerant_formats(tmp_path):
+    """Real-world file variants the readers must handle: quad PLY faces
+    (fan-triangulated, both encodings), CRLF PLY headers, OFF per-face
+    colors, and the vectorized uniform-OFF fast path."""
+    from diffusionnet_tpu.geometry import read_mesh
+
+    # quad PLY (ascii) -> two triangles per quad
+    p = tmp_path / "quad.ply"
+    p.write_text("ply\nformat ascii 1.0\nelement vertex 4\n"
+                 "property float x\nproperty float y\nproperty float z\n"
+                 "element face 1\nproperty list uchar int vertex_indices\n"
+                 "end_header\n0 0 0\n1 0 0\n1 1 0\n0 1 0\n4 0 1 2 3\n")
+    v, f = read_mesh(str(p))
+    assert v.shape == (4, 3) and f.shape == (2, 3)
+    np.testing.assert_array_equal(f, [[0, 1, 2], [0, 2, 3]])
+
+    # CRLF-terminated PLY header
+    p = tmp_path / "crlf.ply"
+    p.write_bytes(b"ply\r\nformat ascii 1.0\r\nelement vertex 3\r\n"
+                  b"property float x\r\nproperty float y\r\n"
+                  b"property float z\r\nelement face 1\r\n"
+                  b"property list uchar int vertex_indices\r\n"
+                  b"end_header\r\n0 0 0\r\n1 0 0\r\n0 1 0\r\n3 0 1 2\r\n")
+    v, f = read_mesh(str(p))
+    assert v.shape == (3, 3) and f.shape == (1, 3)
+
+    # OFF with per-face colors ('3 i j k r g b')
+    p = tmp_path / "color.off"
+    p.write_text("OFF\n3 1 0\n0 0 0\n1 0 0\n0 1 0\n3 0 1 2 255 0 0\n")
+    v, f = read_mesh(str(p))
+    assert f.shape == (1, 3)
+    np.testing.assert_array_equal(f, [[0, 1, 2]])
+
+    # uniform OFF (vectorized fast path) round-trips
+    from diffusionnet_tpu.geometry import write_off
+    from tests.meshgen import icosphere
+    verts, faces = icosphere(1)
+    p = tmp_path / "uniform.off"
+    write_off(str(p), verts, faces)
+    v, f = read_mesh(str(p))
+    np.testing.assert_allclose(v, verts, rtol=1e-6)
+    np.testing.assert_array_equal(f, faces)
