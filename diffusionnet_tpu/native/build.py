@@ -32,14 +32,28 @@ def get_lib() -> ctypes.CDLL:
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC_ICH)):
+            # compile to a per-process temp path and os.rename (atomic on
+            # POSIX): two processes racing a first-use compile must never
+            # dlopen a partially written .so
+            tmp_so = f"{_SO}.{os.getpid()}.tmp"
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   "-std=c++17", "-pthread", _SRC, _SRC_ICH, "-o", _SO]
+                   "-std=c++17", "-pthread", _SRC, _SRC_ICH, "-o", tmp_so]
             try:
-                subprocess.run(cmd, check=True, capture_output=True)
-            except subprocess.CalledProcessError:
-                # some toolchains reject -march=native (cross/sandboxed)
-                cmd.remove("-march=native")
-                subprocess.run(cmd, check=True, capture_output=True)
+                try:
+                    subprocess.run(cmd, check=True, capture_output=True)
+                except subprocess.CalledProcessError:
+                    # some toolchains reject -march=native (cross/sandboxed)
+                    cmd.remove("-march=native")
+                    try:
+                        subprocess.run(cmd, check=True, capture_output=True)
+                    except subprocess.CalledProcessError as e:
+                        raise RuntimeError(
+                            "native build failed:\n"
+                            + e.stderr.decode(errors="replace")) from None
+                os.replace(tmp_so, _SO)
+            finally:
+                if os.path.exists(tmp_so):
+                    os.remove(tmp_so)
         lib = ctypes.CDLL(_SO)
 
         lib.dnet_knn.argtypes = [
@@ -91,8 +105,19 @@ def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def _check_faces(faces: np.ndarray, n_verts: int, what: str = "faces"):
+    """Python-level bounds validation: the C++ kernels index raw buffers, so
+    an out-of-range index from a corrupted file/cache would be silent memory
+    corruption instead of an exception."""
+    if faces.size and (faces.min() < 0 or faces.max() >= n_verts):
+        raise ValueError(f"{what} index out of range [0, {n_verts}): "
+                         f"got {faces.min()}..{faces.max()}")
+
+
 def knn_native(points_target: np.ndarray, points_source: np.ndarray, k: int):
     """KD-tree kNN: returns (dists (N,k) float64, inds (N,k) int64), sorted."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     lib = get_lib()
     tgt = np.ascontiguousarray(points_target, dtype=np.float64)
     src = np.ascontiguousarray(points_source, dtype=np.float64)
@@ -109,6 +134,8 @@ def cloud_triangles_native(verts: np.ndarray, k: int = 30) -> np.ndarray:
     """Point-cloud triangle soup: union of per-point tangent-plane Delaunay
     triangles incident to each point (threaded C++). Returns (T, 3) int64
     canonicalized unique triangles."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     lib = get_lib()
     verts = np.ascontiguousarray(verts, dtype=np.float64)
     V = verts.shape[0]
@@ -131,6 +158,8 @@ def dijkstra_geodesics_native(verts: np.ndarray, faces: np.ndarray,
     verts = np.ascontiguousarray(verts, dtype=np.float64)
     faces = np.ascontiguousarray(faces, dtype=np.int64)
     sources = np.ascontiguousarray(sources, dtype=np.int64)
+    _check_faces(faces, verts.shape[0])
+    _check_faces(sources, verts.shape[0], "sources")
     out = np.empty((sources.shape[0], verts.shape[0]), dtype=np.float32)
     lib.dnet_dijkstra_geodesics(
         _ptr(verts, ctypes.c_double), verts.shape[0],
@@ -149,6 +178,8 @@ def steiner_geodesics_native(verts: np.ndarray, faces: np.ndarray,
     verts = np.ascontiguousarray(verts, dtype=np.float64)
     faces = np.ascontiguousarray(faces, dtype=np.int64)
     sources = np.ascontiguousarray(sources, dtype=np.int64)
+    _check_faces(faces, verts.shape[0])
+    _check_faces(sources, verts.shape[0], "sources")
     out = np.empty((sources.shape[0], verts.shape[0]), dtype=np.float32)
     lib.dnet_steiner_geodesics(
         _ptr(verts, ctypes.c_double), verts.shape[0],
@@ -173,6 +204,8 @@ def exact_geodesics_native(verts: np.ndarray, faces: np.ndarray,
     verts = np.ascontiguousarray(verts, dtype=np.float64)
     faces = np.ascontiguousarray(faces, dtype=np.int64)
     sources = np.ascontiguousarray(sources, dtype=np.int64)
+    _check_faces(faces, verts.shape[0])
+    _check_faces(sources, verts.shape[0], "sources")
     if window_budget is None:
         window_budget = max(200 * faces.shape[0], 2_000_000)
     out = np.empty((sources.shape[0], verts.shape[0]), dtype=np.float32)

@@ -381,35 +381,29 @@ class Solver {
     return 0.5 * (lo + hi);
   }
 
-  // fixed-capacity piece buffer: windows clipped against incumbents never
-  // split into many pieces in practice; on the (pathological) overflow the
-  // piece is kept UNCLIPPED, which only adds redundant coverage — sound
-  static constexpr int kMaxPieces = 32;
-  struct Pieces {
-    StoredWin buf[kMaxPieces];
-    int n = 0;
-    bool push(const StoredWin& w) {
-      if (n == kMaxPieces) return false;
-      buf[n++] = w;
-      return true;
-    }
-  };
+  // dynamic piece buffers (member vectors reused across inserts, so their
+  // capacity persists and the hot path never allocates): the previous
+  // fixed-capacity buffer committed an UNCLIPPED piece on overflow, which
+  // could leave two STORED windows overlapping — breaking the
+  // pairwise-disjointness invariant the single-win-region clip below relies
+  // on, and thus (rarely, on very high-valence edges) a silent distance
+  // overestimate in an 'exact' solver. Unbounded buffers make overflow
+  // structurally impossible.
+  using Pieces = std::vector<StoredWin>;
 
-  // pc minus [lo, hi] -> up to two surviving pieces appended to `out`;
-  // returns false when `out` overflowed (caller keeps pc unclipped instead)
-  static bool subtract_interval(const StoredWin& pc, double lo, double hi,
+  // pc minus [lo, hi] -> up to two surviving pieces appended to `out`
+  static void subtract_interval(const StoredWin& pc, double lo, double hi,
                                 Pieces& out) {
     if (lo - pc.b0 >= kMinWin) {
       StoredWin l = pc;
       l.b1 = lo;
-      if (!out.push(l)) return false;
+      out.push_back(l);
     }
     if (pc.b1 - hi >= kMinWin) {
       StoredWin r = pc;
       r.b0 = hi;
-      if (!out.push(r)) return false;
+      out.push_back(r);
     }
-    return true;
   }
 
   void commit(PQ& pq, const StoredWin& w) {
@@ -469,10 +463,11 @@ class Solver {
 
     if (!trim_stored(w)) return;
 
-    Pieces bufs[2];
-    Pieces* pieces = &bufs[0];
-    Pieces* nextp = &bufs[1];
-    pieces->push(w);
+    Pieces* pieces = &pieces_a_;
+    Pieces* nextp = &pieces_b_;
+    pieces->clear();
+    nextp->clear();
+    pieces->push_back(w);
     auto& lst = edge_ids_[hi_edge];
     // lazy compaction: dead ids otherwise accumulate and make this scan
     // quadratic on churn-heavy edges
@@ -488,26 +483,20 @@ class Solver {
     }
     size_t n0 = lst.size();  // ids appended during this insert (via
     // clip_stored splits) are already consistent with the candidate
-    for (size_t li = 0; li < n0 && pieces->n > 0; ++li) {
+    for (size_t li = 0; li < n0 && !pieces->empty(); ++li) {
       int32_t eid = lst[li];
       if (store_[eid].dead) continue;
       StoredWin e = store_[eid];  // copy: store_ may reallocate below
       Pieces& next = *nextp;
-      next.n = 0;
+      next.clear();
       // stored windows are pairwise disjoint, and candidate pieces are only
       // separated by intervals owned by OTHER stored windows — so at most one
       // contiguous candidate-win region lies inside e
       double win_lo = 1e300, win_hi = -1e300;
-      for (int pi = 0; pi < pieces->n; ++pi) {
-        const StoredWin& pc = pieces->buf[pi];
+      for (const StoredWin& pc : *pieces) {
         double lo = std::max(pc.b0, e.b0), hi2 = std::min(pc.b1, e.b1);
-        // emit(pc) keeps a piece without further clipping when the buffer is
-        // full — redundant coverage only, never lost coverage
-        auto emit = [&](const StoredWin& p) {
-          if (!next.push(p)) commit(pq, p);
-        };
         if (hi2 - lo < kMinWin) {
-          emit(pc);
+          next.push_back(pc);
           continue;
         }
         // ties favor the incumbent (strict '<' with slack): an identical
@@ -516,33 +505,29 @@ class Solver {
         bool pc_hi = fdist(pc, hi2) < fdist(e, hi2) - kEps;
         if (!pc_lo && !pc_hi) {
           // incumbent keeps the overlap: subtract it from the candidate
-          if (next.n + 2 <= kMaxPieces) subtract_interval(pc, lo, hi2, next);
-          else emit(pc);
+          subtract_interval(pc, lo, hi2, next);
         } else if (pc_lo && pc_hi) {
           win_lo = std::min(win_lo, lo);
           win_hi = std::max(win_hi, hi2);
-          emit(pc);
+          next.push_back(pc);
         } else {
           double p = cross_param(pc, e, lo, hi2, pc_lo);
           if (pc_lo) {
             win_lo = std::min(win_lo, lo);
             win_hi = std::max(win_hi, p);
-            if (next.n + 2 <= kMaxPieces) subtract_interval(pc, p, hi2, next);
-            else emit(pc);
+            subtract_interval(pc, p, hi2, next);
           } else {
             win_lo = std::min(win_lo, p);
             win_hi = std::max(win_hi, hi2);
-            if (next.n + 2 <= kMaxPieces) subtract_interval(pc, lo, p, next);
-            else emit(pc);
+            subtract_interval(pc, lo, p, next);
           }
         }
       }
       std::swap(pieces, nextp);
       if (win_hi - win_lo >= kMinWin) clip_stored(pq, eid, win_lo, win_hi);
     }
-    for (int pi = 0; pi < pieces->n; ++pi)
-      if (pieces->buf[pi].b1 - pieces->buf[pi].b0 >= kMinWin)
-        commit(pq, pieces->buf[pi]);
+    for (const StoredWin& pc : *pieces)
+      if (pc.b1 - pc.b0 >= kMinWin) commit(pq, pc);
   }
 
   void propagate(PQ& pq, const StoredWin& w) {
@@ -657,6 +642,9 @@ class Solver {
   // window store + per-edge id lists (public for native test harnesses)
   std::vector<StoredWin> store_;
   std::vector<std::vector<int32_t>> edge_ids_;
+
+ private:
+  Pieces pieces_a_, pieces_b_;  // reused per insert (capacity persists)
 };
 
 }  // namespace ich
@@ -680,6 +668,7 @@ int32_t dnet_ich_geodesics(const double* verts, int64_t V, const int64_t* faces,
 
   std::vector<int32_t> ok(S, 1);
   unsigned n_threads = std::max<unsigned>(1, std::thread::hardware_concurrency());
+  n_threads = std::min<unsigned>(n_threads, static_cast<unsigned>(S));
   auto worker = [&](int64_t begin, int64_t step) {
     ich::Solver solver;
     solver.build(verts, V, faces, F);
