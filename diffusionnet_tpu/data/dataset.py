@@ -170,7 +170,11 @@ def _stacked_groups(ds: SurfaceDataset, buckets):
     the ops_list OBJECT (identity-compared): re-running precompute() rebinds
     the attribute to a new list and invalidates the cache. Storing id() would
     not — CPython reuses a freed list's id almost immediately."""
-    key = (ds.ops_list, len(ds),
+    # the key holds the list OBJECT (rebinding ops_list invalidates) AND a
+    # per-element identity fingerprint (in-place element replacement like
+    # `ds.ops_list[i] = other` keeps the same list object but must also
+    # invalidate — without the fingerprint it would serve stale batches)
+    key = (ds.ops_list, tuple(id(o) for o in ds.ops_list), len(ds),
            tuple(buckets) if buckets is not None else None)
     cached = getattr(ds, "_stacked_cache", None)
     if (cached is not None and cached[0][0] is key[0]

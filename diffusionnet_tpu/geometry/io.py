@@ -25,70 +25,99 @@ def read_mesh(path: str):
     raise ValueError(f"unsupported mesh format: {path}")
 
 
+# recognized OFF header keywords (longest first so CNOFF wins over NOFF/OFF);
+# C = per-vertex colors, N = per-vertex normals — trailing vertex columns the
+# reader skips (real SHREC/NIST archives contain such variants)
+_OFF_KEYWORDS = ("CNOFF", "NCOFF", "COFF", "NOFF", "OFF")
+
+
 def read_off(path: str):
     with open(path, "rb") as f:
         data = f.read().decode("utf-8", errors="replace")
-    tokens_all = data.split()
-    if not tokens_all:
-        raise ValueError(f"malformed OFF file '{path}': empty file")
-    tokens_iter = iter(tokens_all)
-    first = next(tokens_iter)
-    if first in ("COFF", "NOFF"):
-        raise ValueError(
-            "OFF variants with per-vertex colors/normals (COFF/NOFF) are not "
-            "supported by this reader")
-    if first.startswith("OFF") and len(first) > 3:
-        # header glued to counts like "OFF492 980 0"
-        rest = first[3:]
-        tokens = [rest] + list(tokens_iter)
-    elif first == "OFF":
-        tokens = list(tokens_iter)
-    else:
-        tokens = [first] + list(tokens_iter)
     try:
-        nv, nf = int(tokens[0]), int(tokens[1])
-        # tokens[2] = edge count (ignored)
-        vals = np.array(tokens[3:3 + nv * 3], dtype=np.float64)
-        verts = vals.reshape(nv, 3)
-        pos = 3 + nv * 3
-        face_tokens = tokens[pos:]
-        if len(face_tokens) == 4 * nf and nf:
+        verts, faces, nv = _parse_off(data)
+    except (IndexError, ValueError) as e:
+        raise ValueError(f"malformed OFF file '{path}': {e}") from None
+    if faces.size and (faces.min() < 0 or faces.max() >= nv):
+        raise ValueError(f"malformed OFF file '{path}': face index out of "
+                         f"range [0, {nv}) — got {faces.min()}..{faces.max()}")
+    return verts, faces
+
+
+def _parse_off(data: str):
+    lines = [ln.split() for ln in data.splitlines()]
+    lines = [t for t in lines if t and not t[0].startswith("#")]
+    if not lines:
+        raise ValueError("empty file")
+    head = lines[0]
+    kw = next((k for k in _OFF_KEYWORDS if head[0].startswith(k)), None)
+    li = 0
+    if kw is not None:
+        rest = head[0][len(kw):]
+        if rest:                      # glued 'OFF492 980 0'
+            lines[0] = [rest] + head[1:]
+        elif len(head) > 1:           # 'OFF 492 980 0' on one line
+            lines[0] = head[1:]
+        else:
+            li = 1                    # counts on the next line
+    nv, nf = int(lines[li][0]), int(lines[li][1])
+    li += 1                           # lines[li-1][2] = edge count (ignored)
+    body = lines[li:]
+
+    plain = kw in (None, "OFF")
+    # line-aligned layout: one vertex per line (COFF/NOFF/CNOFF rows carry
+    # colors/normals in trailing columns — only the leading x y z is read).
+    # A plain-OFF vertex line must be EXACTLY 3 tokens: a 6-float line would
+    # mean the file was whitespace-reflowed (two vertices on one line), which
+    # the token-stream fallback below handles.
+    aligned = (len(body) >= nv + nf
+               and all(len(t) >= 3 for t in body[:nv])
+               and (not plain or all(len(t) == 3 for t in body[:nv])))
+    if aligned:
+        verts = np.array([t[:3] for t in body[:nv]], dtype=np.float64)
+        verts = verts.reshape(nv, 3)
+        ft = body[nv:nv + nf]
+        if nf and all(len(t) == 4 for t in ft):
             # uniform '3 i j k' faces (the common case): one vectorized parse
             # instead of ~4F interpreter-loop int() calls — minutes saved at
             # the repo's 1M-vertex scale
-            quad = np.array(face_tokens, dtype=np.int64).reshape(nf, 4)
+            quad = np.array(ft, dtype=np.int64)
             if (quad[:, 0] != 3).any():
                 raise ValueError("non-triangular face")
             faces = quad[:, 1:]
         else:
-            # general path (line-based): tolerates per-face color extensions
+            # general path: tolerates per-face color extensions
             # ('3 i j k r g b') by taking the first cnt indices per FACE LINE
-            # and ignoring the rest of the line
-            lines = [ln.split() for ln in data.splitlines()
-                     if ln.split() and not ln.lstrip().startswith("#")]
-            li = 0
-            if lines[li][0] in ("OFF",) or lines[li][0].startswith("OFF"):
-                if len(lines[li]) == 1 and lines[li][0] == "OFF":
-                    li += 1          # counts on the next line
-                elif lines[li][0] == "OFF":
-                    lines[li] = lines[li][1:]  # 'OFF 492 980 0' on one line
-                else:                # glued 'OFF492 980 0'
-                    lines[li][0] = lines[li][0][3:]
-            li += 1                  # skip the counts line
-            li += nv                 # skip the vertex lines (one per line)
             faces = np.zeros((nf, 3), dtype=np.int64)
-            for i in range(nf):
-                toks = lines[li + i]
+            for i, toks in enumerate(ft):
                 cnt = int(toks[0])
                 if cnt != 3:
                     raise ValueError("non-triangular face")
                 faces[i] = [int(toks[1]), int(toks[2]), int(toks[3])]
-    except (IndexError, ValueError) as e:
-        raise ValueError(f"malformed OFF file '{path}': {e}") from None
-    if nf and (faces.min() < 0 or faces.max() >= nv):
-        raise ValueError(f"malformed OFF file '{path}': face index out of "
-                         f"range [0, {nv}) — got {faces.min()}..{faces.max()}")
-    return verts, faces
+        return verts, faces, nv
+    if not plain:
+        raise ValueError(f"{kw} vertex rows must be one per line "
+                         f"(found {len(body)} data lines for {nv} vertices "
+                         f"+ {nf} faces)")
+    # token-stream fallback: whitespace-reflowed plain OFF (vertices spanning
+    # lines unevenly). Faces parse as variable-length records — per-face
+    # colors are indistinguishable from indices here, so they are rejected by
+    # the index-range check in read_off rather than silently misparsed.
+    tokens = [x for t in body for x in t]
+    verts = np.array(tokens[:nv * 3], dtype=np.float64).reshape(nv, 3)
+    pos = nv * 3
+    faces = np.zeros((nf, 3), dtype=np.int64)
+    for i in range(nf):
+        cnt = int(tokens[pos])
+        if cnt != 3:
+            raise ValueError("non-triangular face")
+        faces[i] = [int(tokens[pos + 1]), int(tokens[pos + 2]),
+                    int(tokens[pos + 3])]
+        pos += 1 + cnt
+    if pos != len(tokens):
+        raise ValueError(f"{len(tokens) - pos} trailing tokens after the "
+                         "last face record")
+    return verts, faces, nv
 
 
 def read_obj(path: str):
@@ -186,11 +215,12 @@ def read_ply(path: str):
                         rows.append([poly[0], poly[j], poly[j + 1]])
                 if name == "face" and rows:
                     faces = np.asarray(rows, dtype=np.int64)
-    elif fmt == "binary_little_endian":
+    elif fmt in ("binary_little_endian", "binary_big_endian"):
+        en = "<" if fmt == "binary_little_endian" else ">"
         offset = 0
         for name, count, plist in elements:
             if all(p[0] != "list" for p in plist):
-                dt = np.dtype([(p[1], "<" + _PLY_TYPES[p[0]]) for p in plist])
+                dt = np.dtype([(p[1], en + _PLY_TYPES[p[0]]) for p in plist])
                 arr = np.frombuffer(body, dtype=dt, count=count, offset=offset)
                 offset += dt.itemsize * count
                 if name == "vertex":
@@ -201,8 +231,8 @@ def read_ply(path: str):
             else:
                 # assume uniform triangle lists (common case)
                 _, ct, it, _pname = plist[0]
-                ct_dt = np.dtype("<" + _PLY_TYPES[ct])
-                it_dt = np.dtype("<" + _PLY_TYPES[it])
+                ct_dt = np.dtype(en + _PLY_TYPES[ct])
+                it_dt = np.dtype(en + _PLY_TYPES[it])
                 rows = []
                 for _ in range(count):
                     cnt = int(np.frombuffer(body, dtype=ct_dt, count=1,

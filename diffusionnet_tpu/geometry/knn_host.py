@@ -21,7 +21,14 @@ def find_knn_host(points_source: np.ndarray, points_target: np.ndarray, k: int,
     # out-of-range sentinel index V (and dist inf), which would leak into
     # downstream gathers on tiny clouds (V <= k)
     V = points_target.shape[0]
-    k = min(k, V - 1 if omit_diagonal else V)
+    k_max = V - 1 if omit_diagonal else V
+    if k > k_max:
+        import warnings
+        warnings.warn(
+            f"find_knn_host: k={k} exceeds the {k_max} available target "
+            f"points; returning (N, {k_max}) arrays instead of (N, {k})",
+            stacklevel=2)
+        k = k_max
     if k < 1:
         raise ValueError(f"need at least {'2' if omit_diagonal else '1'} "
                          f"target points, got {V}")

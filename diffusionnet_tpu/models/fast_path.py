@@ -47,6 +47,26 @@ def megablock_apply(params, x_in, mass, evals, evecs, gX_spec, gY_spec,
     x_hat over the local vertex shard; pass
     `lambda h: jax.lax.psum(h, "vert")` and the whole fast path becomes
     vertex-sharded — x_hat (K, C) is the ONLY cross-shard quantity."""
+    if dropout_rng is not None:
+        # the kernels fold (batch, tile, layer) into ONE int32 PRNG key
+        # (pallas_megablock._keep_mask: (b * 65536 + i) * 16 + layer); the
+        # packing is exact only inside these static bounds — outside them
+        # keys collide and dropout masks silently correlate across batch
+        # elements, so refuse loudly at trace time instead
+        B, V = x_in.shape[0], x_in.shape[-2]
+        n_tiles = -(-V // tile_v)
+        n_mlp = len(_block_params(params, 0)[3])
+        problems = []
+        if B > 2048:
+            problems.append(f"batch {B} > 2048")
+        if n_tiles > 65536:
+            problems.append(f"V/tile_v = {n_tiles} tiles > 65536")
+        if n_mlp - 1 > 16:
+            problems.append(f"{n_mlp - 1} dropout layers > 16")
+        if problems:
+            raise ValueError(
+                "megakernel dropout PRNG key packing out of range ("
+                + "; ".join(problems) + "); use the XLA path for this config")
     p = params["params"]
     x = x_in @ p["first_lin"]["kernel"] + p["first_lin"]["bias"]
     # inter-block activations inherit the input precision: with bf16 inputs

@@ -89,8 +89,13 @@ def ell_matvec(ell: Ell, x):
         ell.idx[..., None],                   # (..., n, D, 1)
         axis=-3,
     )                                          # (..., n, D, C)
+    # accumulate in f32 even for bf16 operands (the repo-wide mixed-precision
+    # contract: bf16 operands, f32 accumulation), then store back in the
+    # stream dtype so the bf16 activation pipeline is unchanged
+    out_dtype = jnp.result_type(ell.val.dtype, x.dtype)
+    acc = jnp.promote_types(out_dtype, jnp.float32)
     return jnp.einsum("...nd,...ndc->...nc", ell.val, gathered,
-                      preferred_element_type=x.dtype)
+                      preferred_element_type=acc).astype(out_dtype)
 
 
 def ell_to_dense(ell: Ell, n: int | None = None):

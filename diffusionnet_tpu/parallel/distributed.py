@@ -22,6 +22,13 @@ def initialize(coordinator_address: str | None = None,
     already initialized or single-process). A genuine init FAILURE with an
     explicit coordinator_address re-raises — silently proceeding would run N
     independent single-process copies that train divergently with no error."""
+    # structural already-initialized check first (the exception-text match
+    # below is a fallback — a JAX release rewording the message must not turn
+    # a harmless double-init into a hard raise)
+    state = getattr(jax.distributed, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        print("jax.distributed already initialized; skipping")
+        return
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,

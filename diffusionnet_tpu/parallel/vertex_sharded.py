@@ -99,8 +99,11 @@ def _sharded_mega_fn(mesh, n_block, tile_v, last_activation, interpret):
 
 
 # jitted forward per (model, mesh, kwarg-names): repeat calls over same-shape
-# meshes hit jit's cache instead of retracing a fresh closure every time
+# meshes hit jit's cache instead of retracing a fresh closure every time.
+# Bounded (FIFO, like _sharded_mega_fn's lru_cache): a long-lived process
+# sweeping many model/mesh configs must not pin compiled executables forever.
 _FWD_CACHE: dict = {}
+_FWD_CACHE_MAX = 32
 
 
 def vertex_sharded_forward(model, params, x_in, ops: Operators, mesh: Mesh,
@@ -139,6 +142,8 @@ def vertex_sharded_forward(model, params, x_in, ops: Operators, mesh: Mesh,
                                evals=ops.evals, evecs=ops.evecs, gradX=gX,
                                gradY=gY, **dict(zip(arr_names, kw_vals)),
                                **static)
+        while len(_FWD_CACHE) >= _FWD_CACHE_MAX:
+            _FWD_CACHE.pop(next(iter(_FWD_CACHE)))
         _FWD_CACHE[key] = fwd
 
     return fwd(params, x_in, ops, tuple(call_kwargs[k] for k in arr_names))

@@ -182,3 +182,18 @@ def test_fit_device_data_learns():
     params, history, evaluate = fit(model, ds, ds, cfg, verbose=False)
     assert history[-1][1] >= 0.9, history
     assert evaluate(params, ds) >= 0.9
+
+
+def test_stacked_cache_invalidates_on_element_replacement():
+    """Replacing an ops_list ELEMENT in place (same list object) must not
+    serve stale stacked batches (advisor r2: identity-only cache key)."""
+    ds = _ds(kind="global", n=2, label_fn=lambda v: 1)
+    ds.precompute(k_eig=4, verbose=False)
+    b1 = next(iter(make_padded_batches(ds, 2, shuffle=False)))
+    ev_before = np.asarray(b1.ops.evecs).copy()
+    # swap in a scaled copy of the other mesh's operators, same list object
+    ds.ops_list[0] = ds.ops_list[1]
+    b2 = next(iter(make_padded_batches(ds, 2, shuffle=False)))
+    ev_after = np.asarray(b2.ops.evecs)
+    np.testing.assert_array_equal(ev_after[0], ev_after[1])
+    assert not np.array_equal(ev_before, ev_after)

@@ -269,3 +269,23 @@ def test_farthest_point_sampling_duplicate_points():
                                       np.ones((1, 3))]).astype(np.float32))
     mask = ops.farthest_point_sampling(pts, 5)
     assert int(np.asarray(mask).sum()) == 5
+
+
+def test_ell_matvec_bf16_accumulates_f32():
+    """bf16 streams keep the repo-wide f32-accumulation contract: summing 512
+    ones in bf16 would saturate at 256 (1.0 no longer representable next to
+    256 in an 8-bit mantissa), f32 accumulation gives the exact 512. Output
+    dtype stays the stream dtype."""
+    from diffusionnet_tpu.ops.sparse import Ell, ell_matvec
+    D = 512
+    idx = jnp.arange(D, dtype=jnp.int32)[None, :]          # row 0 sums all of x
+    idx = jnp.concatenate([idx, jnp.zeros((D - 1, D), jnp.int32)], axis=0)
+    val = jnp.zeros((D, D), jnp.bfloat16).at[0].set(1.0)
+    x = jnp.ones((D, 1), jnp.bfloat16)
+    y = ell_matvec(Ell(idx, val), x)
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y[0, 0], np.float32), 512.0)
+    # f32 path unchanged
+    y32 = ell_matvec(Ell(idx, val.astype(jnp.float32)), x.astype(jnp.float32))
+    assert y32.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y32[0, 0]), 512.0)

@@ -255,3 +255,39 @@ def test_megablock_apply_no_gradient_rotations(rng):
     g_f = jax.grad(loss_fast)(params)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4), g_m, g_f)
+
+
+def test_megablock_apply_dropout_key_bounds(rng):
+    """The (batch, tile, layer) -> int32 PRNG key packing is only exact for
+    batch <= 2048; beyond that megablock_apply must refuse loudly instead of
+    silently correlating dropout masks across batch elements."""
+    from diffusionnet_tpu.geometry import compute_operators, pad_operators, grad_operators
+    from diffusionnet_tpu.models import DiffusionNet
+    from diffusionnet_tpu.models.fast_path import megablock_apply
+    from tests.meshgen import icosphere
+    import pytest
+
+    verts, faces = icosphere(subdivisions=2)
+    ops = compute_operators(verts, faces, k_eig=8)
+    ops = pad_operators(ops, v_pad=256)
+    gX, gY = grad_operators(ops)
+    jo = jax.tree.map(jnp.asarray, ops)
+    x = jnp.asarray(np.pad(verts.astype(np.float32),
+                           ((0, 256 - verts.shape[0]), (0, 0))))
+    model = DiffusionNet(c_in=3, c_out=5, c_width=8, n_block=1, dropout=True)
+    params = model.init(jax.random.PRNGKey(1), x, jo.mass, evals=jo.evals,
+                        evecs=jo.evecs, gradX=jnp.asarray(gX),
+                        gradY=jnp.asarray(gY))
+
+    big = jnp.zeros((2049, 256, 3), jnp.float32)
+    with pytest.raises(ValueError, match="2048"):
+        megablock_apply(params, big, jo.mass[None], jo.evals[None],
+                        jo.evecs[None], jnp.asarray(gX)[None],
+                        jnp.asarray(gY)[None], n_block=1, tile_v=128,
+                        dropout_rng=jax.random.PRNGKey(0), interpret=True)
+    # in-bounds batch with dropout still works
+    out = megablock_apply(params, x[None], jo.mass[None], jo.evals[None],
+                          jo.evecs[None], jnp.asarray(gX)[None],
+                          jnp.asarray(gY)[None], n_block=1, tile_v=128,
+                          dropout_rng=jax.random.PRNGKey(0), interpret=True)
+    assert np.isfinite(np.asarray(out)).all()
