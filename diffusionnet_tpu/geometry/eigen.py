@@ -4,13 +4,29 @@ Two paths:
   * `eigensolve_host` — scipy ARPACK shift-invert, byte-for-byte semantics of the
     reference's ladder (geometry.py:336-361): shift sigma=eps, retry up to 4 times
     adding eps*10^failcount * I, clip small negative eigenvalues to 0.
-  * `eigensolve_device` — TPU-resident LOBPCG. Because M is diagonal, the
-    generalized problem reduces to a *standard* symmetric problem on
-    C = M^{-1/2} L M^{-1/2}; the k smallest eigenpairs of C are the k largest of
-    (mu I - C) for any mu >= lambda_max(C) (Gershgorin bound), which is exactly
-    what jax.experimental.sparse.linalg.lobpcg_standard computes. The operator is
-    applied matrix-free through the ELL kernel, so the whole solve is jittable,
-    static-shape, and runs on the MXU.
+  * `eigensolve_device` / `eigensolve_device_sharded` — the TPU-resident
+    replacement for ARPACK (SURVEY §7's #1 hard part), and the PRIMARY solver
+    of `compute_operators`. Because M is diagonal, the generalized problem
+    reduces to a *standard* symmetric problem on C = M^{-1/2} L M^{-1/2}.
+    The algorithm is Chebyshev-filtered subspace iteration (Zhou & Saad's
+    scaled filter, the ChASE/PARSEC recipe) with SVQB orthonormalization and
+    a residual-based outer loop:
+
+      repeat until the k wanted residuals converge:
+        Y   <- p_m(C) X     p_m = scaled Chebyshev on [lo, bound], amplifying
+                            the wanted band [0, lo) exponentially in m
+        Y   <- SVQB(Y) x2   Gram-eigh whitening (rank-revealing, no Cholesky
+                            failure mode, matmul-dominated -> MXU)
+        RR: T = Y^T C Y; eigh; rotate; residuals ||C u - w u||
+        lo  <- top Ritz value (the filter window adapts to the iterate)
+
+    Everything is static-shape jittable: the filter is a fori_loop of ELL
+    SpMMs, SVQB/RR are (V,n)x(n,n) matmuls plus an (n,n) eigh. Per-sweep cost
+    is ~m SpMMs; memory is 3 (V, n) blocks — O(10x) less than LOBPCG's
+    extended basis, which is what lets 1M x 128 fit on one chip. The sharded
+    variant row-shards all (V, n) blocks over a `vert` mesh axis; the only
+    collectives are an all-gather of the iterate for the SpMM and (n, n)
+    psums for Gram/RR matrices.
 """
 
 from __future__ import annotations

@@ -2,8 +2,7 @@
 checkpointing."""
 
 from .fit import (  # noqa: F401
-    TrainState,
-    create_train_state,
+    adam_with_step_decay,
     make_train_step,
     make_eval_step,
     step_decay_schedule,

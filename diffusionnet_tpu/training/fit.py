@@ -1,24 +1,21 @@
-"""Generic training harness.
+"""Training-step primitives shared by the experiment harness.
 
 The reference repeats an identical train/eval skeleton in all five experiment
-drivers (argparse -> Adam(lr=1e-3) -> manual lr*=0.5 every 50 epochs -> loop; e.g.
-classification_shrec11.py:99-160). Here that skeleton is one reusable, jitted
-harness built on optax, with the same step-decay schedule semantics.
+drivers (argparse -> Adam(lr=1e-3) -> manual lr*=0.5 every 50 epochs -> loop;
+e.g. classification_shrec11.py:99-160). Here those pieces are reusable, jitted
+primitives with the same step-decay schedule semantics; `experiments/
+exp_common.fit` composes them into the full loop (and
+`parallel.make_dp_train_step` is the drop-in data-parallel variant with the
+SAME step signature).
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple
+from functools import partial
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
-
-
-class TrainState(NamedTuple):
-    params: Any
-    opt_state: Any
-    step: jnp.ndarray
 
 
 def step_decay_schedule(base_lr: float, decay_every_steps: int,
@@ -32,31 +29,29 @@ def step_decay_schedule(base_lr: float, decay_every_steps: int,
 
 def adam_with_step_decay(base_lr: float = 1e-3, decay_every_steps: int = 0,
                          decay_rate: float = 0.5) -> optax.GradientTransformation:
+    """The reference's optimizer config (Adam + staircase decay) as one call."""
     sched = (step_decay_schedule(base_lr, decay_every_steps, decay_rate)
              if decay_every_steps else base_lr)
     return optax.adam(sched)
 
 
-def create_train_state(model, optimizer, example_inputs: dict,
-                       rng=None) -> tuple[TrainState, Any]:
-    """Initialize params/opt_state from example (padded) inputs."""
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
-    params = model.init({"params": rng}, **example_inputs)
-    opt_state = optimizer.init(params)
-    return TrainState(params=params, opt_state=opt_state,
-                      step=jnp.zeros((), jnp.int32)), params
+def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation,
+                    donate: bool = True):
+    """Single-device jitted step. loss_fn(params, batch, rng) -> (loss, aux).
 
+    Returns train_step(params, opt_state, batch, rng) ->
+    (params, opt_state, loss, aux) — the same signature as
+    parallel.make_dp_train_step(has_aux=True), so the harness swaps them
+    freely. params/opt_state buffers are donated by default (halves optimizer
+    memory traffic)."""
 
-def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation):
-    """Single-device jitted step. loss_fn(params, batch, rng) -> (loss, aux)."""
-
-    @jax.jit
-    def train_step(state: TrainState, batch, rng):
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def train_step(params, opt_state, batch, rng):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), loss, aux
+            params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
 
     return train_step
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 import sys
 from dataclasses import dataclass
-from functools import partial
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 if REPO not in sys.path:
@@ -20,7 +19,6 @@ if REPO not in sys.path:
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 import diffusionnet_tpu as dnt
 dnt.utils.enable_compilation_cache()
@@ -29,7 +27,8 @@ from diffusionnet_tpu.data import (DeviceDataset, make_padded_batches,
 from diffusionnet_tpu.data.features import FEATURE_DIMS, get_features
 from diffusionnet_tpu.models import DiffusionNet
 from diffusionnet_tpu.training import (
-    step_decay_schedule, save_checkpoint, restore_checkpoint,
+    adam_with_step_decay, make_train_step, make_eval_step,
+    save_checkpoint, restore_checkpoint,
 )
 
 
@@ -266,43 +265,33 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
                             **kwargs)
 
     steps_per_epoch = max(1, -(-len(train_ds) // cfg.batch_size))
-    optimizer = optax.adam(step_decay_schedule(
-        cfg.lr, cfg.decay_every * steps_per_epoch, cfg.decay_rate))
+    optimizer = adam_with_step_decay(
+        cfg.lr, cfg.decay_every * steps_per_epoch, cfg.decay_rate)
     opt_state = optimizer.init(params)
+
+    def loss_fn(params, batch, rng):
+        preds = _apply_model(model, params, batch, rng, cfg,
+                             deterministic=False)
+        return _loss_and_counts(preds, batch, cfg)
 
     if dp_mesh is not None:
         # data-parallel via shard_map: each device runs the model (including
         # Pallas megakernels, which XLA cannot auto-partition) on its batch
-        # shard; grads pmean over ICI; counts psum
+        # shard; grads pmean over ICI; counts psum. Same step signature as
+        # the single-device primitive below.
         from diffusionnet_tpu.parallel import make_dp_train_step
-
-        def dp_loss(params, batch, rng):
-            preds = _apply_model(model, params, batch, rng, cfg,
-                                 deterministic=False)
-            return _loss_and_counts(preds, batch, cfg)
-
-        train_step = make_dp_train_step(dp_loss, optimizer, dp_mesh,
+        train_step = make_dp_train_step(loss_fn, optimizer, dp_mesh,
                                         has_aux=True)
     else:
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, batch, rng):
-            def loss_fn(p):
-                preds = _apply_model(model, p, batch, rng, cfg,
-                                     deterministic=False)
-                loss, counts = _loss_and_counts(preds, batch, cfg)
-                return loss, counts
+        train_step = make_train_step(loss_fn, optimizer)
 
-            (loss, counts), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss, counts
-
-    @jax.jit
-    def eval_step(params, batch):
+    def metric_fn(params, batch):
         preds = _apply_model(model, params, batch, None, cfg,
                              deterministic=True)
         _, counts = _loss_and_counts(preds, batch, cfg)
         return counts, preds
+
+    eval_step = make_eval_step(metric_fn)
 
     # input pipeline: host path = background-thread stacking + async
     # device_put; device path = dataset uploaded to HBM once, batches gathered
