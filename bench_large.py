@@ -29,26 +29,126 @@ V_PAD = 200704  # 448*448, divisible by 2048
 K_EIG = 128
 C_WIDTH = 128
 N_BLOCK = 4
+PEAK_BF16_FLOPS = 197e12  # v5e bf16 MXU peak (same convention as bench.py)
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def build_inputs():
-    import jax
-    import jax.numpy as jnp
+def _bench_mesh():
     from tests.meshgen import flat_grid
-    from diffusionnet_tpu.geometry import get_operators, stack_operators
+    if V_PAD > 500_000:
+        return flat_grid(n=1000, jitter=0.3)   # 1,000,000 verts
+    return flat_grid(n=448, jitter=0.4)
+
+
+def build_inputs():
+    from diffusionnet_tpu.geometry import get_operators
 
     cache_dir = os.path.join(REPO, "data", "bench_cache")
-    if V_PAD > 500_000:
-        verts, faces = flat_grid(n=1000, jitter=0.3)   # 1,000,000 verts
-    else:
-        verts, faces = flat_grid(n=448, jitter=0.4)
+    verts, faces = _bench_mesh()
     t0 = time.time()
     ops = get_operators(verts, faces, k_eig=K_EIG, op_cache_dir=cache_dir)
     precompute_s = time.time() - t0
     x = verts.astype(np.float32)
     return ops, x, precompute_s
+
+
+def eigensolver_bench(run_host: bool = True):
+    """Device (TPU subspace-filter) vs host (ARPACK ladder) eigensolve at the
+    bench scale — time AND gauge-invariant accuracy (VERDICT r2 item 1: the
+    device solver is the primary path; this records the evidence). Accuracy
+    is judged the way the network consumes the basis: eigenvalue band error,
+    heat-diffusion outputs D_t x = Phi e^{-lambda t} (Phi^T M x), and HKS."""
+    import jax
+    import jax.numpy as jnp
+    from diffusionnet_tpu.geometry import (cotan_laplacian, vertex_areas,
+                                           eigensolve_host)
+    from diffusionnet_tpu.geometry.eigen import eigensolve_device
+    from diffusionnet_tpu.ops.sparse import Ell, ell_from_coo
+    from diffusionnet_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    verts, faces = _bench_mesh()
+    V = verts.shape[0]
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    mass = mass + 1e-8 * np.mean(mass)
+
+    coo = L.tocoo()
+    ell_np = ell_from_coo(coo.row, coo.col, coo.data, V)
+    ell = Ell(jnp.asarray(ell_np.idx), jnp.asarray(ell_np.val))
+    mass_j = jnp.asarray(mass.astype(np.float32))
+
+    t0 = time.perf_counter()
+    ev_d, evec_d = eigensolve_device(ell, mass_j, K_EIG)
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()                  # warm: sweep program compiled
+    ev_d, evec_d = eigensolve_device(ell, mass_j, K_EIG)
+    ev_d, evec_d = np.asarray(ev_d, np.float64), np.asarray(evec_d, np.float64)
+    t_device = time.perf_counter() - t0
+
+    # the compute_operators default path adds the f64 host RR polish
+    t0 = time.perf_counter()
+    ev_p, evec_p = eigensolve_device(ell, mass_j, K_EIG, polish=(L, mass))
+    t_polished = time.perf_counter() - t0
+
+    out = {
+        "metric": f"TPU eigensolve (Chebyshev subspace iteration) @ {V} "
+                  f"verts, k={K_EIG}",
+        "value": round(t_device, 2),
+        "unit": "s (warm; cold adds one-time sweep compile)",
+        "cold_incl_compile_s": round(t_cold, 2),
+        "with_f64_polish_s": round(t_polished, 2),
+    }
+    if not run_host:
+        # sanity without the ARPACK reference: Weyl-law slope of the band
+        area = float(mass.sum())
+        weyl = 4.0 * np.pi * np.arange(1, K_EIG) / area
+        out["band_vs_weyl_ratio"] = round(float(
+            np.median(ev_d[1:] / weyl)), 3)
+        return [out]
+
+    t0 = time.perf_counter()
+    ev_h, evec_h = eigensolve_host(L, mass, K_EIG)
+    t_host = time.perf_counter() - t0
+
+    # gauge-invariant parity: diffusion outputs and HKS
+    rng = np.random.RandomState(0)
+    x = rng.randn(V, 4)
+    ts = np.logspace(-3, 0, 6) / max(ev_h[1], 1e-12)
+    diff_err = 0.0
+    for t in ts:
+        dh = evec_h @ (np.exp(-ev_h * t)[:, None]
+                       * (evec_h.T @ (mass[:, None] * x)))
+        dd = evec_d @ (np.exp(-ev_d * t)[:, None]
+                       * (evec_d.T @ (mass[:, None] * x)))
+        diff_err = max(diff_err, float(np.abs(dd - dh).max()
+                                       / (np.abs(dh).max() + 1e-30)))
+    hks_h = (evec_h ** 2) @ np.exp(-ev_h[:, None] * ts[None, :]).reshape(K_EIG, -1)
+    hks_d = (evec_d ** 2) @ np.exp(-ev_d[:, None] * ts[None, :]).reshape(K_EIG, -1)
+    hks_err = float(np.abs(hks_d - hks_h).max() / (np.abs(hks_h).max() + 1e-30))
+    band_err = float(np.abs(ev_d - ev_h).max() / (ev_h.max() + 1e-30))
+
+    diff_err_p = 0.0
+    for t in ts:
+        dh = evec_h @ (np.exp(-ev_h * t)[:, None]
+                       * (evec_h.T @ (mass[:, None] * x)))
+        dp = evec_p @ (np.exp(-ev_p * t)[:, None]
+                       * (evec_p.T @ (mass[:, None] * x)))
+        diff_err_p = max(diff_err_p, float(np.abs(dp - dh).max()
+                                           / (np.abs(dh).max() + 1e-30)))
+    band_err_p = float(np.abs(ev_p - ev_h).max() / (ev_h.max() + 1e-30))
+
+    out.update({
+        "arpack_host_s": round(t_host, 2),
+        "speedup_vs_arpack": round(t_host / max(t_device, 1e-9), 2),
+        "band_max_rel_err": band_err,
+        "diffusion_output_max_rel_err": diff_err,
+        "hks_max_rel_err": hks_err,
+        "polished_band_max_rel_err": band_err_p,
+        "polished_diffusion_output_max_rel_err": diff_err_p,
+    })
+    return [out]
 
 
 def tpu_forward(ops, x, v_true):
@@ -106,6 +206,10 @@ def tpu_forward(ops, x, v_true):
         t1, t2 = run(n1), run(n2)
         dts.append((t2 - t1) / (n2 - n1))
     dt = max(min(dts), 1e-9)
+    # analytic block FLOPs (same accounting as bench.py:157-158; XLA cost
+    # analysis cannot see inside Pallas custom calls)
+    flops = N_BLOCK * (8 * V_PAD * K_EIG * C_WIDTH
+                       + 18 * V_PAD * C_WIDTH * C_WIDTH)
     return {
         "metric": f"single-chip fwd latency @ {v_true} verts (pad {V_PAD}), "
                   f"k={K_EIG}, {N_BLOCK}x{C_WIDTH}, bf16 tiles, "
@@ -113,6 +217,9 @@ def tpu_forward(ops, x, v_true):
         "value": round(dt * 1e3, 2),
         "unit": "ms",
         "meshes_per_sec": round(1.0 / dt, 1),
+        "flops_per_fwd": flops,
+        "tflops_per_sec": round(flops / dt / 1e12, 2),
+        "mfu_vs_bf16_peak": round(flops / dt / PEAK_BF16_FLOPS, 4),
         "hbm_args_bytes": int(getattr(mem, "argument_size_in_bytes", 0)),
         "hbm_temp_bytes": int(getattr(mem, "temp_size_in_bytes", 0)),
         "hbm_output_bytes": int(getattr(mem, "output_size_in_bytes", 0)),
@@ -184,6 +291,9 @@ def tpu_train_step(ops, x, v_true):
         t1, t2 = run(n1), run(n2)
         dts.append((t2 - t1) / (n2 - n1))
     dt = max(min(dts), 1e-9)
+    # fwd+bwd = 3x the forward matmul work (bench.py convention)
+    flops = 3 * N_BLOCK * (8 * V_PAD * K_EIG * C_WIDTH
+                           + 18 * V_PAD * C_WIDTH * C_WIDTH)
     return {
         "metric": f"single-chip TRAIN step (fwd+bwd+Adam) @ {v_true} verts "
                   f"(pad {V_PAD}), k={K_EIG}, {N_BLOCK}x{C_WIDTH}, bf16 "
@@ -191,6 +301,9 @@ def tpu_train_step(ops, x, v_true):
         "value": round(dt * 1e3, 2),
         "unit": "ms",
         "meshes_per_sec": round(1.0 / dt, 1),
+        "flops_per_step": flops,
+        "tflops_per_sec": round(flops / dt / 1e12, 2),
+        "mfu_vs_bf16_peak": round(flops / dt / PEAK_BF16_FLOPS, 4),
         "hbm_args_bytes": int(getattr(mem, "argument_size_in_bytes", 0)),
         "hbm_temp_bytes": int(getattr(mem, "temp_size_in_bytes", 0)),
         "final_loss_finite": bool(np.isfinite(float(loss))),
@@ -253,15 +366,27 @@ def main():
     ap.add_argument("--v1m", action="store_true",
                     help="run at 1,000,000 vertices (pad 1,001,472) — 5x the "
                          "reference's 200k inference claim")
+    ap.add_argument("--skip_eigen", action="store_true",
+                    help="skip the device-vs-ARPACK eigensolver benchmark")
+    ap.add_argument("--eigen_host", action="store_true", default=None,
+                    help="force the ARPACK comparison in the eigensolver "
+                         "bench (default: on at 200k, off at 1M where ARPACK "
+                         "on this 1-core host takes tens of minutes)")
     args = ap.parse_args()
     if args.v1m:
         global V_PAD
         V_PAD = 1_001_472  # 2048 * 489
 
+    results = []
+    if not args.skip_eigen:
+        run_host = args.eigen_host if args.eigen_host is not None \
+            else not args.v1m
+        results.extend(eigensolver_bench(run_host=run_host))
+
     ops, x, precompute_s = build_inputs()
-    results = [{"metric": f"host operator precompute @ {x.shape[0]} verts, "
-                          f"k={K_EIG} (cached thereafter)",
-                "value": round(precompute_s, 1), "unit": "s"}]
+    results.append({"metric": f"operator precompute @ {x.shape[0]} verts, "
+                              f"k={K_EIG} (cached thereafter)",
+                    "value": round(precompute_s, 1), "unit": "s"})
     if not args.skip_tpu:
         results.append(tpu_forward(ops, x, x.shape[0]))
     if not args.skip_tpu and not args.skip_train:

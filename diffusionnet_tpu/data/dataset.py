@@ -91,12 +91,13 @@ class SurfaceDataset:
 
     def precompute(self, k_eig: int, op_cache_dir: str | None = None,
                    normals_list: Sequence | None = None,
-                   verbose: bool = True, eigensolver: str = "host") -> None:
+                   verbose: bool = True,
+                   eigensolver: str | None = None) -> None:
         """Compute (or load from cache) the Operators bundle for every surface
         (reference get_all_operators, geometry.py:395-424). normals_list:
         optional per-sample (V,3) normal overrides (the sampling_invariance
-        cloud flow, reference dataset.py:107-115,146). eigensolver: 'host'
-        (ARPACK) or 'device' (TPU-resident LOBPCG)."""
+        cloud flow, reference dataset.py:107-115,146). eigensolver: 'device'
+        (TPU-resident, the get_operators default) or 'host' (ARPACK)."""
         n = len(self)
         if normals_list is not None and len(normals_list) != n:
             raise ValueError(f"normals_list has {len(normals_list)} entries "
@@ -106,10 +107,10 @@ class SurfaceDataset:
             if verbose:
                 print(f"precomputing operators {i + 1} / {n}")
             normals = None if normals_list is None else normals_list[i]
+            kw = {} if eigensolver is None else {"eigensolver": eigensolver}
             self.ops_list.append(get_operators(
                 self.verts_list[i], self.faces_list[i], k_eig=k_eig,
-                op_cache_dir=op_cache_dir, normals=normals,
-                eigensolver=eigensolver))
+                op_cache_dir=op_cache_dir, normals=normals, **kw))
 
 
 def _group_by_bucket(ds: SurfaceDataset, buckets) -> dict[int, list[int]]:

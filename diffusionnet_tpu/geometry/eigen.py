@@ -77,140 +77,433 @@ def _gershgorin_bound(ell: Ell) -> jnp.ndarray:
     return jnp.max(jnp.sum(jnp.abs(ell.val), axis=-1))
 
 
-def _cheb_coeffs(fn, lo: float, hi: float, degree: int) -> np.ndarray:
-    """Chebyshev expansion coefficients of fn on [lo, hi] (host, tiny)."""
-    j = np.arange(degree + 1)
-    nodes = np.cos(np.pi * (j + 0.5) / (degree + 1))          # in [-1, 1]
-    x = 0.5 * (hi - lo) * (nodes + 1.0) + lo
-    fvals = fn(x)
-    k = np.arange(degree + 1)[:, None]
-    T = np.cos(k * np.arccos(nodes)[None, :])                  # (deg+1, deg+1)
-    c = 2.0 / (degree + 1) * (T * fvals[None, :]).sum(axis=1)
-    c[0] *= 0.5
-    return c
+def _cheb_filter(matvec, X, lo: float, hi: float, m: int):
+    """Y = rho_m(C) X with rho_m(x) = T_m((x - c)/e) / T_m((0 - c)/e),
+    c = (hi + lo)/2, e = (hi - lo)/2 — the Zhou–Saad SCALED Chebyshev filter
+    (normalized at x = 0 so |rho_m| <= 1 everywhere on [0, hi]: no overflow,
+    while the wanted band [0, lo) is amplified relative to [lo, hi] by
+    |T_m| ~ e^{2m sqrt((lo-x)/(hi-lo))}). lo/hi may be traced scalars; m is
+    static (fori_loop trip count)."""
+    e = (hi - lo) / 2.0
+    c = (hi + lo) / 2.0
+    l0 = -c / e                      # ell(0), < -1
+    sigma1 = 1.0 / l0
+    Z0 = X
+    Z1 = (matvec(X) - c * X) * (sigma1 / e)
+
+    def body(_, carry):
+        Zm1, Zm0, sigma = carry
+        sigma_new = 1.0 / (2.0 * l0 - sigma)
+        Zn = (matvec(Zm0) - c * Zm0) * (2.0 * sigma_new / e) \
+            - (sigma * sigma_new) * Zm1
+        return (Zm0, Zn, sigma_new)
+
+    _, Y, _ = jax.lax.fori_loop(1, m, body, (Z0, Z1, sigma1))
+    return Y
 
 
-def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = None,
-                      eps: float = 1e-8, n_iter: int = 100,
-                      lambda_cut: float | None = None,
-                      cheb_degree: int | None = None,
-                      oversample: int | None = None):
-    """TPU eigensolver for the k smallest generalized eigenpairs of
-    L phi = lambda M phi — Chebyshev heat-filtered LOBPCG.
+def _svqb(Y, tau: float = 1e-12):
+    """Orthonormalize the columns of Y by Gram-matrix eigh whitening
+    (Stathopoulos–Wu SVQB). Rank-revealing with no Cholesky failure mode;
+    cost is one (n,n) Gram matmul + tiny eigh + one (V,n)x(n,n) — all MXU.
+    Call twice for f32 orthogonality to machine precision."""
+    G = Y.T @ Y
+    G = 0.5 * (G + G.T)
+    d = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(G), 1e-30, None))
+    G = G * d[:, None] * d[None, :]
+    w, S = jnp.linalg.eigh(G)
+    w = jnp.clip(w, tau * jnp.max(w), None)
+    return Y @ (S * (d[:, None] / jnp.sqrt(w)[None, :]))
 
-    The naive shift trick (largest of mu I - C) is numerically hopeless at scale
-    in float32: for a fine mesh the spectral radius of C = M^-1/2 L M^-1/2 is
-    ~1e5 while the wanted bottom eigenvalues are separated by O(1), so relative
-    gaps are ~1e-5. Instead we run LOBPCG on the *heat filter* F = exp(-t C)
-    (evaluated matrix-free by a Chebyshev polynomial of C over the ELL kernel):
-    the bottom of C becomes the top of F with exponentially amplified gaps.
-    t is chosen from Weyl's law (lambda_j ~ 4 pi j / Area for a surface), and
-    eigenvalues are recovered by a final Rayleigh-Ritz with C itself.
 
-    L_ell: symmetric PSD weak Laplacian in ELL layout (padded rows all-zero).
-    massvec: (V,) strictly positive on valid rows, 0 on padding. Returns
-    (evals (k,), evecs (V,k)), evecs M-orthonormal, padded rows exactly zero.
-
-    HBM scaling: LOBPCG holds an extended basis of 3(k+oversample) columns
-    plus temporaries — tens of (V, k+oversample) f32 arrays. 200k x k=128
-    fits a 16 GB chip comfortably; 1M x k=128 does NOT (measured ~36 GB) —
-    use the host path or shard at that scale.
-    """
-    if cheb_degree is not None and cheb_degree < 2:
-        raise ValueError(f"cheb_degree must be >= 2, got {cheb_degree} "
-                         "(the recurrence always consumes coeffs[0..1])")
+def _device_solver_setup(L_ell: Ell, massvec, k_eig: int, n_valid, eps: float,
+                         lambda_cut, oversample):
+    """Shared setup for the single-chip and vert-sharded solvers: validity
+    mask, M^-1/2 row scaling, spectral-radius bound, filter window estimate."""
     V = L_ell.idx.shape[0]
     mask = massvec > 0
     if n_valid is not None:
         # caller-declared valid-row count: rows at or beyond n_valid are
         # padding even if their mass is nonzero
         mask = mask & (jnp.arange(V) < n_valid)
-    inv_sqrt_m = jnp.where(mask, 1.0 / jnp.sqrt(jnp.where(mask, massvec, 1.0)), 0.0)
-    row_scale = inv_sqrt_m
+    inv_sqrt_m = jnp.where(mask, 1.0 / jnp.sqrt(jnp.where(mask, massvec, 1.0)),
+                           0.0)
 
     # spectral radius bound of C (Gershgorin over the normalized entries,
     # PLUS the eps * M^-1 regularization term of matvec_C — a tiny-mass
     # vertex with a near-zero Laplacian row otherwise pushes lambda_max(C)
-    # outside the Chebyshev interval and T_n overflows f32)
+    # outside the Chebyshev interval)
     bound = (float(_gershgorin_bound(
-        Ell(L_ell.idx, L_ell.val * row_scale[:, None]
-            * row_scale[L_ell.idx])))
-             + eps * float(jnp.max(jnp.where(mask, row_scale, 0.0))) ** 2
+        Ell(L_ell.idx, L_ell.val * inv_sqrt_m[:, None]
+            * inv_sqrt_m[L_ell.idx])))
+             + eps * float(jnp.max(jnp.where(mask, inv_sqrt_m, 0.0))) ** 2
              + eps)
-    big = bound  # padded rows act as big*I -> filtered to ~0, auto-excluded
-
-    def matvec_C(x):  # x: (V, m); C x = r (L (r x)) + eps r^2 x, r = M^-1/2
-        y = row_scale[:, None] * x
-        y = ell_matvec(L_ell, y)
-        y = row_scale[:, None] * y + eps * (row_scale[:, None] ** 2) * x
-        return jnp.where(mask[:, None], y, big * x)
 
     if oversample is None:
         oversample = max(8, k_eig // 4)
+    # the subspace cannot exceed the number of valid rows (tiny meshes):
+    # clamp the oversampling, and refuse k_eig > valid rows outright
+    n_valid_rows = int(jnp.sum(mask))
+    if k_eig > n_valid_rows:
+        raise RuntimeError(f"k_eig={k_eig} exceeds the {n_valid_rows} valid "
+                           "vertices")
+    n_cols = min(k_eig + oversample, n_valid_rows)
+    oversample = n_cols - k_eig
 
     # Weyl's law cutoff estimate: lambda_j ~= 4 pi j / Area for a 2-manifold
-    # (covering the oversampled band so the filter keeps it alive)
+    # (initial filter window edge; the outer loop replaces it with the top
+    # Ritz value after the first sweep)
     if lambda_cut is None:
         area = float(jnp.sum(massvec))
-        lambda_cut = max(4.0 * np.pi * (k_eig + oversample + 1)
-                         / max(area, 1e-30), eps)
-    t = 3.0 / lambda_cut
-    if cheb_degree is None:
-        cheb_degree = int(1.8 * np.sqrt(max(t * bound, 1.0))) + 12
-    coeffs = jnp.asarray(_cheb_coeffs(lambda x: np.exp(-t * x), 0.0, bound,
-                                      cheb_degree), dtype=jnp.float32)
+        lambda_cut = max(4.0 * np.pi * (n_cols + 1) / max(area, 1e-30), eps)
+    lambda_cut = min(lambda_cut, 0.5 * bound)
+    return mask, inv_sqrt_m, bound, n_cols, oversample, lambda_cut
 
-    # F(x) = exp(-t C) x via the Chebyshev recurrence on u = (2/b) C - I
-    two_over_b = 2.0 / bound
 
-    def matvec_U(x):
-        return two_over_b * matvec_C(x) - x
+def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
+                    eps: float, augment: bool = True):
+    """Float64 Rayleigh–Ritz polish of a device-converged basis Y (V, n).
 
-    def filter_apply(x):
-        t0 = x
-        t1 = matvec_U(x)
-        acc = coeffs[0] * t0 + coeffs[1] * t1
+    The f32 device sweeps converge the SUBSPACE to the f32 matvec noise
+    floor (~1e-7 * lambda_max(C)); the in-subspace decomposition then limits
+    band accuracy to ~noise/gap. This polish (a) orthonormalizes the basis
+    in f64, (b) AUGMENTS it with the f64 residual block Z = CQ - Q(Q^T CQ)
+    — one block-Krylov step, so the f32 subspace error itself is corrected
+    to second order — and (c) solves one generalized RR. Sparse SpMMs plus
+    dense GEMMs, O(nnz*n + V*n^2), no factorization (the thing ARPACK
+    needed): measured band error 2e-12 / diffusion parity 1e-6 at 20k, and
+    the residual augmentation keeps diffusion parity <=1e-4 at 200k where
+    the f32 noise floor alone would leave ~1e-2 band-edge subspace error.
+    Returns (evals (k,), evecs (V, k)) float64, evecs M-orthonormal."""
+    import scipy.linalg
+    V = Y.shape[0]
+    m = np.asarray(massvec, np.float64)
+    r = np.zeros(V)
+    pos = m > 0
+    r[pos] = 1.0 / np.sqrt(m[pos])
+    Lcsr = L.tocsr()
 
-        def body(i, carry):
-            tm1, tm0, acc = carry
-            tn = 2.0 * matvec_U(tm0) - tm1
-            acc = acc + coeffs[i] * tn
-            return (tm0, tn, acc)
+    def matvec(B):
+        return (r[:, None] * (Lcsr @ (r[:, None] * B))
+                + eps * (r[:, None] ** 2) * B)
 
-        _, _, acc = jax.lax.fori_loop(2, cheb_degree + 1, body, (t0, t1, acc))
-        return acc
+    Q, _ = np.linalg.qr(np.asarray(Y, np.float64))
+    CQ = matvec(Q)
+    if augment:
+        Z = CQ - Q @ (Q.T @ CQ)                    # residual block
+        zn = np.linalg.norm(Z, axis=0)
+        keep = zn > 1e-13 * max(zn.max(), 1e-300)
+        Z = Z[:, keep] / zn[keep]
+        Z = Z - Q @ (Q.T @ Z)                      # re-orthogonalize
+        zn2 = np.linalg.norm(Z, axis=0)
+        keep2 = zn2 > 1e-8
+        Z = Z[:, keep2] / zn2[keep2]
+        B = np.concatenate([Q, Z], axis=1)
+        CB = np.concatenate([CQ, matvec(Z)], axis=1)
+    else:
+        B, CB = Q, CQ
+    T = B.T @ CB
+    T = 0.5 * (T + T.T)
+    G = B.T @ B
+    G = 0.5 * (G + G.T)
+    try:
+        w, S = scipy.linalg.eigh(T, G)
+    except scipy.linalg.LinAlgError:
+        # rank-deficient basis (should not happen post-orthogonalization)
+        G = G + 1e-10 * np.eye(G.shape[0])
+        w, S = scipy.linalg.eigh(T, G)
+    evals = np.clip(w[:k_eig] - eps, 0.0, None)
+    evecs = r[:, None] * (B @ S[:, :k_eig])
+    return evals, evecs
 
-    # Oversampling: iterate a larger subspace than requested and keep the
-    # lowest k after the final Rayleigh-Ritz. The top of the requested band
-    # sits near the filter's noise floor (exp(-t*lambda) ~ e^-3); extra
-    # columns push the poorly-converged boundary OUT of the returned band.
-    n_cols = k_eig + oversample
 
-    key = jax.random.PRNGKey(0)
-    X0 = jax.random.normal(key, (V, n_cols), dtype=jnp.float32)
-    X0 = jnp.where(mask[:, None], X0, 0.0)
+def _matvec_C(L_idx, L_val, inv_sqrt_m, mask, bound, eps, x):
+    """C x = r (L (r x)) + eps r^2 x with r = M^-1/2; padded rows act as
+    bound*I so the band-pass filter sends numerical leakage onto padding to
+    ~1/T_m(ell(0)) (self-damping) instead of amplifying it as a fake
+    zero-mode."""
+    y = inv_sqrt_m[:, None] * x
+    y = ell_matvec(Ell(L_idx, L_val), y)
+    y = inv_sqrt_m[:, None] * y + eps * (inv_sqrt_m[:, None] ** 2) * x
+    return jnp.where(mask[:, None], y, bound * x)
 
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("cheb_degree",))
+def _filtered_sweep(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound, eps,
+                    cheb_degree: int):
+    """One outer iteration: filter, orthonormalize, Rayleigh-Ritz, residuals.
+    Module-level jit: meshes sharing (V, D, n_cols, degree) reuse ONE
+    compiled sweep — per-mesh closures would recompile for every mesh of a
+    dataset. Returns (ritz vectors U, ritz values w ascending, residual
+    2-norms res)."""
     # f32-accurate matmul precision is load-bearing on TPU: the default
     # precision runs dots in bf16 passes, but the wanted band's RELATIVE
-    # gaps are ~1e-5 of lambda_max(C) (see the docstring) — far below bf16's
-    # ~3 decimal digits. LOBPCG's Gram matrices and the Rayleigh-Ritz
-    # projection would both degrade on hardware while CPU tests pass (the
-    # same failure mode heat_device._build_chol documents).
+    # gaps are ~1e-5 of lambda_max(C) — far below bf16's ~3 digits. The
+    # Gram/RR matrices would degrade on hardware while CPU tests pass.
     with jax.default_matmul_precision("highest"):
-        from jax.experimental.sparse.linalg import lobpcg_standard
-        _, U, _ = lobpcg_standard(filter_apply, X0, m=n_iter)
-
-        # Rayleigh-Ritz with C itself to recover eigenvalues (and de-rotate
-        # within the filtered subspace, since F compresses eigenvalue
-        # information)
-        CU = matvec_C(U)
-        T = U.T @ CU
+        mv = _partial(_matvec_C, L_idx, L_val, inv_sqrt_m, mask, bound, eps)
+        X = jnp.where(mask[:, None], X, 0.0)
+        Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
+        Y = _svqb(_svqb(Y))
+        W = mv(Y)
+        T = Y.T @ W
         T = 0.5 * (T + T.T)
-        w, S = jnp.linalg.eigh(T)
-        evals = jnp.clip(w - eps, 0.0, None)
-        U = U @ S
+        w, S = jnp.linalg.eigh(T)          # ascending
+        U = Y @ S
+        R = W @ S - U * w[None, :]
+        res = jnp.linalg.norm(R, axis=0)
+    return U, w, res
 
-    # back-transform: generalized evecs = M^-1/2 U; M-orthonormal by construction
-    evecs = inv_sqrt_m[:, None] * U
-    order = jnp.argsort(evals)[:k_eig]  # drop the oversampled tail
-    return evals[order], evecs[:, order]
+
+def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = None,
+                      eps: float = 1e-8, tol: float = 2e-4,
+                      max_sweeps: int = 30,
+                      lambda_cut: float | None = None,
+                      cheb_degree: int | None = None,
+                      oversample: int | None = None,
+                      n_iter: int | None = None,
+                      seed: int = 777,
+                      polish=None,
+                      verbose: bool = False):
+    """TPU eigensolver for the k smallest generalized eigenpairs of
+    L phi = lambda M phi — residual-converged Chebyshev-filtered subspace
+    iteration (see the module docstring for the algorithm).
+
+    The naive shift trick (largest of mu I - C) is numerically hopeless at
+    scale in float32: for a fine mesh the spectral radius of
+    C = M^-1/2 L M^-1/2 is ~1e5-1e6 while the wanted bottom eigenvalues are
+    separated by O(1), so relative gaps are ~1e-5. The band-pass Chebyshev
+    filter amplifies the wanted band exponentially in the degree instead,
+    and the outer loop REPEATS filtered sweeps, adapting the filter window
+    to the current top Ritz value, until the k wanted residuals
+    ||C u - w u|| are below max(tol * w_k, f32 matvec noise).
+
+    L_ell: symmetric PSD weak Laplacian in ELL layout (padded rows all-zero).
+    massvec: (V,) strictly positive on valid rows, 0 on padding. Returns
+    (evals (k,), evecs (V,k)), evecs M-orthonormal, padded rows exactly zero.
+
+    tol: relative residual target (relative to the top wanted Ritz value),
+    floored at the f32 matvec noise ~5e-7 * lambda_max(C).
+    cheb_degree: filter degree per sweep (default scales with
+    sqrt(bound/lambda_cut), the Chebyshev convergence exponent).
+    n_iter: deprecated (the pre-round-3 LOBPCG iteration count); ignored.
+    seed: deterministic start-vector seed (the host ladder's 777 convention).
+    polish: optional (L_scipy_sparse, massvec_float64) pair enabling the
+    float64 host Rayleigh–Ritz polish of the converged basis (see
+    _rr_polish_host) — compute_operators passes it since it holds the f64
+    operator anyway; the polished branch returns float64 numpy arrays.
+
+    Raises RuntimeError if the wanted band has not converged after
+    max_sweeps (callers may retry with a larger budget or fall back to the
+    host ladder — compute_operators does exactly that).
+
+    Memory: 3 live (V, n_cols) f32 blocks plus matmul temporaries — 1M x 128
+    fits a single 16 GB chip (unlike LOBPCG's 3x extended basis). For
+    multi-chip scaling see eigensolve_device_sharded."""
+    del n_iter
+    if cheb_degree is not None and cheb_degree < 2:
+        raise ValueError(f"cheb_degree must be >= 2, got {cheb_degree} "
+                         "(the recurrence always consumes degrees 0..1)")
+    if k_eig == 0:
+        return jnp.zeros((0,)), jnp.zeros((L_ell.idx.shape[0], 0))
+
+    mask, inv_sqrt_m, bound, n_cols, oversample, lambda_cut = \
+        _device_solver_setup(L_ell, massvec, k_eig, n_valid, eps,
+                             lambda_cut, oversample)
+    V = L_ell.idx.shape[0]
+
+    if cheb_degree is None:
+        # degree scales with the Chebyshev convergence exponent
+        # sqrt(bound/lambda_cut); rounded up to a 32-grid so meshes of the
+        # same bucket shape hit the same compiled sweep
+        cheb_degree = int(np.clip(8.0 * np.sqrt(bound / lambda_cut) + 10,
+                                  50, 320))
+        cheb_degree = -32 * (-cheb_degree // 32)
+
+    key = jax.random.PRNGKey(seed)
+    X = jnp.where(mask[:, None],
+                  jax.random.normal(key, (V, n_cols), dtype=jnp.float32), 0.0)
+    lo = jnp.asarray(lambda_cut, jnp.float32)
+
+    noise_floor = 5e-7 * bound
+    w = res = None
+    bound_j = jnp.asarray(bound, jnp.float32)
+    eps_j = jnp.asarray(eps, jnp.float32)
+    for it in range(max_sweeps):
+        X, w, res = _filtered_sweep(L_ell.idx, L_ell.val, inv_sqrt_m, mask,
+                                    X, lo, bound_j, eps_j, cheb_degree)
+        scale = jnp.maximum(w[k_eig - 1], eps)
+        thresh = jnp.maximum(tol * scale, noise_floor)
+        worst = float(jnp.max(res[:k_eig]))
+        if verbose:
+            print(f"  eigensolve_device sweep {it}: worst wanted residual "
+                  f"{worst:.3e} (thresh {float(thresh):.3e})")
+        if not np.isfinite(worst):
+            raise RuntimeError("eigensolve_device: non-finite residual "
+                               f"at sweep {it}")
+        if worst <= float(thresh):
+            break
+        # adapt the filter window: dampen everything above the basis's top
+        lo = jnp.clip(w[-1], 0.0, 0.5 * bound)
+    else:
+        raise RuntimeError(
+            f"eigensolve_device: wanted band not converged after "
+            f"{max_sweeps} sweeps (worst residual {worst:.3e}, "
+            f"threshold {float(thresh):.3e})")
+
+    if polish is not None:
+        L_sp, mass_f64 = polish
+        return _rr_polish_host(L_sp, mass_f64, np.asarray(X), k_eig, eps)
+    evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
+    evecs = inv_sqrt_m[:, None] * X[:, :k_eig]
+    return evals, evecs
+
+
+# ---------------------------------------------------------------------------
+# Vert-sharded solver (multi-chip): row-shard every (V, n) block over the
+# `vert` mesh axis. The SpMM all-gathers the iterate (the operator's column
+# indices are global); Gram/RR matrices are (n, n) psums — tiny collectives
+# riding ICI while all O(V) traffic stays device-local.
+# ---------------------------------------------------------------------------
+
+
+@_partial(jax.jit, static_argnames=("cheb_degree", "mesh", "axis"))
+def _filtered_sweep_sharded(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound,
+                            eps, cheb_degree: int, mesh, axis: str):
+    """shard_map twin of _filtered_sweep. All (V, ...) operands arrive
+    row-sharded over `axis`; w/res come back replicated, U row-sharded."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def device_fn(L_idx, L_val, inv_sqrt_m, mask, X, lo):
+        def mv(x):  # x: (V_loc, n) -> (V_loc, n)
+            x_full = jax.lax.all_gather(x * inv_sqrt_m_g[:, None], axis,
+                                        axis=0, tiled=True)      # (V, n)
+            gathered = x_full[L_idx]                             # (V_loc,D,n)
+            y = jnp.einsum("vd,vdc->vc", L_val, gathered,
+                           preferred_element_type=jnp.float32)
+            y = inv_sqrt_m[:, None] * y \
+                + eps * (inv_sqrt_m[:, None] ** 2) * x
+            return jnp.where(mask[:, None], y, bound * x)
+
+        # all_gather needs the pre-scaled iterate; fold the row scaling of
+        # the *column* side into the gathered copy (L is symmetric, applied
+        # as r L r): scale x before the gather so both sides use local data
+        inv_sqrt_m_g = inv_sqrt_m
+
+        def svqb(Y):
+            G = jax.lax.psum(Y.T @ Y, axis)
+            G = 0.5 * (G + G.T)
+            d = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(G), 1e-30, None))
+            G = G * d[:, None] * d[None, :]
+            w, S = jnp.linalg.eigh(G)
+            w = jnp.clip(w, 1e-12 * jnp.max(w), None)
+            return Y @ (S * (d[:, None] / jnp.sqrt(w)[None, :]))
+
+        with jax.default_matmul_precision("highest"):
+            X = jnp.where(mask[:, None], X, 0.0)
+            Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
+            Y = svqb(svqb(Y))
+            W = mv(Y)
+            T = jax.lax.psum(Y.T @ W, axis)
+            T = 0.5 * (T + T.T)
+            w, S = jnp.linalg.eigh(T)
+            U = Y @ S
+            R = W @ S - U * w[None, :]
+            res = jnp.sqrt(jax.lax.psum(jnp.sum(R * R, axis=0), axis))
+        return U, w, res
+
+    pv = P(axis)
+    return shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(pv, pv, pv, pv, pv, P()),
+        out_specs=(pv, P(), P()),
+        check_vma=False,
+    )(L_idx, L_val, inv_sqrt_m, mask, X, lo)
+
+
+def eigensolve_device_sharded(L_ell: Ell, massvec, k_eig: int, mesh,
+                              axis: str = "vert",
+                              n_valid: int | None = None,
+                              eps: float = 1e-8, tol: float = 2e-4,
+                              max_sweeps: int = 30,
+                              lambda_cut: float | None = None,
+                              cheb_degree: int | None = None,
+                              oversample: int | None = None,
+                              seed: int = 777,
+                              polish=None,
+                              verbose: bool = False):
+    """eigensolve_device with every (V, n) block row-sharded over the `axis`
+    axis of `mesh` — the path that fits 1M x 128 across chips (VERDICT r2
+    item 1b). Same algorithm, same convergence loop; the only cross-shard
+    traffic is one all-gather of the (V, n) iterate per filter matvec and
+    (n, n) psums for Gram/RR. V must be divisible by the shard count.
+
+    Returns (evals (k,), evecs (V, k) row-sharded over `axis`)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    V = L_ell.idx.shape[0]
+    if V % n_shards != 0:
+        raise ValueError(f"V={V} not divisible by {n_shards} '{axis}' shards"
+                         " — pad the operator rows (ell_pad) first")
+    if k_eig == 0:
+        return jnp.zeros((0,)), jnp.zeros((V, 0))
+
+    mask, inv_sqrt_m, bound, n_cols, oversample, lambda_cut = \
+        _device_solver_setup(L_ell, massvec, k_eig, n_valid, eps,
+                             lambda_cut, oversample)
+
+    if cheb_degree is None:
+        cheb_degree = int(np.clip(8.0 * np.sqrt(bound / lambda_cut) + 10,
+                                  50, 320))
+        cheb_degree = -32 * (-cheb_degree // 32)
+    elif cheb_degree < 2:
+        raise ValueError(f"cheb_degree must be >= 2, got {cheb_degree}")
+
+    vshard = NamedSharding(mesh, P(axis))
+    L_idx = jax.device_put(L_ell.idx, vshard)
+    L_val = jax.device_put(L_ell.val, vshard)
+    inv_sqrt_m_s = jax.device_put(inv_sqrt_m, vshard)
+    mask_s = jax.device_put(mask, vshard)
+    X = jnp.where(mask[:, None],
+                  jax.random.normal(jax.random.PRNGKey(seed), (V, n_cols),
+                                    dtype=jnp.float32), 0.0)
+    X = jax.device_put(X, vshard)
+    lo = jnp.asarray(lambda_cut, jnp.float32)
+    bound_j = jnp.asarray(bound, jnp.float32)
+    eps_j = jnp.asarray(eps, jnp.float32)
+
+    noise_floor = 5e-7 * bound
+    w = res = None
+    for it in range(max_sweeps):
+        X, w, res = _filtered_sweep_sharded(
+            L_idx, L_val, inv_sqrt_m_s, mask_s, X, lo, bound_j, eps_j,
+            cheb_degree, mesh, axis)
+        scale = jnp.maximum(w[k_eig - 1], eps)
+        thresh = jnp.maximum(tol * scale, noise_floor)
+        worst = float(jnp.max(res[:k_eig]))
+        if verbose:
+            print(f"  eigensolve_device_sharded sweep {it}: worst wanted "
+                  f"residual {worst:.3e} (thresh {float(thresh):.3e})")
+        if not np.isfinite(worst):
+            raise RuntimeError("eigensolve_device_sharded: non-finite "
+                               f"residual at sweep {it}")
+        if worst <= float(thresh):
+            break
+        lo = jnp.clip(w[-1], 0.0, 0.5 * bound)
+    else:
+        raise RuntimeError(
+            f"eigensolve_device_sharded: wanted band not converged after "
+            f"{max_sweeps} sweeps (worst residual {worst:.3e}, "
+            f"threshold {float(thresh):.3e})")
+
+    if polish is not None:
+        L_sp, mass_f64 = polish
+        return _rr_polish_host(L_sp, mass_f64, np.asarray(X), k_eig, eps)
+    evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
+    evecs = inv_sqrt_m[:, None] * X[:, :k_eig]
+    return evals, evecs

@@ -90,8 +90,15 @@ def _csc_to_ell(mat: scipy.sparse.spmatrix, dtype=np.float32) -> Ell:
     return ell_from_coo(coo.row, coo.col, coo.data, mat.shape[0], dtype=dtype)
 
 
+# The PRIMARY eigensolver (round 3): the TPU-resident Chebyshev-filtered
+# subspace iteration. ARPACK ('host') remains as the reference-parity path
+# and the automatic fallback when the device solve reports non-convergence.
+DEFAULT_EIGENSOLVER = "device"
+
+
 def compute_operators(verts, faces, k_eig: int, normals=None,
-                      dtype=np.float32, eigensolver: str = "host",
+                      dtype=np.float32,
+                      eigensolver: str = DEFAULT_EIGENSOLVER,
                       _return_sparse: bool = False):
     """Build spectral operators for a mesh or point cloud (numpy in / Operators out).
 
@@ -126,19 +133,34 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
     if np.isnan(massvec_np).any():
         raise RuntimeError("NaN mass matrix")
 
-    # Eigenbasis: host ARPACK path with the reference retry ladder (default),
-    # or the TPU-resident Chebyshev-filtered LOBPCG (eigensolver='device')
+    # Eigenbasis: the TPU-resident Chebyshev-filtered subspace iteration is
+    # the PRIMARY solver (default) — the heaviest precompute stage runs
+    # on-chip. 'host' is the reference-parity ARPACK ladder
+    # (geometry.py:336-361) and the automatic fallback if the device solve
+    # raises (non-convergence after its own retry), so the eps-ladder
+    # failure semantics are always available.
     if eigensolver == "host":
         evals_np, evecs_np = eigensolve_host(L, massvec_np, k_eig, eps=eps)
     elif eigensolver == "device":
         import jax.numpy as jnp
         from .eigen import eigensolve_device
         ell = _csc_to_ell(L, dtype=np.float32)
-        ev, evec = eigensolve_device(
-            Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val)),
-            jnp.asarray(massvec_np.astype(np.float32)), k_eig, eps=eps)
-        evals_np = np.asarray(ev, dtype=np.float64)
-        evecs_np = np.asarray(evec, dtype=np.float64)
+        try:
+            # polish: one float64 Rayleigh–Ritz on host within the
+            # device-converged basis (we hold the f64 operator anyway) —
+            # band error 2e-12 / diffusion parity ~1e-6 vs ARPACK at 20k
+            ev, evec = eigensolve_device(
+                Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val)),
+                jnp.asarray(massvec_np.astype(np.float32)), k_eig, eps=eps,
+                polish=(L, massvec_np))
+            evals_np = np.asarray(ev, dtype=np.float64)
+            evecs_np = np.asarray(evec, dtype=np.float64)
+        except RuntimeError as e:
+            import warnings
+            warnings.warn(f"device eigensolver failed ({e}); falling back "
+                          "to the host ARPACK ladder", stacklevel=2)
+            evals_np, evecs_np = eigensolve_host(L, massvec_np, k_eig,
+                                                 eps=eps)
     else:
         raise ValueError("eigensolver must be 'host' or 'device'")
 
@@ -219,17 +241,19 @@ def _read_sp_mat(npzfile, prefix) -> scipy.sparse.csc_matrix:
 
 def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = None,
                   normals=None, overwrite_cache: bool = False,
-                  dtype=np.float32, eigensolver: str = "host",
+                  dtype=np.float32, eigensolver: str = DEFAULT_EIGENSOLVER,
                   cache_only: bool = False) -> Operators | None:
     """compute_operators with reference-compatible disk caching
     (geometry.py:426-570): SHA1-of-bytes key, linear probing on collision, exact
     array-equality verification, k_eig truncation on load, race-tolerant writes.
 
-    eigensolver: 'host' (ARPACK shift-invert with the reference's eps ladder)
-    or 'device' (TPU-resident Chebyshev-filtered LOBPCG — moves the heaviest
-    precompute stage on-chip). Both produce valid mass-orthonormal bases; the
-    disk cache is shared (keyed on geometry only), so a cached entry computed
-    by either solver satisfies a request for the other."""
+    eigensolver: 'device' (default — TPU-resident Chebyshev-filtered subspace
+    iteration, residual-converged; moves the heaviest precompute stage
+    on-chip and falls back to 'host' on non-convergence) or 'host' (ARPACK
+    shift-invert with the reference's eps ladder). Both produce valid
+    mass-orthonormal bases; the disk cache is shared (keyed on geometry
+    only), so a cached entry computed by either solver satisfies a request
+    for the other."""
     verts_np = np.asarray(verts)
     faces_np = (np.asarray(faces) if faces is not None and np.asarray(faces).size
                 else np.zeros((0, 3), dtype=np.int64))
@@ -319,7 +343,8 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
 
 def get_all_operators(verts_list, faces_list, k_eig: int,
                       op_cache_dir: str | None = None,
-                      normals=None, eigensolver: str = "host") -> list[Operators]:
+                      normals=None,
+                      eigensolver: str = DEFAULT_EIGENSOLVER) -> list[Operators]:
     """Batch precompute over a list of shapes (reference geometry.py:395-424).
     Returns a list of Operators (vs the reference's 7 parallel lists)."""
     out = []

@@ -17,18 +17,25 @@ from .operators import Operators, get_operators
 
 
 def _worker(args):
-    verts, faces, k_eig, op_cache_dir, normals = args
+    verts, faces, k_eig, op_cache_dir, normals, eigensolver = args
     # Returns the Operators bundle (numpy pytree — picklable NamedTuple of
     # arrays and Ell NamedTuples).
     return get_operators(verts, faces, k_eig=k_eig, op_cache_dir=op_cache_dir,
-                         normals=normals)
+                         normals=normals, eigensolver=eigensolver)
 
 
 def get_all_operators_parallel(verts_list, faces_list, k_eig: int,
                                op_cache_dir: str | None = None,
                                normals=None,
-                               n_workers: int | None = None) -> list[Operators]:
-    """Parallel version of get_all_operators. Results keep input order."""
+                               n_workers: int | None = None,
+                               eigensolver: str = "host") -> list[Operators]:
+    """Parallel version of get_all_operators. Results keep input order.
+
+    eigensolver defaults to 'host' here (unlike get_operators' 'device'):
+    the point of the pool is CPU-parallel ARPACK across shapes, and N worker
+    processes cannot share the single TPU client — a spawned worker trying
+    to grab the chip a parent process already holds would deadlock/crash.
+    Pass eigensolver='device' only with n_workers=1 (in-process)."""
     n = len(verts_list)
     n_workers = n_workers if n_workers is not None else (os.cpu_count() or 1)
 
@@ -48,7 +55,8 @@ def get_all_operators_parallel(verts_list, faces_list, k_eig: int,
             miss.append(i)
 
     jobs = [(np.asarray(verts_list[i]), np.asarray(faces_list[i]), k_eig,
-             op_cache_dir, None if normals is None else normals[i])
+             op_cache_dir, None if normals is None else normals[i],
+             eigensolver)
             for i in miss]
     if n_workers <= 1 or len(miss) <= 1:
         computed = [_worker(j) for j in jobs]

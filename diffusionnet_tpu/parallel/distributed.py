@@ -64,3 +64,178 @@ def make_pod_mesh(vert: int = 1) -> Mesh:
             f"vert={vert} does not tile the {local} devices per process; "
             "vert groups would span slices (collectives over DCN)")
     return Mesh(devices.reshape(-1, vert), axis_names=("data", "vert"))
+
+
+# ---------------------------------------------------------------------------
+# Real multi-PROCESS execution (round 3, VERDICT r2 item 2): spawn N OS
+# processes, wire them through jax.distributed.initialize, and run (a) a
+# data-parallel train step whose collectives actually cross process
+# boundaries and (b) precompute_shard_for_host into a shared cache. On a
+# real pod each host runs the same code with the TPU runtime's coordinator;
+# here the CPU backend's cross-process collectives prove the code path.
+# ---------------------------------------------------------------------------
+
+
+def _mp_child_main(coordinator: str, num_processes: int, process_id: int,
+                   out_path: str, cache_dir: str) -> None:
+    """Entry point of one spawned process (see run_multiprocess_dryrun)."""
+    import json
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    initialize(coordinator_address=coordinator,
+               num_processes=num_processes, process_id=process_id)
+    assert jax.process_count() == num_processes, jax.process_count()
+    n_global = jax.device_count()
+    n_local = jax.local_device_count()
+    assert n_global == n_local * num_processes, (n_global, n_local)
+
+    mesh = make_pod_mesh(vert=1)
+
+    # (a) one DP train step: grads pmean over a mesh spanning BOTH processes
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .data_parallel import make_dp_train_step
+
+    B_global = n_global * 2
+    rs = np.random.RandomState(0)                 # same data in both procs
+    X_all = rs.randn(B_global, 8).astype(np.float32)
+    y_all = rs.randn(B_global, 1).astype(np.float32)
+    sharding = NamedSharding(mesh, P("data"))
+    # each process contributes its local rows of the global batch
+    def make_global(a):
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")),
+            a.reshape(num_processes, -1, *a.shape[1:])[process_id])
+    Xs, ys = make_global(X_all), make_global(y_all)
+
+    params = {"w": jnp.zeros((8, 1)), "b": jnp.zeros((1,))}
+
+    def loss_fn(p, batch, rng):
+        X, y = batch
+        return jnp.mean((X @ p["w"] + p["b"] - y) ** 2)
+
+    optimizer = optax.adam(1e-1)
+    opt_state = optimizer.init(params)
+    step = make_dp_train_step(loss_fn, optimizer, mesh, donate=False)
+    params, opt_state, loss = step(params, opt_state, (Xs, ys),
+                                   jax.random.PRNGKey(0))
+    loss = float(loss)
+
+    # parameter replicas must agree bit-for-bit across processes
+    w_local = np.asarray(jax.device_get(params["w"]))
+    param_hash = hashlib.sha1(w_local.tobytes()).hexdigest()
+
+    # (b) multi-host precompute: this process computes its round-robin slice
+    # of 4 tiny meshes into the SHARED cache; afterwards a full cache-hit
+    # load must succeed from this process alone
+    from ..geometry.parallel_precompute import precompute_shard_for_host
+    from ..geometry import get_operators
+
+    def tiny_mesh(i):
+        t = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+        ring = np.stack([np.cos(t), np.sin(t), np.zeros(8)], 1)
+        verts = np.concatenate([[[0.0, 0.0, 0.2 + 0.01 * i]], ring])
+        faces = np.array([[0, 1 + j, 1 + (j + 1) % 8] for j in range(8)])
+        return verts, faces
+
+    meshes = [tiny_mesh(i) for i in range(4)]
+    mine = precompute_shard_for_host(
+        [v for v, _ in meshes], [f for _, f in meshes], k_eig=3,
+        op_cache_dir=cache_dir, n_workers=1)
+
+    # cross-process barrier so cache-hit loads see the other host's writes
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("precompute_done")
+    loaded = [get_operators(v, f, k_eig=3, op_cache_dir=cache_dir,
+                            cache_only=True) for v, f in meshes]
+    all_cached = all(o is not None for o in loaded)
+
+    with open(out_path, "w") as f:
+        json.dump({"process_id": process_id,
+                   "n_global_devices": n_global,
+                   "process_count": jax.process_count(),
+                   "loss": loss, "param_hash": param_hash,
+                   "computed_indices": list(mine),
+                   "all_cached_after_barrier": bool(all_cached)}, f)
+
+
+def run_multiprocess_dryrun(n_processes: int = 2, devices_per_process: int = 2,
+                            timeout_s: float = 600.0) -> list[dict]:
+    """Spawn n_processes OS processes on the CPU backend, initialize
+    jax.distributed against a local coordinator, and run a cross-process DP
+    train step + sharded precompute. Returns the per-process reports;
+    raises if any process fails or the replicas diverge."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    with socket.socket() as s:                   # grab a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    tmp = tempfile.mkdtemp(prefix="dnet_mp_")
+    cache_dir = f"{tmp}/op_cache"
+    outs = [f"{tmp}/proc{i}.json" for i in range(n_processes)]
+
+    import os as _os
+    procs = []
+    for i in range(n_processes):
+        env = dict(_os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        # drop any experimental TPU-plugin hooks: N processes cannot share
+        # one chip, and some plugins ignore JAX_PLATFORMS and report their
+        # own process topology (breaking jax.distributed on CPU)
+        for k in list(env):
+            if "AXON" in k or k.startswith("TPU_"):
+                env.pop(k)
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            .replace("--xla_force_host_platform_device_count=8", "")
+                            + f" --xla_force_host_platform_device_count="
+                              f"{devices_per_process}")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "diffusionnet_tpu.parallel.distributed",
+             "--coordinator", coordinator, "--num_processes", str(n_processes),
+             "--process_id", str(i), "--out", outs[i], "--cache", cache_dir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    reports = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=timeout_s)
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"multiprocess child {i} failed (rc={p.returncode}):\n"
+                + out.decode(errors="replace")[-4000:])
+        with open(outs[i]) as f:
+            reports.append(json.load(f))
+
+    hashes = {r["param_hash"] for r in reports}
+    if len(hashes) != 1:
+        raise RuntimeError(f"param replicas diverged across processes: "
+                           f"{hashes}")
+    covered = sorted(i for r in reports for i in r["computed_indices"])
+    if covered != list(range(4)):
+        raise RuntimeError(f"precompute shards did not partition the "
+                           f"dataset: {covered}")
+    if not all(r["all_cached_after_barrier"] for r in reports):
+        raise RuntimeError("some process missed cache entries after the "
+                           "barrier")
+    return reports
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num_processes", type=int, required=True)
+    ap.add_argument("--process_id", type=int, required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cache", required=True)
+    a = ap.parse_args()
+    _mp_child_main(a.coordinator, a.num_processes, a.process_id, a.out,
+                   a.cache)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from functools import lru_cache
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry.operators import Operators
@@ -147,3 +148,103 @@ def vertex_sharded_forward(model, params, x_in, ops: Operators, mesh: Mesh,
         _FWD_CACHE[key] = fwd
 
     return fwd(params, x_in, ops, tuple(call_kwargs[k] for k in arr_names))
+
+
+# ---------------------------------------------------------------------------
+# Two-axis (data x vert) TRAINING (round 3, VERDICT r2 item 3): the promoted
+# version of the dryrun's dp x vert step — train a larger-than-HBM surface by
+# row-sharding every (B, V, ...) batch leaf over `vert` while sharding the
+# batch over `data`. The megakernel runs per-shard with one (K, C) psum per
+# block (xhat_reduce); grads/loss/counts psum over both axes.
+# ---------------------------------------------------------------------------
+
+
+def batch_pspecs(batch, labels_kind: str = "vertex",
+                 data_axis: str = "data", vert_axis: str = "vert"):
+    """PartitionSpec pytree for a data.PaddedBatch on a (data, vert) mesh:
+    every (B, V, ...) leaf is sharded (data, vert); evals/labels-global/faces
+    shard over data only."""
+    from jax.sharding import PartitionSpec as P
+    from ..geometry.operators import Operators
+
+    pv = P(data_axis, vert_axis)
+    pd = P(data_axis)
+
+    def ell_spec(e):
+        return Ell(pv, pv)
+
+    ops = batch.ops
+    ops_spec = Operators(
+        frames=pv, mass=pv, L=ell_spec(ops.L),
+        evals=pd, evecs=pv,
+        gradX=ell_spec(ops.gradX), gradY=ell_spec(ops.gradY),
+        gradX_spec=None if ops.gradX_spec is None else pv,
+        gradY_spec=None if ops.gradY_spec is None else pv,
+    )
+    return type(batch)(
+        verts=pv, ops=ops_spec,
+        labels=pv if labels_kind != "global" else pd,
+        faces=pd, face_mask=pd)
+
+
+def make_two_axis_train_step(sum_loss_fn, optimizer, mesh, batch_specs,
+                             data_axis: str = "data",
+                             vert_axis: str = "vert", donate: bool = True):
+    """Jitted (data x vert)-sharded train step.
+
+    sum_loss_fn(params, batch, rng) -> (loss_sum, count, aux_sums): LOCAL
+    SUMS over this shard's (batch, vertex) block — the step psums the
+    normalizer over both axes before dividing, so the global objective is
+    sum(per-element loss) / sum(valid), exactly as the single-device loss.
+    Returns train_step(params, opt_state, batch, rng) ->
+    (params, opt_state, loss, aux_sums) with loss/aux globally reduced."""
+    import optax
+
+    def psum2(x):
+        return jax.lax.psum(jax.lax.psum(x, data_axis), vert_axis)
+
+    def device_fn(params, opt_state, batch, rng):
+        # decorrelate dropout across data shards only: the same surface's
+        # vert shards must agree on sample-level randomness (rotations);
+        # per-vertex dropout inside the megakernel is decorrelated by
+        # folding the vert index into the kernel seed at the caller
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(data_axis))
+
+        def local_obj(p):
+            S, N, aux = sum_loss_fn(p, batch, rng)
+            N_g = psum2(N)
+            return S / jnp.maximum(N_g, 1), (N_g, aux)
+
+        (loss_i, (_, aux)), grads_i = jax.value_and_grad(
+            local_obj, has_aux=True)(params)
+        grads = psum2(grads_i)
+        loss = psum2(loss_i)
+        aux = psum2(aux)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    sharded = shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(), P(), batch_specs, P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1) if donate else ())
+
+
+def make_two_axis_eval_step(sum_metric_fn, mesh, batch_specs,
+                            data_axis: str = "data", vert_axis: str = "vert"):
+    """sum_metric_fn(params, batch) -> pytree of LOCAL SUMS; psum'd over both
+    axes."""
+    def device_fn(params, batch):
+        out = sum_metric_fn(params, batch)
+        return jax.lax.psum(jax.lax.psum(out, data_axis), vert_axis)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    return jax.jit(shard_map(device_fn, mesh=mesh,
+                             in_specs=(P(), batch_specs), out_specs=P(),
+                             check_vma=False))

@@ -29,6 +29,16 @@ def main():
                              " and gather batches on-device (no"
                              " per-step host transfer)")
     parser.add_argument("--megakernel", action="store_true")
+    parser.add_argument("--mesh", type=str, default=None, metavar="DATA,VERT",
+                        help="two-axis sharded training, e.g. '2,4': batch "
+                             "over DATA devices AND every (B,V,...) array "
+                             "row-sharded over VERT devices (train surfaces "
+                             "larger than one chip's HBM; requires "
+                             "--megakernel; vertex buckets are rounded so V "
+                             "divides VERT)")
+    parser.add_argument("--buckets", type=str, default=None,
+                        help="comma-separated vertex bucket sizes (padded "
+                             "batch shapes), e.g. '16384,32768'")
     parser.add_argument("--resume_from", type=str, default=None,
                         help="checkpoint dir: continue a crashed run")
     parser.add_argument("--bf16", action="store_true")
@@ -48,12 +58,16 @@ def main():
     test_dataset = RNAMeshDataset(dataset_path, train=False, k_eig=k_eig,
                                   op_cache_dir=op_cache_dir)
 
+    mesh_shape = (tuple(int(s) for s in args.mesh.split(","))
+                  if args.mesh else None)
+    buckets = (tuple(int(s) for s in args.buckets.split(","))
+               if args.buckets else None)
     cfg = FitConfig(
         n_epoch=args.n_epoch, lr=1e-3, decay_every=50, decay_rate=0.5,
         batch_size=args.batch_size, input_features=args.input_features,
         augment_rotate=(args.input_features == "xyz"), labels_kind="vertex",
         use_megakernel=args.megakernel, bf16=args.bf16,
-        device_data=args.device_data,
+        device_data=args.device_data, mesh_shape=mesh_shape, buckets=buckets,
         graceful_sigterm=True)
 
     model = build_model(n_class=260, c_width=128, outputs_at="vertices",

@@ -1,0 +1,308 @@
+"""Consolidated results artifact generator (VERDICT r2 item 4).
+
+Collects every per-suite evidence number a reviewer needs to compare this
+framework against the reference's claims (/root/reference/experiments/*/
+README.md) into docs/results/*.jsonl, and renders docs/RESULTS.md from them.
+Each section is regenerable independently; the rendered doc records which
+sections were refreshed when.
+
+Usage:
+  python experiments/tools/gen_results.py --sections bench,eigen,render
+  python experiments/tools/gen_results.py --sections parity,synthetic,render
+  python experiments/tools/gen_results.py --sections soak,render   # TPU, ~7 min
+
+Sections:
+  bench      aggregate BENCH_*.json / MULTICHIP_*.json artifacts (no compute)
+  eigen      measure device-vs-ARPACK eigensolver parity at 20k (CPU ok)
+  parity     run the 6 pretrained-checkpoint parity tests, capture measured
+             errors (needs torch + /root/reference checkpoints)
+  synthetic  run the synthetic E1/E4/E5 pipelines end-to-end, capture final
+             accuracies (each trains for real; minutes per suite)
+  soak       the 200-epoch full-config E1 soak (megakernel+bf16; TPU)
+  render     regenerate docs/RESULTS.md from whatever jsonl files exist
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+OUT_DIR = os.path.join(REPO, "docs", "results")
+
+
+def _write_jsonl(name: str, records: list[dict]) -> None:
+    os.makedirs(OUT_DIR, exist_ok=True)
+    stamp = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds")
+    with open(os.path.join(OUT_DIR, name + ".jsonl"), "w") as f:
+        for r in records:
+            f.write(json.dumps({"generated_utc": stamp, **r}) + "\n")
+    print(f"wrote docs/results/{name}.jsonl ({len(records)} records)")
+
+
+def _read_jsonl(name: str) -> list[dict]:
+    path = os.path.join(OUT_DIR, name + ".jsonl")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def section_bench() -> None:
+    records = []
+    for fname in sorted(os.listdir(REPO)):
+        if not (fname.startswith(("BENCH", "MULTICHIP"))
+                and fname.endswith(".json")):
+            continue
+        with open(os.path.join(REPO, fname)) as f:
+            data = json.load(f)
+        if isinstance(data, dict):
+            data = [data]
+        for entry in data:
+            records.append({"artifact": fname, **entry})
+    _write_jsonl("bench", records)
+
+
+def section_eigen() -> None:
+    """Device-vs-ARPACK gauge-invariant parity at ~20k, k=128 (the unit-test
+    gate's numbers, recorded as an artifact)."""
+    sys.path.insert(0, REPO)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tests.meshgen import flat_grid
+    from diffusionnet_tpu.geometry import (cotan_laplacian, vertex_areas,
+                                           eigensolve_host)
+    from diffusionnet_tpu.geometry.eigen import eigensolve_device
+    from diffusionnet_tpu.ops.sparse import Ell, ell_from_coo
+    import time
+
+    verts, faces = flat_grid(n=142, jitter=0.4)
+    V, k = verts.shape[0], 128
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces) + 0.0
+    mass = mass + 1e-8 * np.mean(mass)
+    t0 = time.perf_counter()
+    evh, eveh = eigensolve_host(L, mass, k)
+    t_host = time.perf_counter() - t0
+    coo = L.tocoo()
+    ell = ell_from_coo(coo.row, coo.col, coo.data, V)
+    ell = Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val))
+    t0 = time.perf_counter()
+    evd, evecd = eigensolve_device(ell, jnp.asarray(mass, jnp.float32), k,
+                                   polish=(L, mass))
+    t_dev = time.perf_counter() - t0
+    evd, evecd = np.asarray(evd, np.float64), np.asarray(evecd, np.float64)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(V, 4)
+    ts = np.logspace(-3, 0, 6) / max(evh[1], 1e-12)
+    diff = 0.0
+    for t in ts:
+        dh = eveh @ (np.exp(-evh * t)[:, None] * (eveh.T @ (mass[:, None] * x)))
+        dd = evecd @ (np.exp(-evd * t)[:, None] * (evecd.T @ (mass[:, None] * x)))
+        diff = max(diff, float(np.abs(dd - dh).max() / np.abs(dh).max()))
+    hks_h = (eveh ** 2) @ np.exp(-evh[:, None] * ts[None, :])
+    hks_d = (evecd ** 2) @ np.exp(-evd[:, None] * ts[None, :])
+    _write_jsonl("eigensolver", [{
+        "metric": f"device (subspace filter + f64 polish) vs ARPACK @ {V} "
+                  f"verts, k={k}",
+        "backend": jax.default_backend(),
+        "band_max_rel_err": float(np.abs(evd - evh).max() / evh.max()),
+        "diffusion_output_max_rel_err": diff,
+        "hks_max_rel_err": float(np.abs(hks_d - hks_h).max()
+                                 / np.abs(hks_h).max()),
+        "device_s": round(t_dev, 2), "arpack_s": round(t_host, 2),
+    }])
+
+
+def section_parity() -> None:
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-s",
+         "tests/test_pretrained_parity.py", "tests/test_parity_torch.py"],
+        cwd=REPO, capture_output=True, text=True, timeout=3600)
+    out = proc.stdout + proc.stderr
+    records = []
+    for m in re.finditer(r"^PARITY (\S+) (.+)$", out, re.M):
+        rec = {"checkpoint": m.group(1)}
+        for kv in m.group(2).split():
+            key, val = kv.split("=")
+            rec[key] = float(val)
+        records.append(rec)
+    summary = re.search(r"(\d+) passed", out)
+    records.append({"suite": "parity tests",
+                    "passed": int(summary.group(1)) if summary else 0,
+                    "returncode": proc.returncode})
+    if proc.returncode != 0:
+        print(out[-3000:])
+    _write_jsonl("pretrained_parity", records)
+
+
+def _run_example(script: str, args: list[str], patterns: dict[str, str],
+                 timeout: int = 5400) -> dict:
+    cmd = [sys.executable, os.path.join(REPO, "examples", script)] + args
+    t0 = datetime.datetime.now()
+    proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True,
+                          timeout=timeout)
+    out = proc.stdout + proc.stderr
+    rec = {"script": f"examples/{script}", "args": " ".join(args),
+           "returncode": proc.returncode,
+           "wall_s": round((datetime.datetime.now() - t0).total_seconds(), 1)}
+    for key, pat in patterns.items():
+        matches = re.findall(pat, out)
+        if matches:
+            rec[key] = float(matches[-1])
+    if proc.returncode != 0:
+        print(out[-3000:])
+    return rec
+
+
+def section_synthetic() -> None:
+    records = [
+        _run_example("synthetic_shrec.py", ["--n_epoch", "40"],
+                     {"test_accuracy_pct":
+                      r"Overall test accuracy:\s*([\d.]+)%"}),
+        _run_example("fmaps_synthetic.py", [],
+                     {"heldout_fmap_l2": r"held-out pair: fmap L2 ([\d.e+-]+)"}),
+        _run_example("sampling_invariance_synthetic.py", [],
+                     {"last_exact_label_acc_pct":
+                      r"exact-label acc\s+([\d.]+)%"}),
+    ]
+    _write_jsonl("synthetic", records)
+
+
+def section_soak() -> None:
+    rec = _run_example(
+        "synthetic_shrec.py",
+        ["--n_epoch", "200", "--per_class", "10", "--mega", "--bf16"],
+        {"test_accuracy_pct": r"Overall test accuracy:\s*([\d.]+)%"})
+    rec["config"] = ("reference E1 config, 200 epochs, megakernel + bf16 "
+                     "(the full-schedule numerical-stability soak)")
+    _write_jsonl("soak", [rec])
+
+
+def section_render() -> None:
+    lines = [
+        "# Results",
+        "",
+        "Consolidated evidence for every suite, generated by "
+        "`experiments/tools/gen_results.py` from `docs/results/*.jsonl` "
+        "(regenerate any section with `--sections <name>,render`). The "
+        "reference publishes prose claims, not numbers "
+        "(`/root/reference/experiments/*/README.md`); each section names the "
+        "claim it anchors to.",
+        "",
+    ]
+
+    bench = _read_jsonl("bench")
+    if bench:
+        lines += ["## Performance benches (TPU v5e, one chip)", "",
+                  "Reference anchor: README.md:4 — \"easily train on meshes "
+                  "of 20k vertices... infer on meshes with 200k vertices\"; "
+                  "the reference publishes no throughput numbers (modeled "
+                  "baseline derivation in bench.py docstring).", "",
+                  "| artifact | metric | value | unit | key extras |", "|---|---|---|---|---|"]
+        for r in bench:
+            extras = {k: v for k, v in r.items()
+                      if k in ("meshes_per_sec", "mfu_vs_bf16_peak",
+                               "tflops_per_sec", "vs_baseline",
+                               "speedup_vs_arpack", "band_max_rel_err",
+                               "polished_diffusion_output_max_rel_err",
+                               "max_rel_err_vs_unsharded", "ok")}
+            lines.append(
+                f"| {r.get('artifact','')} | {r.get('metric','')} | "
+                f"{r.get('value','')} | {r.get('unit','')} | "
+                f"{json.dumps(extras) if extras else ''} |")
+        lines.append("")
+
+    eig = _read_jsonl("eigensolver")
+    if eig:
+        lines += ["## TPU eigensolver parity (primary precompute solver)", "",
+                  "Gauge-invariant parity of `eigensolver='device'` (the "
+                  "compute_operators default) vs the ARPACK ladder; "
+                  "VERDICT r2 gate: <= 1e-4.", ""]
+        for r in eig:
+            lines.append(
+                f"- {r['metric']} ({r['backend']}): band "
+                f"{r['band_max_rel_err']:.2e}, diffusion outputs "
+                f"{r['diffusion_output_max_rel_err']:.2e}, HKS "
+                f"{r['hks_max_rel_err']:.2e}; device {r['device_s']} s vs "
+                f"ARPACK {r['arpack_s']} s")
+        lines.append("")
+
+    par = _read_jsonl("pretrained_parity")
+    if par:
+        lines += ["## Pretrained-checkpoint parity (6 shipped reference "
+                  "checkpoints)", "",
+                  "The reference's own .pth weights, converted, must "
+                  "reproduce the torch forward outputs (same operators, so "
+                  "eigenvector gauge cancels).", ""]
+        for r in par:
+            if "checkpoint" in r:
+                kv = ", ".join(f"{k} {v:.2e}" for k, v in r.items()
+                               if k not in ("checkpoint", "generated_utc"))
+                lines.append(f"- `{r['checkpoint']}`: {kv}")
+            elif "suite" in r:
+                lines.append(f"- full torch-parity test run: {r['passed']} "
+                             f"passed (rc={r['returncode']})")
+        lines.append("")
+
+    syn = _read_jsonl("synthetic")
+    if syn:
+        lines += ["## Synthetic end-to-end suites (no-download stand-ins)", "",
+                  "Reference anchors: classification_shrec11/README.md "
+                  "(\"nearly perfect... 0-3 wrong of 300\"), "
+                  "functional_correspondence/README.md, sampling_invariance. "
+                  "Real datasets require downloads unavailable here; these "
+                  "run the same drivers/configs on parametric shape "
+                  "families.", ""]
+        for r in syn:
+            kv = ", ".join(f"{k}={v}" for k, v in r.items()
+                           if k not in ("script", "args", "generated_utc"))
+            lines.append(f"- `{r['script']} {r['args']}`: {kv}")
+        lines.append("")
+
+    soak = _read_jsonl("soak")
+    if soak:
+        lines += ["## 200-epoch soak (full reference schedule)", ""]
+        for r in soak:
+            lines.append(f"- `{r['script']} {r['args']}`: "
+                         f"test accuracy {r.get('test_accuracy_pct','?')}%, "
+                         f"wall {r.get('wall_s','?')} s (rc="
+                         f"{r['returncode']}) — {r.get('config','')}")
+        lines.append("")
+
+    lines += [
+        "## Provenance",
+        "",
+        "Each jsonl record carries `generated_utc`. Test-suite evidence "
+        "(155+ tests incl. driver smoke runs on fabricated dataset trees, "
+        "multi-process collectives, vertex-sharded training parity) runs in "
+        "CI fashion via `python -m pytest tests/ -q`.",
+        "",
+    ]
+    with open(os.path.join(REPO, "docs", "RESULTS.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote docs/RESULTS.md")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sections", default="bench,render",
+                    help="comma list: bench,eigen,parity,synthetic,soak,render")
+    args = ap.parse_args()
+    for s in args.sections.split(","):
+        fn = globals().get(f"section_{s.strip()}")
+        if fn is None:
+            raise SystemExit(f"unknown section '{s}'")
+        fn()
+
+
+if __name__ == "__main__":
+    main()

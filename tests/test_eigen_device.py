@@ -133,3 +133,123 @@ def test_device_eigensolver_tiny_mass_isolated_vertex():
     with pytest.raises(ValueError):
         eigensolve_device(ell, jnp.asarray(mass, jnp.float32), k_eig=4,
                           cheb_degree=0)
+
+
+def test_eigensolve_device_sharded_matches_host(cpu_devices):
+    """The vert-sharded solver (8-way row-sharded blocks, all-gather SpMM,
+    psum Gram/RR) matches ARPACK through the same gauge-invariant lens and
+    keeps padded rows exactly zero."""
+    from jax.sharding import Mesh
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.geometry.eigen import eigensolve_device_sharded
+
+    verts, faces = icosphere(3)
+    V = verts.shape[0]
+    v_pad = 648  # divisible by 8
+    L = cotan_laplacian(verts, faces)
+    mass_np = vertex_areas(verts, faces)
+    coo = L.tocoo()
+    ell = ell_from_coo(coo.row, coo.col, coo.data, V)
+    ell = ell_pad(ell, v_pad)
+    ell = Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val))
+    mass = np.zeros(v_pad, np.float32)
+    mass[:V] = mass_np
+    mesh = Mesh(np.asarray(cpu_devices), axis_names=("vert",))
+
+    ev, evec = eigensolve_device_sharded(ell, jnp.asarray(mass), k_eig=16,
+                                         mesh=mesh)
+    evh, _ = eigensolve_host(L, mass_np, 16)
+    np.testing.assert_allclose(np.asarray(ev), evh,
+                               atol=1e-4 * evh.max())
+    assert np.abs(np.asarray(evec)[V:]).max() == 0.0
+    # M-orthonormality of the valid rows
+    E = np.asarray(evec)[:V]
+    G = E.T @ (mass_np[:, None] * E)
+    np.testing.assert_allclose(G, np.eye(16), atol=1e-4)
+    # V not divisible by shards is refused loudly
+    import pytest
+    bad = Ell(ell.idx[:642], ell.val[:642])
+    with pytest.raises(ValueError, match="divisible"):
+        eigensolve_device_sharded(bad, jnp.asarray(mass[:642]), k_eig=4,
+                                  mesh=mesh)
+
+
+def test_compute_operators_device_fallback_to_host(sphere_mesh, monkeypatch):
+    """compute_operators(eigensolver='device') falls back to the host ARPACK
+    ladder when the device solve reports non-convergence (the eps-ladder
+    failure semantics stay reachable from the default path)."""
+    import warnings
+    from diffusionnet_tpu.geometry import compute_operators
+    from diffusionnet_tpu.geometry import operators as ops_mod
+    import diffusionnet_tpu.geometry.eigen as eigen_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic non-convergence")
+
+    monkeypatch.setattr(eigen_mod, "eigensolve_device", boom)
+    verts, faces = sphere_mesh
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ops = compute_operators(verts, faces, k_eig=6, eigensolver="device")
+    assert any("falling back" in str(x.message) for x in w)
+    expected = np.array([0.0] + [2.0] * 3 + [6.0] * 2)
+    np.testing.assert_allclose(ops.evals, expected, atol=0.1)
+
+
+def test_eigensolve_device_parity_gate_20k():
+    """VERDICT r2 item 1 gate: at ~20k vertices, k=128, the device solver
+    matches the ARPACK ladder to <= 1e-4 in every GAUGE-INVARIANT quantity
+    the network consumes — eigenvalue band, heat-diffusion outputs
+    D_t x = Phi e^{-lambda t}(Phi^T M x), and HKS. (Raw eigenvectors are
+    gauge-dependent and not comparable.)"""
+    from tests.meshgen import flat_grid
+    from diffusionnet_tpu.geometry.eigen import eigensolve_device
+
+    verts, faces = flat_grid(n=142, jitter=0.4)    # 20164 verts
+    V = verts.shape[0]
+    k = 128
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    mass = mass + 1e-8 * np.mean(mass)
+
+    evh, eveh = eigensolve_host(L, mass, k)
+    coo = L.tocoo()
+    ell = ell_from_coo(coo.row, coo.col, coo.data, V)
+    ell = Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val))
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(V, 4)
+    ts = np.logspace(-3, 0, 6) / max(evh[1], 1e-12)
+
+    def gauge_invariant_errs(evd, evecd):
+        band = np.abs(evd - evh).max() / evh.max()
+        diff = 0.0
+        for t in ts:
+            dh = eveh @ (np.exp(-evh * t)[:, None]
+                         * (eveh.T @ (mass[:, None] * x)))
+            dd = evecd @ (np.exp(-evd * t)[:, None]
+                          * (evecd.T @ (mass[:, None] * x)))
+            diff = max(diff, np.abs(dd - dh).max()
+                       / (np.abs(dh).max() + 1e-30))
+        hks_h = (eveh ** 2) @ np.exp(-evh[:, None] * ts[None, :])
+        hks_d = (evecd ** 2) @ np.exp(-evd[:, None] * ts[None, :])
+        hks = np.abs(hks_d - hks_h).max() / (np.abs(hks_h).max() + 1e-30)
+        return band, diff, hks
+
+    # the compute_operators path: device sweeps + f64 RR polish
+    evd, evecd = eigensolve_device(ell, jnp.asarray(mass, jnp.float32), k,
+                                   polish=(L, mass))
+    band, diff, hks = gauge_invariant_errs(np.asarray(evd, np.float64),
+                                           np.asarray(evecd, np.float64))
+    assert band <= 1e-5, band
+    assert diff <= 1e-4, diff
+    assert hks <= 1e-4, hks
+
+    # pure-device (no polish): accuracy bounded by the f32 matvec noise
+    # floor; pin it so regressions in the sweeps themselves are caught
+    evd, evecd = eigensolve_device(ell, jnp.asarray(mass, jnp.float32), k)
+    band, diff, hks = gauge_invariant_errs(np.asarray(evd, np.float64),
+                                           np.asarray(evecd, np.float64))
+    assert band <= 1e-4, band
+    assert diff <= 1e-3, diff
+    assert hks <= 1e-3, hks

@@ -254,3 +254,126 @@ def test_vertex_sharded_megakernel_matches_single(cpu_devices):
         params, x, jops, mesh, n_block=2, tile_v=128, interpret=True))
 
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=2e-5)
+
+
+def test_two_axis_megakernel_step_grads_match_single(cpu_devices):
+    """make_two_axis_train_step on a (data=2, vert=4) mesh — megakernel with
+    per-block (K,C) psum, grads psum'd over both axes — produces the SAME
+    parameter update as the single-device step on the full batch (<=1e-4),
+    promoting the dryrun's two-axis step to a tested training path."""
+    import optax
+    from diffusionnet_tpu.geometry import (compute_operators, stack_operators,
+                                           grad_operators)
+    from diffusionnet_tpu.models.fast_path import megablock_apply
+    from diffusionnet_tpu.parallel.vertex_sharded import (
+        batch_pspecs, make_two_axis_train_step)
+    from diffusionnet_tpu.data.dataset import PaddedBatch
+    from diffusionnet_tpu.training import make_train_step
+    from tests.meshgen import icosphere
+
+    verts, faces = icosphere(subdivisions=2)   # 162 verts
+    ops1 = compute_operators(verts, faces, k_eig=16)
+    B, v_pad = 2, 1024                          # 4 vert shards x 256
+    ops = stack_operators([ops1] * B, v_pad=v_pad)
+    x = np.zeros((B, v_pad, 3), np.float32)
+    x[:, :162] = verts
+    labels = np.full((B, v_pad), -1, np.int32)
+    labels[:, :162] = (verts[:, 2] > 0).astype(np.int32)
+    batch = PaddedBatch(verts=jnp.asarray(x),
+                        ops=jax.tree.map(jnp.asarray, ops),
+                        labels=jnp.asarray(labels),
+                        faces=jnp.zeros((B, 4, 3), jnp.int32),
+                        face_mask=jnp.zeros((B, 4), bool))
+
+    model = DiffusionNet(c_in=3, c_out=2, c_width=8, n_block=2, dropout=False,
+                         last_activation=jax.nn.log_softmax)
+    gX, gY = grad_operators(ops)
+    params = model.init(jax.random.PRNGKey(0), batch.verts, batch.ops.mass,
+                        evals=batch.ops.evals, evecs=batch.ops.evecs,
+                        gradX=jnp.asarray(gX), gradY=jnp.asarray(gY))
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    def apply_mega(params, batch, vert_axis=None):
+        gXs, gYs = batch.ops.gradX_spec, batch.ops.gradY_spec
+        xr = (None if vert_axis is None
+              else (lambda h: jax.lax.psum(h, vert_axis)))
+        logits = megablock_apply(params, batch.verts, batch.ops.mass,
+                                 batch.ops.evals, batch.ops.evecs, gXs, gYs,
+                                 n_block=2, tile_v=128, xhat_reduce=xr,
+                                 interpret=True)
+        return jax.nn.log_softmax(logits)
+
+    def sums(preds, batch):
+        valid = batch.labels >= 0
+        safe = jnp.maximum(batch.labels, 0)
+        per = -jnp.take_along_axis(preds, safe[..., None], axis=-1)[..., 0]
+        return (jnp.sum(per * valid),
+                jnp.sum((jnp.argmax(preds, -1) == batch.labels) & valid),
+                jnp.sum(valid))
+
+    # two-axis step
+    mesh = make_mesh(data=2, vert=4, devices=cpu_devices)
+    specs = batch_pspecs(batch, labels_kind="vertex")
+
+    def vs_loss(params, batch, rng):
+        S, C, N = sums(apply_mega(params, batch, vert_axis="vert"), batch)
+        return S, N, (C, N)
+
+    vs_step = make_two_axis_train_step(vs_loss, optimizer, mesh, specs,
+                                       donate=False)
+    p_vs, _, loss_vs, (c_vs, t_vs) = vs_step(params, opt_state, batch,
+                                             jax.random.PRNGKey(1))
+
+    # single-device reference step (identical objective)
+    def sd_loss(params, batch, rng):
+        S, C, N = sums(apply_mega(params, batch), batch)
+        return S / jnp.maximum(N, 1), (C, N)
+
+    sd_step = make_train_step(sd_loss, optimizer, donate=False)
+    p_sd, _, loss_sd, (c_sd, t_sd) = sd_step(params, opt_state, batch,
+                                             jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(float(loss_vs), float(loss_sd), rtol=1e-5)
+    assert int(t_vs) == int(t_sd) == 2 * 162
+    scale = max(abs(float(x)) for x in
+                jax.tree.leaves(jax.tree.map(lambda a: jnp.abs(a).max(), p_sd)))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-4 * max(scale, 1.0)),
+        p_vs, p_sd)
+
+
+def test_fit_two_axis_vertex_sharded_learns(cpu_devices):
+    """fit() with cfg.mesh_shape=(1, 8): two-axis sharded TRAINING through
+    the harness (megakernel, vertex labels) learns a hemisphere
+    segmentation; the unsupported-envelope validation raises clearly."""
+    import os, sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "experiments"))
+    from exp_common import FitConfig, build_model, fit
+    from diffusionnet_tpu.data import SurfaceDataset
+    from tests.meshgen import icosphere
+
+    rs = np.random.RandomState(0)
+    ds = SurfaceDataset(labels_kind="vertex")
+    for i in range(4):
+        v, f = icosphere(subdivisions=2)
+        v = v * (1 + 0.03 * rs.randn(*v.shape))
+        ds.add(v, f, (v[:, 2] > 0).astype(np.int32))
+    ds.precompute(k_eig=16, verbose=False)
+
+    cfg = FitConfig(n_epoch=6, lr=5e-3, batch_size=2, input_features="xyz",
+                    labels_kind="vertex", use_megakernel=True,
+                    buckets=(1024,), mesh_shape=(1, 8))
+    model = build_model(n_class=2, c_width=16, outputs_at="vertices",
+                        dropout=False, input_features="xyz", n_block=1)
+    params, history, evaluate = fit(model, ds, ds, cfg, verbose=False,
+                                    devices=cpu_devices)
+    assert history[-1][1] >= 0.85, history
+
+    # envelope validation: no megakernel -> clear error
+    bad = FitConfig(n_epoch=1, batch_size=2, input_features="xyz",
+                    labels_kind="vertex", buckets=(1024,), mesh_shape=(1, 8))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="use_megakernel"):
+        fit(model, ds, ds, bad, verbose=False, devices=cpu_devices)

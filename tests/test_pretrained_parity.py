@@ -110,7 +110,12 @@ def test_human_seg_pretrained_forward_parity(feat_kind):
 
     np.testing.assert_allclose(out, out_ref, rtol=2e-4, atol=2e-4)
     # and the hard functional check: identical predictions
-    assert (out.argmax(-1) == out_ref.argmax(-1)).mean() > 0.999
+    pred_match = (out.argmax(-1) == out_ref.argmax(-1)).mean()
+    # machine-readable evidence line (consumed by tools/gen_results.py)
+    print(f"PARITY human_seg_{feat_kind}_4x128 "
+          f"max_abs_err={np.abs(out - out_ref).max():.3e} "
+          f"pred_match={pred_match:.4f}")
+    assert pred_match > 0.999
 
 
 @pytest.mark.parametrize("ds_name", ["faust", "scape"])
@@ -173,3 +178,8 @@ def test_fmaps_pretrained_end_to_end_parity(ds_name, feat_kind):
     scale = np.abs(C_ref).max()
     np.testing.assert_allclose(np.asarray(C), C_ref,
                                atol=2e-4 * scale, rtol=2e-3)
+    # machine-readable evidence line (consumed by tools/gen_results.py)
+    print(f"PARITY fmaps_{ds_name}_{feat_kind} "
+          f"feat_max_abs_err="
+          f"{max(np.abs(np.asarray(feat1) - feat1_ref.numpy()).max(), np.abs(np.asarray(feat2) - feat2_ref.numpy()).max()):.3e} "
+          f"C_max_rel_err={np.abs(np.asarray(C) - C_ref).max() / scale:.3e}")
