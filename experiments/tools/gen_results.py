@@ -81,7 +81,9 @@ def section_eigen() -> None:
                                            eigensolve_host)
     from diffusionnet_tpu.geometry.eigen import eigensolve_device
     from diffusionnet_tpu.ops.sparse import Ell, ell_from_coo
+    from diffusionnet_tpu.utils import enable_compilation_cache
     import time
+    enable_compilation_cache()
 
     verts, faces = flat_grid(n=142, jitter=0.4)
     V, k = verts.shape[0], 128
@@ -94,6 +96,7 @@ def section_eigen() -> None:
     coo = L.tocoo()
     ell = ell_from_coo(coo.row, coo.col, coo.data, V)
     ell = Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val))
+    eigensolve_device(ell, jnp.asarray(mass, jnp.float32), k)  # compile
     t0 = time.perf_counter()
     evd, evecd = eigensolve_device(ell, jnp.asarray(mass, jnp.float32), k,
                                    polish=(L, mass))
@@ -129,7 +132,8 @@ def section_parity() -> None:
         cwd=REPO, capture_output=True, text=True, timeout=3600)
     out = proc.stdout + proc.stderr
     records = []
-    for m in re.finditer(r"^PARITY (\S+) (.+)$", out, re.M):
+    # pytest's progress dots can prefix the line ('.PARITY ...')
+    for m in re.finditer(r"PARITY (\S+) ([^\n]+)", out):
         rec = {"checkpoint": m.group(1)}
         for kv in m.group(2).split():
             key, val = kv.split("=")
