@@ -328,7 +328,9 @@ def sharded_forward(ops, x, n_devices=8):
 
     pops = pad_operators(ops, V_PAD)
     jops = jax.tree.map(jnp.asarray, pops)
-    xj = jnp.asarray(x)
+    x_pad = np.zeros((V_PAD, 3), np.float32)
+    x_pad[:x.shape[0]] = x
+    xj = jnp.asarray(x_pad)
 
     model = DiffusionNet(c_in=3, c_out=8, c_width=C_WIDTH, n_block=N_BLOCK,
                          dropout=False, outputs_at="vertices")
@@ -378,6 +380,18 @@ def main():
         V_PAD = 1_001_472  # 2048 * 489
 
     results = []
+    if args.v1m and not args.skip_eigen:
+        # the 1M x 160-column sweep reliably crashes THIS environment's
+        # tunneled TPU worker (a worker-side resource fault — live HBM is
+        # ~4 GB with the chunked SpMM, well under 16 GB). 1M eigensolves are
+        # covered by eigensolve_device_sharded (vert-mesh row-sharding);
+        # re-enable here with --eigen_host on a directly attached chip.
+        print(json.dumps({
+            "metric": "TPU eigensolve @ 1M", "value": None, "unit": "skipped",
+            "note": "tunneled worker faults at 1M; use "
+                    "eigensolve_device_sharded on a pod or run on a "
+                    "directly attached chip"}))
+        args.skip_eigen = True
     if not args.skip_eigen:
         run_host = args.eigen_host if args.eigen_host is not None \
             else not args.v1m

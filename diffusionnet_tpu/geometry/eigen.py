@@ -217,23 +217,36 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     return evals, evecs
 
 
-def _matvec_C(L_idx, L_val, inv_sqrt_m, mask, bound, eps, x):
+def _matvec_C(L_idx, L_val, inv_sqrt_m, mask, bound, eps, x,
+              col_chunk: int | None = None):
     """C x = r (L (r x)) + eps r^2 x with r = M^-1/2; padded rows act as
     bound*I so the band-pass filter sends numerical leakage onto padding to
     ~1/T_m(ell(0)) (self-damping) instead of amplifying it as a fake
-    zero-mode."""
-    y = inv_sqrt_m[:, None] * x
-    y = ell_matvec(Ell(L_idx, L_val), y)
-    y = inv_sqrt_m[:, None] * y + eps * (inv_sqrt_m[:, None] ** 2) * x
-    return jnp.where(mask[:, None], y, bound * x)
+    zero-mode.
+
+    col_chunk: process x in column blocks of this width. The ELL gather
+    materializes a (V, D, n) temp; at 1M x 9 x 160 that alone is ~6 GB and
+    the un-chunked sweep OOMs a 16 GB chip — chunking bounds the peak to
+    (V, D, col_chunk) while keeping every block MXU-shaped."""
+    def apply(xc):
+        y = inv_sqrt_m[:, None] * xc
+        y = ell_matvec(Ell(L_idx, L_val), y)
+        y = inv_sqrt_m[:, None] * y + eps * (inv_sqrt_m[:, None] ** 2) * xc
+        return jnp.where(mask[:, None], y, bound * xc)
+
+    n = x.shape[1]
+    if col_chunk is None or n <= col_chunk:
+        return apply(x)
+    return jnp.concatenate([apply(x[:, i:i + col_chunk])
+                            for i in range(0, n, col_chunk)], axis=1)
 
 
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("cheb_degree",))
+@_partial(jax.jit, static_argnames=("cheb_degree", "col_chunk"))
 def _filtered_sweep(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound, eps,
-                    cheb_degree: int):
+                    cheb_degree: int, col_chunk: int | None = None):
     """One outer iteration: filter, orthonormalize, Rayleigh-Ritz, residuals.
     Module-level jit: meshes sharing (V, D, n_cols, degree) reuse ONE
     compiled sweep — per-mesh closures would recompile for every mesh of a
@@ -244,7 +257,8 @@ def _filtered_sweep(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound, eps,
     # gaps are ~1e-5 of lambda_max(C) — far below bf16's ~3 digits. The
     # Gram/RR matrices would degrade on hardware while CPU tests pass.
     with jax.default_matmul_precision("highest"):
-        mv = _partial(_matvec_C, L_idx, L_val, inv_sqrt_m, mask, bound, eps)
+        mv = _partial(_matvec_C, L_idx, L_val, inv_sqrt_m, mask, bound, eps,
+                      col_chunk=col_chunk)
         X = jnp.where(mask[:, None], X, 0.0)
         Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
         Y = _svqb(_svqb(Y))
@@ -328,13 +342,21 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                   jax.random.normal(key, (V, n_cols), dtype=jnp.float32), 0.0)
     lo = jnp.asarray(lambda_cut, jnp.float32)
 
+    # bound the (V, D, chunk) gather temp of the SpMM to ~1.5 GB (the full
+    # (V, D, n_cols) temp OOMs a 16 GB chip at 1M x 128)
+    gather_bytes = V * L_ell.idx.shape[1] * 4
+    col_chunk = None
+    if gather_bytes * n_cols > 1.5e9:
+        col_chunk = max(16, int(1.5e9 / gather_bytes) // 16 * 16)
+
     w = res = None
     bound_j = jnp.asarray(bound, jnp.float32)
     eps_j = jnp.asarray(eps, jnp.float32)
     prev_worst = np.inf
     for it in range(max_sweeps):
         X, w, res = _filtered_sweep(L_ell.idx, L_ell.val, inv_sqrt_m, mask,
-                                    X, lo, bound_j, eps_j, cheb_degree)
+                                    X, lo, bound_j, eps_j, cheb_degree,
+                                    col_chunk)
         scale = float(jnp.maximum(w[k_eig - 1], eps))
         worst = float(jnp.max(res[:k_eig]))
         if verbose:
@@ -380,24 +402,33 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
 # ---------------------------------------------------------------------------
 
 
-@_partial(jax.jit, static_argnames=("cheb_degree", "mesh", "axis"))
+@_partial(jax.jit, static_argnames=("cheb_degree", "mesh", "axis",
+                                    "col_chunk"))
 def _filtered_sweep_sharded(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound,
-                            eps, cheb_degree: int, mesh, axis: str):
+                            eps, cheb_degree: int, mesh, axis: str,
+                            col_chunk: int | None = None):
     """shard_map twin of _filtered_sweep. All (V, ...) operands arrive
     row-sharded over `axis`; w/res come back replicated, U row-sharded."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def device_fn(L_idx, L_val, inv_sqrt_m, mask, X, lo):
-        def mv(x):  # x: (V_loc, n) -> (V_loc, n)
+        def mv_block(x):  # x: (V_loc, c) -> (V_loc, c)
             x_full = jax.lax.all_gather(x * inv_sqrt_m_g[:, None], axis,
-                                        axis=0, tiled=True)      # (V, n)
-            gathered = x_full[L_idx]                             # (V_loc,D,n)
+                                        axis=0, tiled=True)      # (V, c)
+            gathered = x_full[L_idx]                             # (V_loc,D,c)
             y = jnp.einsum("vd,vdc->vc", L_val, gathered,
                            preferred_element_type=jnp.float32)
             y = inv_sqrt_m[:, None] * y \
                 + eps * (inv_sqrt_m[:, None] ** 2) * x
             return jnp.where(mask[:, None], y, bound * x)
+
+        def mv(x):  # column-chunked (see _matvec_C)
+            n = x.shape[1]
+            if col_chunk is None or n <= col_chunk:
+                return mv_block(x)
+            return jnp.concatenate([mv_block(x[:, i:i + col_chunk])
+                                    for i in range(0, n, col_chunk)], axis=1)
 
         # all_gather needs the pre-scaled iterate; fold the row scaling of
         # the *column* side into the gathered copy (L is symmetric, applied
@@ -487,12 +518,18 @@ def eigensolve_device_sharded(L_ell: Ell, massvec, k_eig: int, mesh,
     bound_j = jnp.asarray(bound, jnp.float32)
     eps_j = jnp.asarray(eps, jnp.float32)
 
+    # per-shard (V_loc, D, chunk) gather temp bounded to ~1.5 GB
+    gather_bytes = (V // n_shards) * L_ell.idx.shape[1] * 4
+    col_chunk = None
+    if gather_bytes * n_cols > 1.5e9:
+        col_chunk = max(16, int(1.5e9 / gather_bytes) // 16 * 16)
+
     w = res = None
     prev_worst = np.inf
     for it in range(max_sweeps):
         X, w, res = _filtered_sweep_sharded(
             L_idx, L_val, inv_sqrt_m_s, mask_s, X, lo, bound_j, eps_j,
-            cheb_degree, mesh, axis)
+            cheb_degree, mesh, axis, col_chunk)
         scale = float(jnp.maximum(w[k_eig - 1], eps))
         worst = float(jnp.max(res[:k_eig]))
         if verbose:
