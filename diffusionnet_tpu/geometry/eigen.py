@@ -187,29 +187,35 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
         return (r[:, None] * (Lcsr @ (r[:, None] * B))
                 + eps * (r[:, None] ** 2) * B)
 
-    Q, _ = np.linalg.qr(np.asarray(Y, np.float64))
-    CQ = matvec(Q)
+    # No QR: the generalized eigh(T, G) handles a non-orthonormal basis
+    # directly (Y arrives f32-SVQB'd, so G ~ I), and the big O(V n^2) GEMMs
+    # are the polish's whole cost on a host core — the Gram blocks below are
+    # the minimal set.
+    Y = np.asarray(Y, np.float64)
+    CY = matvec(Y)
+    T0 = Y.T @ CY
+    G0 = Y.T @ Y
     if augment:
-        Z = CQ - Q @ (Q.T @ CQ)                    # residual block
+        # residual block Z = CY - Y G0^-1 T0 (first-order subspace
+        # correction — one block-Krylov step), column-normalized
+        Z = CY - Y @ scipy.linalg.solve(G0, T0, assume_a="pos")
         zn = np.linalg.norm(Z, axis=0)
         keep = zn > 1e-13 * max(zn.max(), 1e-300)
         Z = Z[:, keep] / zn[keep]
-        Z = Z - Q @ (Q.T @ Z)                      # re-orthogonalize
-        zn2 = np.linalg.norm(Z, axis=0)
-        keep2 = zn2 > 1e-8
-        Z = Z[:, keep2] / zn2[keep2]
-        B = np.concatenate([Q, Z], axis=1)
-        CB = np.concatenate([CQ, matvec(Z)], axis=1)
+        CZ = matvec(Z)
+        # blockwise T/G for B = [Y, Z] (C symmetric: Z^T C Y = (Y^T C Z)^T)
+        YtZ, YtCZ = Y.T @ Z, Y.T @ CZ
+        T = np.block([[T0, YtCZ], [YtCZ.T, Z.T @ CZ]])
+        G = np.block([[G0, YtZ], [YtZ.T, Z.T @ Z]])
+        B = np.concatenate([Y, Z], axis=1)
     else:
-        B, CB = Q, CQ
-    T = B.T @ CB
+        T, G, B = T0, G0, Y
     T = 0.5 * (T + T.T)
-    G = B.T @ B
     G = 0.5 * (G + G.T)
     try:
         w, S = scipy.linalg.eigh(T, G)
     except scipy.linalg.LinAlgError:
-        # rank-deficient basis (should not happen post-orthogonalization)
+        # near-dependent augmentation columns: regularize and retry
         G = G + 1e-10 * np.eye(G.shape[0])
         w, S = scipy.linalg.eigh(T, G)
     evals = np.clip(w[:k_eig] - eps, 0.0, None)
@@ -244,21 +250,15 @@ def _matvec_C(L_idx, L_val, inv_sqrt_m, mask, bound, eps, x,
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("cheb_degree", "col_chunk"))
-def _filtered_sweep(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound, eps,
-                    cheb_degree: int, col_chunk: int | None = None):
-    """One outer iteration: filter, orthonormalize, Rayleigh-Ritz, residuals.
-    Module-level jit: meshes sharing (V, D, n_cols, degree) reuse ONE
-    compiled sweep — per-mesh closures would recompile for every mesh of a
-    dataset. Returns (ritz vectors U, ritz values w ascending, residual
-    2-norms res)."""
+def _sweep_core(mv, mask, X, lo, bound, cheb_degree: int):
+    """Shared body of one outer iteration: filter, orthonormalize,
+    Rayleigh-Ritz, residuals. Returns (ritz vectors U, ritz values w
+    ascending, residual 2-norms res)."""
     # f32-accurate matmul precision is load-bearing on TPU: the default
     # precision runs dots in bf16 passes, but the wanted band's RELATIVE
     # gaps are ~1e-5 of lambda_max(C) — far below bf16's ~3 digits. The
     # Gram/RR matrices would degrade on hardware while CPU tests pass.
     with jax.default_matmul_precision("highest"):
-        mv = _partial(_matvec_C, L_idx, L_val, inv_sqrt_m, mask, bound, eps,
-                      col_chunk=col_chunk)
         X = jnp.where(mask[:, None], X, 0.0)
         Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
         Y = _svqb(_svqb(Y))
@@ -272,6 +272,95 @@ def _filtered_sweep(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound, eps,
     return U, w, res
 
 
+@_partial(jax.jit, static_argnames=("cheb_degree", "col_chunk"))
+def _filtered_sweep(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound, eps,
+                    cheb_degree: int, col_chunk: int | None = None):
+    """ELL-gather sweep. Module-level jit: meshes sharing (V, D, n_cols,
+    degree) reuse ONE compiled sweep — per-mesh closures would recompile for
+    every mesh of a dataset."""
+    mv = _partial(_matvec_C, L_idx, L_val, inv_sqrt_m, mask, bound, eps,
+                  col_chunk=col_chunk)
+    return _sweep_core(mv, mask, X, lo, bound, cheb_degree)
+
+
+@_partial(jax.jit, static_argnames=("cheb_degree", "col_chunk"))
+def _filtered_sweep_banded(band, starts, inv_sqrt_m, mask, X, lo, bound,
+                           eps, cheb_degree: int,
+                           col_chunk: int | None = None):
+    """Banded-dense sweep (ops/banded.py): the SpMM is a batch of per-tile
+    (TR, W) x (W, C) MXU matmuls fed by contiguous window slices — ~13x
+    faster than the ELL gather on TPU (1.5 ms vs 19.5 ms per 200k x 160
+    matvec). Everything is in RCM-permuted, tile-padded row order."""
+    from ..ops.banded import Banded, banded_matvec
+    b = Banded(band=band, starts=starts, n=X.shape[0], perm=None)
+
+    def mv_block(x):
+        y = banded_matvec(b, inv_sqrt_m[:, None] * x)
+        y = inv_sqrt_m[:, None] * y + eps * (inv_sqrt_m[:, None] ** 2) * x
+        return jnp.where(mask[:, None], y, bound * x)
+
+    def mv(x):
+        n = x.shape[1]
+        if col_chunk is None or n <= col_chunk:
+            return mv_block(x)
+        return jnp.concatenate([mv_block(x[:, i:i + col_chunk])
+                                for i in range(0, n, col_chunk)], axis=1)
+
+    return _sweep_core(mv, mask, X, lo, bound, cheb_degree)
+
+
+def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
+              max_sweeps: int, bound: float, verbose: bool, name: str):
+    """Outer loop shared by all solver variants: sweep until the worst
+    wanted residual clears tol*scale, or accept the f32 noise floor via the
+    STAGNATION rule — iterate until the residual stops halving (one
+    post-stagnation sweep is load-bearing for the f64 polish: measured at
+    200k, polishing the first at-floor basis gives 9e-2 subspace angle,
+    polishing the next sweep's gives 9e-6). Returns (X, w)."""
+    lo = jnp.asarray(lo0, jnp.float32)
+    prev_worst = np.inf
+    w = None
+    for it in range(max_sweeps):
+        X, w, res = sweep_fn(X, lo)
+        scale = float(jnp.maximum(w[k_eig - 1], eps))
+        worst = float(jnp.max(res[:k_eig]))
+        if verbose:
+            print(f"  {name} sweep {it}: worst wanted residual {worst:.3e} "
+                  f"(tol*scale {tol * scale:.3e})")
+        if not np.isfinite(worst):
+            raise RuntimeError(f"{name}: non-finite residual at sweep {it}")
+        if worst <= tol * scale:
+            break
+        if worst > 0.5 * prev_worst:
+            if worst <= 1e-5 * bound:
+                break                              # converged to the floor
+            raise RuntimeError(
+                f"{name}: residual stagnated at {worst:.3e} (sweep {it}), "
+                "far above the f32 noise floor")
+        prev_worst = worst
+        # adapt the filter window: dampen everything above the basis's top
+        lo = jnp.clip(w[-1], 0.0, 0.5 * bound)
+    else:
+        raise RuntimeError(f"{name}: wanted band not converged after "
+                           f"{max_sweeps} sweeps (worst residual "
+                           f"{worst:.3e})")
+    return X, w
+
+
+def _ell_to_scipy(ell: Ell):
+    """Host CSR from an ELL bundle (explicit padding zeros pruned — they
+    would otherwise anchor every banded window at column 0)."""
+    import scipy.sparse
+    idx = np.asarray(ell.idx)
+    val = np.asarray(ell.val)
+    V, D = idx.shape
+    rows = np.repeat(np.arange(V), D)
+    m = scipy.sparse.coo_matrix(
+        (val.ravel(), (rows, idx.ravel())), shape=(V, V)).tocsr()
+    m.eliminate_zeros()
+    return m
+
+
 def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = None,
                       eps: float = 1e-8, tol: float = 2e-4,
                       max_sweeps: int = 30,
@@ -281,6 +370,7 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                       n_iter: int | None = None,
                       seed: int = 777,
                       polish=None,
+                      banded: bool | None = None,
                       verbose: bool = False):
     """TPU eigensolver for the k smallest generalized eigenpairs of
     L phi = lambda M phi — residual-converged Chebyshev-filtered subspace
@@ -338,10 +428,65 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         cheb_degree = -32 * (-cheb_degree // 32)
 
     key = jax.random.PRNGKey(seed)
-    X = jnp.where(mask[:, None],
-                  jax.random.normal(key, (V, n_cols), dtype=jnp.float32), 0.0)
-    lo = jnp.asarray(lambda_cut, jnp.float32)
+    bound_j = jnp.asarray(bound, jnp.float32)
+    eps_j = jnp.asarray(eps, jnp.float32)
 
+    # banded fast path (default on accelerators when the RCM-reordered
+    # bandwidth is small enough): the sweeps run as dense per-tile MXU
+    # matmuls instead of the gather-bound ELL SpMM — ~13x per-matvec on TPU
+    # (ops/banded.py). NOT on CPU: the dense band does ~V*W/nnz more FLOPs,
+    # which the MXU absorbs but a host core does not.
+    if banded is None:
+        dd = jax.config.jax_default_device
+        on_cpu = (dd.platform == "cpu" if dd is not None
+                  else jax.default_backend() == "cpu")
+        banded = None if not on_cpu else False
+    band_rep = None
+    if banded is not False:
+        from ..ops.banded import banded_from_sparse
+        L_host = polish[0] if polish is not None else _ell_to_scipy(L_ell)
+        band_rep = banded_from_sparse(L_host)
+        if band_rep is None and banded is True:
+            raise RuntimeError("banded=True but the RCM-reordered bandwidth "
+                               "exceeds the band-size budget")
+
+    if band_rep is not None:
+        T_, TR, Wd = band_rep.band.shape
+        n_pad = T_ * TR
+        perm = band_rep.perm
+        imp = np.zeros(n_pad, np.float32)
+        imp[:V] = np.asarray(inv_sqrt_m)[perm]
+        mkp = np.zeros(n_pad, bool)
+        mkp[:V] = np.asarray(mask)[perm]
+        band_j = jnp.asarray(band_rep.band)
+        starts_j = jnp.asarray(band_rep.starts)
+        imp_j, mkp_j = jnp.asarray(imp), jnp.asarray(mkp)
+        col_chunk = None
+        if T_ * Wd * 4 * n_cols > 1.5e9:
+            col_chunk = max(16, int(1.5e9 / (T_ * Wd * 4)) // 16 * 16)
+        X0 = jnp.where(mkp_j[:, None],
+                       jax.random.normal(key, (n_pad, n_cols), jnp.float32),
+                       0.0)
+        X, w = _converge(
+            lambda X, lo: _filtered_sweep_banded(
+                band_j, starts_j, imp_j, mkp_j, X, lo, bound_j, eps_j,
+                cheb_degree, col_chunk),
+            X0, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
+            "eigensolve_device[banded]")
+        # back to the original vertex order
+        X_orig = np.zeros((V, n_cols), np.float32)
+        X_orig[perm] = np.asarray(X)[:V]
+        if polish is not None:
+            L_sp, mass_f64 = polish
+            return _rr_polish_host(L_sp, mass_f64, X_orig, k_eig, eps)
+        evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
+        evecs = inv_sqrt_m[:, None] * jnp.asarray(X_orig[:, :k_eig])
+        return evals, evecs
+
+    # ELL gather path (wide-band matrices / banded=False)
+    X0 = jnp.where(mask[:, None],
+                   jax.random.normal(key, (V, n_cols), dtype=jnp.float32),
+                   0.0)
     # bound the (V, D, chunk) gather temp of the SpMM to ~1.5 GB (the full
     # (V, D, n_cols) temp OOMs a 16 GB chip at 1M x 128)
     gather_bytes = V * L_ell.idx.shape[1] * 4
@@ -349,42 +494,12 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     if gather_bytes * n_cols > 1.5e9:
         col_chunk = max(16, int(1.5e9 / gather_bytes) // 16 * 16)
 
-    w = res = None
-    bound_j = jnp.asarray(bound, jnp.float32)
-    eps_j = jnp.asarray(eps, jnp.float32)
-    prev_worst = np.inf
-    for it in range(max_sweeps):
-        X, w, res = _filtered_sweep(L_ell.idx, L_ell.val, inv_sqrt_m, mask,
-                                    X, lo, bound_j, eps_j, cheb_degree,
-                                    col_chunk)
-        scale = float(jnp.maximum(w[k_eig - 1], eps))
-        worst = float(jnp.max(res[:k_eig]))
-        if verbose:
-            print(f"  eigensolve_device sweep {it}: worst wanted residual "
-                  f"{worst:.3e} (tol*scale {tol * scale:.3e})")
-        if not np.isfinite(worst):
-            raise RuntimeError("eigensolve_device: non-finite residual "
-                               f"at sweep {it}")
-        if worst <= tol * scale:
-            break
-        # STAGNATION rule (not an a-priori floor): iterate until the
-        # residual stops improving — that is the f32 matvec noise floor,
-        # and one post-stagnation sweep is load-bearing for the f64 polish
-        # (measured at 200k: polishing the first at-floor basis gives
-        # 9e-2 subspace angle, polishing the next sweep's gives 9e-6)
-        if worst > 0.5 * prev_worst:
-            if worst <= 1e-5 * bound:
-                break                              # converged to the floor
-            raise RuntimeError(
-                f"eigensolve_device: residual stagnated at {worst:.3e} "
-                f"(sweep {it}), far above the f32 noise floor")
-        prev_worst = worst
-        # adapt the filter window: dampen everything above the basis's top
-        lo = jnp.clip(w[-1], 0.0, 0.5 * bound)
-    else:
-        raise RuntimeError(
-            f"eigensolve_device: wanted band not converged after "
-            f"{max_sweeps} sweeps (worst residual {worst:.3e})")
+    X, w = _converge(
+        lambda X, lo: _filtered_sweep(L_ell.idx, L_ell.val, inv_sqrt_m, mask,
+                                      X, lo, bound_j, eps_j, cheb_degree,
+                                      col_chunk),
+        X0, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
+        "eigensolve_device")
 
     if polish is not None:
         L_sp, mass_f64 = polish

@@ -1,0 +1,118 @@
+"""Banded-dense SpMM — the TPU answer to gather-bound SpMV.
+
+XLA lowers the ELL matvec's row gather poorly on TPU: measured 19.5 ms
+(~46 GB/s effective, 18x under HBM peak) per (200k x 200k, 160-column)
+Laplacian matvec, while a comparable dense matmul takes 0.8 ms. Mesh
+Laplacians are one-ring local, so a bandwidth-reducing (reverse
+Cuthill–McKee) vertex reordering makes them BANDED; the matvec then becomes
+a batch of per-row-tile dense (TR, W) x (W, C) matmuls — pure MXU work fed
+by contiguous window DMAs (one dynamic-slice per tile, ~300 KB granules),
+no per-row gather. The Chebyshev eigensolver sweeps (geometry/eigen.py) are
+the primary consumer.
+
+Trade-off: the band stores TR x W per tile densely — memory amplification
+(nnz ~ 7V vs V*W entries) bounded by `max_band_bytes`; callers fall back to
+the ELL gather path when the reordered bandwidth is too large.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class Banded(NamedTuple):
+    """A square (n, n) sparse matrix as per-row-tile dense bands, under a
+    row/column permutation `perm` (apply as P A P^T):
+
+    band:   (T, TR, W) float — tile t, local row r holds the dense window
+            A[perm][t*TR + r, starts[t] : starts[t] + W]
+    starts: (T,) int32 window starts (clamped so starts[t] + W <= n_pad)
+    n:      logical dimension V (rows t*TR + r >= n are zero padding)
+    perm:   (n,) int64 — new-order -> old-index mapping (numpy, host-side)
+    """
+    band: jnp.ndarray
+    starts: jnp.ndarray
+    n: int
+    perm: np.ndarray
+
+    @property
+    def width(self) -> int:
+        return self.band.shape[-1]
+
+    @property
+    def tile_rows(self) -> int:
+        return self.band.shape[-2]
+
+
+def rcm_permutation(mat) -> np.ndarray:
+    """Reverse Cuthill–McKee ordering (symmetric) — new -> old indices."""
+    import scipy.sparse
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    return np.asarray(reverse_cuthill_mckee(
+        scipy.sparse.csr_matrix(mat), symmetric_mode=True), dtype=np.int64)
+
+
+def banded_from_sparse(mat, tile_rows: int = 512,
+                       max_band_bytes: int = 2_500_000_000,
+                       perm: np.ndarray | None = None,
+                       dtype=np.float32) -> Banded | None:
+    """Build the banded representation of a scipy sparse matrix under an RCM
+    permutation (host-side). Returns None when the reordered bandwidth would
+    exceed max_band_bytes — callers fall back to the gather path."""
+    import scipy.sparse
+    csr = scipy.sparse.csr_matrix(mat)
+    V = csr.shape[0]
+    if perm is None:
+        perm = rcm_permutation(csr)
+    p = scipy.sparse.csr_matrix(csr[perm][:, perm])
+
+    T = -(-V // tile_rows)
+    n_pad = T * tile_rows
+    indptr, indices, data = p.indptr, p.indices, p.data
+
+    # per-tile window: [min col, max col] over the tile's rows
+    starts = np.zeros(T, np.int64)
+    width = 0
+    for t in range(T):
+        r0, r1 = t * tile_rows, min((t + 1) * tile_rows, V)
+        cols = indices[indptr[r0]:indptr[r1]]
+        lo = int(cols.min()) if cols.size else 0
+        hi = int(cols.max()) if cols.size else 0
+        starts[t] = lo
+        width = max(width, hi - lo + 1)
+    W = -128 * (-width // 128)                   # lane-align the window
+    if T * tile_rows * W * np.dtype(dtype).itemsize > max_band_bytes:
+        return None
+    # clamp so every window fits inside the padded x (callers pad x to n_pad
+    # + nothing: windows index [start, start + W) within [0, n_pad))
+    starts = np.minimum(starts, max(n_pad - W, 0))
+
+    band = np.zeros((T, tile_rows, W), dtype)
+    rows = np.repeat(np.arange(V), np.diff(indptr))
+    t_of = rows // tile_rows
+    local_r = rows % tile_rows
+    local_c = indices - starts[t_of]
+    assert (local_c >= 0).all() and (local_c < W).all()
+    band[t_of, local_r, local_c] = data.astype(dtype)
+    return Banded(band=band, starts=starts.astype(np.int32), n=V, perm=perm)
+
+
+def banded_matvec(b: Banded, x):
+    """y = (P A P^T) @ x for x already in the permuted order. x: (n_pad, C)
+    where n_pad = T * TR (callers pad; padded rows must be zero).
+    Returns (n_pad, C)."""
+    T, TR, W = b.band.shape
+    C = x.shape[-1]
+
+    def window(s):
+        return jax.lax.dynamic_slice(x, (s, jnp.zeros((), jnp.int32)), (W, C))
+
+    xw = jax.vmap(window)(b.starts)                      # (T, W, C)
+    y = jnp.einsum("trw,twc->trc", b.band, xw,
+                   preferred_element_type=jnp.float32)
+    return y.reshape(T * TR, C)
