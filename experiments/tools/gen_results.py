@@ -63,7 +63,18 @@ def section_bench() -> None:
         with open(os.path.join(REPO, fname)) as f:
             data = json.load(f)
         if isinstance(data, dict):
-            data = [data]
+            # round-driver wrappers (BENCH_rNN/MULTICHIP_rNN) embed the
+            # bench's own JSON line(s) in their "tail" field
+            if "tail" in data:
+                embedded = [json.loads(ln) for ln in
+                            str(data["tail"]).splitlines()
+                            if ln.strip().startswith("{")]
+                keep = {k: v for k, v in data.items()
+                        if k in ("ok", "skipped", "n_devices", "rc")}
+                data = ([{**e, **keep} for e in embedded]
+                        or [{"metric": "driver wrapper", **keep}])
+            else:
+                data = [data]
         for entry in data:
             records.append({"artifact": fname, **entry})
     _write_jsonl("bench", records)
