@@ -332,7 +332,11 @@ def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
         if worst <= tol * scale:
             break
         if worst > 0.5 * prev_worst:
-            if worst <= 1e-5 * bound:
+            # accept the floor when it lands within an order of the
+            # requested tolerance OR at the large-problem f32 floor
+            # (~1e-7 * bound * margin); tiny meshes stall marginally above
+            # tol*scale without being anywhere near 1e-5*bound
+            if worst <= max(1e-5 * bound, 10 * tol * scale):
                 break                              # converged to the floor
             raise RuntimeError(
                 f"{name}: residual stagnated at {worst:.3e} (sweep {it}), "
@@ -389,8 +393,10 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     massvec: (V,) strictly positive on valid rows, 0 on padding. Returns
     (evals (k,), evecs (V,k)), evecs M-orthonormal, padded rows exactly zero.
 
-    tol: relative residual target (relative to the top wanted Ritz value),
-    floored at the f32 matvec noise ~5e-7 * lambda_max(C).
+    tol: relative residual target (relative to the top wanted Ritz value);
+    if the residual stagnates before reaching it, the f32 matvec noise
+    floor is accepted instead (see _converge — the f64 polish removes the
+    floor's in-subspace error).
     cheb_degree: filter degree per sweep (default scales with
     sqrt(bound/lambda_cut), the Chebyshev convergence exponent).
     n_iter: deprecated (the pre-round-3 LOBPCG iteration count); ignored.
@@ -629,7 +635,6 @@ def eigensolve_device_sharded(L_ell: Ell, massvec, k_eig: int, mesh,
                   jax.random.normal(jax.random.PRNGKey(seed), (V, n_cols),
                                     dtype=jnp.float32), 0.0)
     X = jax.device_put(X, vshard)
-    lo = jnp.asarray(lambda_cut, jnp.float32)
     bound_j = jnp.asarray(bound, jnp.float32)
     eps_j = jnp.asarray(eps, jnp.float32)
 
@@ -639,35 +644,12 @@ def eigensolve_device_sharded(L_ell: Ell, massvec, k_eig: int, mesh,
     if gather_bytes * n_cols > 1.5e9:
         col_chunk = max(16, int(1.5e9 / gather_bytes) // 16 * 16)
 
-    w = res = None
-    prev_worst = np.inf
-    for it in range(max_sweeps):
-        X, w, res = _filtered_sweep_sharded(
+    X, w = _converge(
+        lambda X, lo: _filtered_sweep_sharded(
             L_idx, L_val, inv_sqrt_m_s, mask_s, X, lo, bound_j, eps_j,
-            cheb_degree, mesh, axis, col_chunk)
-        scale = float(jnp.maximum(w[k_eig - 1], eps))
-        worst = float(jnp.max(res[:k_eig]))
-        if verbose:
-            print(f"  eigensolve_device_sharded sweep {it}: worst wanted "
-                  f"residual {worst:.3e} (tol*scale {tol * scale:.3e})")
-        if not np.isfinite(worst):
-            raise RuntimeError("eigensolve_device_sharded: non-finite "
-                               f"residual at sweep {it}")
-        if worst <= tol * scale:
-            break
-        # stagnation rule — see eigensolve_device
-        if worst > 0.5 * prev_worst:
-            if worst <= 1e-5 * bound:
-                break
-            raise RuntimeError(
-                f"eigensolve_device_sharded: residual stagnated at "
-                f"{worst:.3e} (sweep {it}), far above the f32 noise floor")
-        prev_worst = worst
-        lo = jnp.clip(w[-1], 0.0, 0.5 * bound)
-    else:
-        raise RuntimeError(
-            f"eigensolve_device_sharded: wanted band not converged after "
-            f"{max_sweeps} sweeps (worst residual {worst:.3e})")
+            cheb_degree, mesh, axis, col_chunk),
+        X, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
+        "eigensolve_device_sharded")
 
     if polish is not None:
         L_sp, mass_f64 = polish
