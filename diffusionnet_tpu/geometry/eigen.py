@@ -160,6 +160,33 @@ def _device_solver_setup(L_ell: Ell, massvec, k_eig: int, n_valid, eps: float,
     return mask, inv_sqrt_m, bound, n_cols, oversample, lambda_cut
 
 
+def _dense_eigh_tiny(L_ell: Ell, massvec, mask, k_eig: int, eps: float,
+                     polish):
+    """Dense generalized eigh for tiny problems (valid rows ~ subspace size):
+    Chebyshev subspace iteration cannot separate a band that spans most of
+    the spectrum, so the filtered sweeps stagnate far above tolerance on
+    sub-1k meshes. A direct f64 eigh of (L + eps I, M) on the valid rows is
+    exact, costs O(V^3) ~ microseconds-to-ms here, and matches the host
+    ARPACK ladder's semantics (reference geometry.py:340-352)."""
+    import scipy.linalg
+    mask_np = np.asarray(mask)
+    idx = np.where(mask_np)[0]
+    if polish is not None:
+        L_sp, mass = polish
+    else:
+        L_sp, mass = _ell_to_scipy(L_ell), np.asarray(massvec)
+    A = np.asarray(L_sp.todense(), dtype=np.float64)[np.ix_(idx, idx)]
+    A[np.diag_indices_from(A)] += eps
+    m = np.asarray(mass, np.float64)[idx]
+    w, U = scipy.linalg.eigh(A, np.diag(m))
+    w = np.clip(w[:k_eig], 0.0, None)
+    evecs = np.zeros((L_ell.idx.shape[0], k_eig), np.float64)
+    evecs[idx] = U[:, :k_eig]
+    if polish is not None:
+        return w, evecs
+    return (jnp.asarray(w, jnp.float32), jnp.asarray(evecs, jnp.float32))
+
+
 def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
                     eps: float, augment: bool = True):
     """Float64 Rayleigh–Ritz polish of a device-converged basis Y (V, n).
@@ -424,6 +451,12 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         _device_solver_setup(L_ell, massvec, k_eig, n_valid, eps,
                              lambda_cut, oversample)
     V = L_ell.idx.shape[0]
+
+    # tiny problems: the filtered subspace spans most of the spectrum, so
+    # the sweeps stagnate — direct dense eigh is exact and cheaper
+    n_valid_rows = int(np.sum(np.asarray(mask)))
+    if n_valid_rows <= 4 * n_cols:
+        return _dense_eigh_tiny(L_ell, massvec, mask, k_eig, eps, polish)
 
     if cheb_degree is None:
         # degree scales with the Chebyshev convergence exponent

@@ -263,11 +263,20 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
     """
     rng = jax.random.PRNGKey(cfg.seed)
 
+    def _default_devices():
+        # honor a pinned jax_default_device (tests pin the 8-way virtual CPU;
+        # some TPU plugins ignore JAX_PLATFORMS, so jax.devices() would
+        # return the single real chip and starve the mesh axes)
+        dd = jax.config.jax_default_device
+        if dd is not None:
+            return jax.devices(dd.platform)
+        return jax.devices()
+
     shard_batch = None
     dp_mesh = None
     if cfg.data_parallel:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        devs = list(devices) if devices is not None else jax.devices()
+        devs = list(devices) if devices is not None else _default_devices()
         if cfg.batch_size % len(devs) != 0:
             raise ValueError(
                 f"batch_size {cfg.batch_size} not divisible by "
@@ -328,7 +337,7 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         from diffusionnet_tpu.parallel.vertex_sharded import (
             batch_pspecs, make_two_axis_train_step, make_two_axis_eval_step)
         d_ax, v_ax = cfg.mesh_shape
-        devs = list(devices) if devices is not None else jax.devices()
+        devs = list(devices) if devices is not None else _default_devices()
         if cfg.batch_size % d_ax != 0:
             raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
                              f"data={d_ax}")

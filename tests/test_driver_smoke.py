@@ -182,6 +182,29 @@ def test_rna_segmentation_driver(tmp_path):
                 "--data_dir", str(root)])
 
 
+def test_rna_segmentation_driver_two_axis_mesh(tmp_path):
+    """--mesh DATA,VERT end-to-end: argparse -> FitConfig.mesh_shape ->
+    make_two_axis_train_step (megakernel per V shard, (K,C) psum per block).
+    The 2-device vert axis splits the 256-bucket into 128-row shards."""
+    root = tmp_path / "rna"
+    (root / "off").mkdir(parents=True)
+    (root / "labels").mkdir()
+    names = [f"rna_{i}.off" for i in range(3)]
+    for i, name in enumerate(names):
+        verts, faces = small_mesh(i)
+        write_off(str(root / "off" / name), verts, faces)
+        rng = np.random.RandomState(100 + i)
+        np.savetxt(str(root / "labels" / name[:-4]) + ".txt",
+                   rng.randint(-1, 259, size=len(verts)), fmt="%d")
+    (root / "train.txt").write_text("\n".join(names[:2]) + "\n")
+    (root / "test.txt").write_text(names[2] + "\n")
+
+    run_driver("rna_mesh_segmentation", "rna_mesh_segmentation.py",
+               ["--n_epoch", "1", "--batch_size", "2", "--k_eig", "8",
+                "--megakernel", "--mesh", "1,2", "--buckets", "256",
+                "--data_dir", str(root)])
+
+
 def test_functional_correspondence_driver(tmp_path):
     root = tmp_path / "fmaps"
     off_dir = root / "faust" / "off_2"

@@ -289,3 +289,57 @@ def test_eigensolve_device_banded_matches_ell(sphere_mesh):
     inv = np.empty(L.shape[0], np.int64)
     inv[b.perm] = np.arange(L.shape[0])
     np.testing.assert_allclose(y_perm[inv], L @ x, atol=2e-5)
+
+
+def test_eigensolve_device_tiny_dense_path(sphere_mesh):
+    """Sub-4x-subspace problems route to the exact dense eigh: the filtered
+    sweeps cannot separate a band spanning most of the spectrum (a 42-vert
+    driver-smoke mesh stagnated at residual ~6 and fell back to ARPACK with
+    a warning). The dense path must match the host ladder exactly and
+    zero out padded rows."""
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.ops.sparse import ell_pad
+
+    verts, faces = icosphere(1)  # 42 verts
+    rng = np.random.RandomState(3)
+    verts = verts + 0.01 * rng.randn(*verts.shape)
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    k = 8
+
+    evals_h, evecs_h = eigensolve_host(L, mass, k_eig=k)
+    evals_d, evecs_d = eigensolve_device(
+        _ell_of(L), jnp.asarray(mass.astype(np.float32)), k_eig=k)
+    np.testing.assert_allclose(np.asarray(evals_d), evals_h,
+                               atol=1e-4 * max(evals_h.max(), 1.0))
+    # gauge-invariant subspace parity: projector Phi Phi^T M over the band
+    M = mass[:, None]
+    Ph = evecs_h @ (evecs_h.T * M.T)
+    Pd = np.asarray(evecs_d) @ (np.asarray(evecs_d).T * M.T)
+    np.testing.assert_allclose(Pd, Ph, atol=1e-3)
+
+    # padded variant: padded rows exactly zero, spectrum unchanged
+    V = verts.shape[0]
+    v_pad = V + 22
+    mass_p = np.zeros(v_pad, np.float32)
+    mass_p[:V] = mass
+    evals_p, evecs_p = eigensolve_device(
+        _ell_of(L, v_pad=v_pad), jnp.asarray(mass_p), k_eig=k)
+    np.testing.assert_allclose(np.asarray(evals_p), evals_h,
+                               atol=1e-4 * max(evals_h.max(), 1.0))
+    assert np.all(np.asarray(evecs_p)[V:] == 0.0)
+
+
+def test_compute_operators_tiny_mesh_device_no_fallback(recwarn):
+    """compute_operators(eigensolver='device') on a tiny mesh must use the
+    dense path silently — no 'falling back to the host ARPACK ladder'
+    UserWarning (it fired on every driver-smoke mesh before)."""
+    from tests.meshgen import icosphere
+    from diffusionnet_tpu.geometry import compute_operators
+
+    verts, faces = icosphere(1)
+    ops = compute_operators(verts, faces, k_eig=8, eigensolver="device")
+    assert not [w for w in recwarn.list
+                if "falling back" in str(w.message)]
+    ops_h = compute_operators(verts, faces, k_eig=8, eigensolver="host")
+    np.testing.assert_allclose(ops.evals, ops_h.evals, atol=1e-4)
