@@ -171,15 +171,19 @@ def _stacked_groups(ds: SurfaceDataset, buckets):
     the ops_list OBJECT (identity-compared): re-running precompute() rebinds
     the attribute to a new list and invalidates the cache. Storing id() would
     not — CPython reuses a freed list's id almost immediately."""
-    # the key holds the list OBJECT (rebinding ops_list invalidates) AND a
-    # per-element identity fingerprint (in-place element replacement like
-    # `ds.ops_list[i] = other` keeps the same list object but must also
-    # invalidate — without the fingerprint it would serve stale batches)
-    key = (ds.ops_list, tuple(id(o) for o in ds.ops_list), len(ds),
+    # the key holds the list OBJECT (rebinding ops_list invalidates) AND the
+    # element objects themselves, identity-compared (in-place element
+    # replacement like `ds.ops_list[i] = other` keeps the same list object
+    # but must also invalidate). STRONG references on purpose: an id()
+    # fingerprint would be subject to CPython id reuse after the old element
+    # is freed — holding the objects makes identity comparison sound.
+    key = (ds.ops_list, tuple(ds.ops_list), len(ds),
            tuple(buckets) if buckets is not None else None)
     cached = getattr(ds, "_stacked_cache", None)
     if (cached is not None and cached[0][0] is key[0]
-            and cached[0][1:] == key[1:]):
+            and len(cached[0][1]) == len(key[1])
+            and all(a is b for a, b in zip(cached[0][1], key[1]))
+            and cached[0][2:] == key[2:]):
         return cached[1]
 
     k_eig = min(o.evals.shape[0] for o in ds.ops_list)

@@ -358,7 +358,11 @@ def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
             raise RuntimeError(f"{name}: non-finite residual at sweep {it}")
         if worst <= tol * scale:
             break
-        if worst > 0.5 * prev_worst:
+        if worst > 0.9 * prev_worst:
+            # <1.11x reduction = plateau. (Not 2x: a sweep still cutting the
+            # residual by e.g. 1.7x — a badly seeded filter window on its
+            # first adapted sweep — is converging, and aborting it would pay
+            # the full ARPACK fallback for nothing. max_sweeps backstops.)
             # accept the floor when it lands within an order of the
             # requested tolerance OR at the large-problem f32 floor
             # (~1e-7 * bound * margin); tiny meshes stall marginally above

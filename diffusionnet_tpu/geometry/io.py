@@ -60,9 +60,13 @@ def _parse_off(data: str):
             lines[0] = head[1:]
         else:
             li = 1                    # counts on the next line
-    nv, nf = int(lines[li][0]), int(lines[li][1])
-    li += 1                           # lines[li-1][2] = edge count (ignored)
-    body = lines[li:]
+    counts = lines[li]
+    nv, nf = int(counts[0]), int(counts[1])
+    li += 1                           # counts[2] = edge count (ignored)
+    # a reflowed file may glue data onto the counts line ('3 1 0 0 0 0' =
+    # counts + first vertex): keep tokens past 'nv nf ne' as a body row
+    extra = counts[3:]
+    body = ([extra] if extra else []) + lines[li:]
 
     plain = kw in (None, "OFF")
     # line-aligned layout: one vertex per line (COFF/NOFF/CNOFF rows carry

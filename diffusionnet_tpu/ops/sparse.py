@@ -91,11 +91,13 @@ def ell_matvec(ell: Ell, x):
     )                                          # (..., n, D, C)
     # accumulate in f32 even for bf16 operands (the repo-wide mixed-precision
     # contract: bf16 operands, f32 accumulation), then store back in the
-    # stream dtype so the bf16 activation pipeline is unchanged
-    out_dtype = jnp.result_type(ell.val.dtype, x.dtype)
-    acc = jnp.promote_types(out_dtype, jnp.float32)
+    # activation-stream dtype (x's — NOT result_type: f32 operator values
+    # over a bf16 stream must not silently promote the activations to f32
+    # and double the bandwidth the bf16 mode exists to halve)
+    acc = jnp.promote_types(jnp.result_type(ell.val.dtype, x.dtype),
+                            jnp.float32)
     return jnp.einsum("...nd,...ndc->...nc", ell.val, gathered,
-                      preferred_element_type=acc).astype(out_dtype)
+                      preferred_element_type=acc).astype(x.dtype)
 
 
 def ell_to_dense(ell: Ell, n: int | None = None):

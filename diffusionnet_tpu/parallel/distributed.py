@@ -185,9 +185,16 @@ def run_multiprocess_dryrun(n_processes: int = 2, devices_per_process: int = 2,
     outs = [f"{tmp}/proc{i}.json" for i in range(n_processes)]
 
     import os as _os
+    # the children import `diffusionnet_tpu` with `python -m`; the parent may
+    # have it on sys.path via an insert (conftest) that a fresh interpreter
+    # does not inherit — prepend the package root to PYTHONPATH explicitly
+    pkg_root = _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))))
     procs = []
     for i in range(n_processes):
         env = dict(_os.environ)
+        env["PYTHONPATH"] = (pkg_root + _os.pathsep + env["PYTHONPATH"]
+                             if env.get("PYTHONPATH") else pkg_root)
         env["JAX_PLATFORMS"] = "cpu"
         # drop any experimental TPU-plugin hooks: N processes cannot share
         # one chip, and some plugins ignore JAX_PLATFORMS and report their
@@ -205,14 +212,21 @@ def run_multiprocess_dryrun(n_processes: int = 2, devices_per_process: int = 2,
              "--process_id", str(i), "--out", outs[i], "--cache", cache_dir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     reports = []
-    for i, p in enumerate(procs):
-        out, _ = p.communicate(timeout=timeout_s)
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"multiprocess child {i} failed (rc={p.returncode}):\n"
-                + out.decode(errors="replace")[-4000:])
-        with open(outs[i]) as f:
-            reports.append(json.load(f))
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=timeout_s)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"multiprocess child {i} failed (rc={p.returncode}):\n"
+                    + out.decode(errors="replace")[-4000:])
+            with open(outs[i]) as f:
+                reports.append(json.load(f))
+    finally:
+        # one hung/failed child must not leak the coordinator-blocked rest
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
 
     hashes = {r["param_hash"] for r in reports}
     if len(hashes) != 1:

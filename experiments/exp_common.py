@@ -272,6 +272,24 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
             return jax.devices(dd.platform)
         return jax.devices()
 
+    if cfg.mesh_shape is not None:
+        if len(cfg.mesh_shape) != 2 or any(a < 1 for a in cfg.mesh_shape):
+            raise ValueError(f"mesh_shape must be (data>=1, vert>=1), got "
+                             f"{cfg.mesh_shape}")
+        if cfg.mesh_shape[1] == 1:
+            # a (data, 1) mesh is plain data parallelism over `data` devices
+            # — route it there explicitly rather than silently falling
+            # through to the single-device step
+            import dataclasses as _dc
+            d_ax = cfg.mesh_shape[0]
+            devs = list(devices) if devices is not None else _default_devices()
+            if len(devs) < d_ax:
+                raise ValueError(f"mesh_shape={cfg.mesh_shape} needs {d_ax} "
+                                 f"devices, have {len(devs)}")
+            devices = devs[:d_ax]
+            cfg = _dc.replace(cfg, mesh_shape=None,
+                              data_parallel=(d_ax > 1 or cfg.data_parallel))
+
     shard_batch = None
     dp_mesh = None
     if cfg.data_parallel:
@@ -341,6 +359,18 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         if cfg.batch_size % d_ax != 0:
             raise ValueError(f"batch_size {cfg.batch_size} not divisible by "
                              f"data={d_ax}")
+        if cfg.buckets is not None:
+            # per-shard V must divide into 128-row megakernel tiles, so each
+            # bucket must be a multiple of 128 * vert (the --mesh help text's
+            # promised rounding)
+            q = 128 * v_ax
+            rounded = tuple(-(-int(b) // q) * q for b in cfg.buckets)
+            if rounded != tuple(cfg.buckets):
+                import dataclasses as _dc
+                if verbose:
+                    print(f"[fit] rounding buckets {tuple(cfg.buckets)} -> "
+                          f"{rounded} (megakernel tiles across vert={v_ax})")
+                cfg = _dc.replace(cfg, buckets=rounded)
         vs_mesh = make_mesh(data=d_ax, vert=v_ax, devices=devs[:d_ax * v_ax])
         vs_specs = batch_pspecs(first, labels_kind=cfg.labels_kind)
         vs_shardings = jax.tree.map(

@@ -657,6 +657,14 @@ def test_mesh_io_off_variants_and_bigendian_ply(tmp_path):
     assert v.shape == (4, 3) and f.shape == (2, 3)
     np.testing.assert_array_equal(f, [[0, 1, 2], [0, 2, 3]])
 
+    # reflowed to the point of gluing the first vertex onto the counts line
+    # (regression: tokens past 'nv nf ne' were dropped, shifting the stream)
+    p = tmp_path / "glued_counts.off"
+    p.write_text("OFF\n3 1 0 0 0 0\n1 0 0\n0 1 0\n3 0 1 2\n")
+    v, f = read_mesh(str(p))
+    np.testing.assert_allclose(v, [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    np.testing.assert_array_equal(f, [[0, 1, 2]])
+
     # big-endian binary PLY with normals
     import struct
     header = (b"ply\nformat binary_big_endian 1.0\n"

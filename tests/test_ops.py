@@ -289,3 +289,8 @@ def test_ell_matvec_bf16_accumulates_f32():
     y32 = ell_matvec(Ell(idx, val.astype(jnp.float32)), x.astype(jnp.float32))
     assert y32.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(y32[0, 0]), 512.0)
+    # mixed: f32 operator values over a bf16 stream must NOT promote the
+    # activations to f32 (that silently doubles the bandwidth bf16 halves)
+    ymix = ell_matvec(Ell(idx, val.astype(jnp.float32)), x)
+    assert ymix.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(ymix[0, 0], np.float32), 512.0)
