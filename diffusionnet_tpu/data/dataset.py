@@ -102,15 +102,27 @@ class SurfaceDataset:
         if normals_list is not None and len(normals_list) != n:
             raise ValueError(f"normals_list has {len(normals_list)} entries "
                              f"for {n} samples")
-        self.ops_list = []
-        for i in range(n):
+        kw = {} if eigensolver is None else {"eigensolver": eigensolver}
+
+        def one(i):
             if verbose:
                 print(f"precomputing operators {i + 1} / {n}")
             normals = None if normals_list is None else normals_list[i]
-            kw = {} if eigensolver is None else {"eigensolver": eigensolver}
-            self.ops_list.append(get_operators(
+            return get_operators(
                 self.verts_list[i], self.faces_list[i], k_eig=k_eig,
-                op_cache_dir=op_cache_dir, normals=normals, **kw))
+                op_cache_dir=op_cache_dir, normals=normals, **kw)
+
+        # device eigensolver: 2 threads overlap mesh i's host f64 polish with
+        # mesh i+1's on-chip sweeps (see get_all_operators); the host ARPACK
+        # path stays sequential (single-core bound either way)
+        from ..geometry.operators import DEFAULT_EIGENSOLVER
+        solver = eigensolver if eigensolver is not None else DEFAULT_EIGENSOLVER
+        if solver == "device" and n > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                self.ops_list = list(ex.map(one, range(n)))
+        else:
+            self.ops_list = [one(i) for i in range(n)]
 
 
 def _group_by_bucket(ds: SurfaceDataset, buckets) -> dict[int, list[int]]:

@@ -139,7 +139,13 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
     # (geometry.py:336-361) and the automatic fallback if the device solve
     # raises (non-convergence after its own retry), so the eps-ladder
     # failure semantics are always available.
-    if eigensolver == "host":
+    if k_eig == 0:
+        # no basis requested (implicit_dense-only runs): a pure-host result —
+        # never touch the accelerator (first device use pays the full TPU
+        # client init, ~40 s through this environment's tunnel)
+        evals_np = np.zeros((0,))
+        evecs_np = np.zeros((verts_np.shape[0], 0))
+    elif eigensolver == "host":
         evals_np, evecs_np = eigensolve_host(L, massvec_np, k_eig, eps=eps)
     elif eigensolver == "device":
         import jax.numpy as jnp
@@ -344,18 +350,36 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
 def get_all_operators(verts_list, faces_list, k_eig: int,
                       op_cache_dir: str | None = None,
                       normals=None,
-                      eigensolver: str = DEFAULT_EIGENSOLVER) -> list[Operators]:
+                      eigensolver: str = DEFAULT_EIGENSOLVER,
+                      n_workers: int | None = None) -> list[Operators]:
     """Batch precompute over a list of shapes (reference geometry.py:395-424).
-    Returns a list of Operators (vs the reference's 7 parallel lists)."""
-    out = []
+    Returns a list of Operators (vs the reference's 7 parallel lists).
+
+    n_workers: pipeline width. With the device eigensolver the per-mesh work
+    alternates between the chip (filtered sweeps) and the host CPU (assembly
+    + f64 Rayleigh-Ritz polish); 2 THREADS overlap mesh i's host polish with
+    mesh i+1's on-chip sweeps (the GIL is released in both device dispatch
+    and BLAS), hiding the smaller of the two. Default: 2 for 'device', 1
+    (sequential, reference behavior) for 'host' — ARPACK is host-bound so
+    threads would only fight for the core. The operator cache is
+    race-tolerant by design (reference geometry.py:444-446), so concurrent
+    writers — even of identical meshes — at worst duplicate a bucket file."""
     N = len(verts_list)
-    for i in range(N):
+    if n_workers is None:
+        n_workers = 2 if eigensolver == "device" else 1
+
+    def one(i):
         print(f"get_all_operators() processing {i} / {N} {i / N * 100:.3f}%")
         ni = None if normals is None else normals[i]
-        out.append(get_operators(verts_list[i], faces_list[i], k_eig,
-                                 op_cache_dir, normals=ni,
-                                 eigensolver=eigensolver))
-    return out
+        return get_operators(verts_list[i], faces_list[i], k_eig,
+                             op_cache_dir, normals=ni,
+                             eigensolver=eigensolver)
+
+    if n_workers <= 1 or N <= 1:
+        return [one(i) for i in range(N)]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        return list(ex.map(one, range(N)))
 
 
 # ---------------------------------------------------------------------------

@@ -197,3 +197,41 @@ def test_stacked_cache_invalidates_on_element_replacement():
     ev_after = np.asarray(b2.ops.evecs)
     np.testing.assert_array_equal(ev_after[0], ev_after[1])
     assert not np.array_equal(ev_before, ev_after)
+
+
+def test_precompute_threaded_pipeline_matches_sequential(sphere_mesh):
+    """The 2-thread device-eigensolver precompute pipeline (host polish of
+    mesh i overlapped with mesh i+1's sweeps) must return the same operators
+    in the same order as the sequential loop — solves are seeded, the cache
+    is race-tolerant."""
+    import numpy as np
+    from diffusionnet_tpu.data import SurfaceDataset
+    from diffusionnet_tpu.geometry import get_all_operators
+
+    rs = np.random.RandomState(0)
+    verts0, faces = sphere_mesh
+    vlist, flist = [], []
+    for i in range(3):
+        vlist.append(verts0 * (1 + 0.02 * rs.randn(*verts0.shape)))
+        flist.append(faces)
+
+    seq = get_all_operators(vlist, flist, k_eig=6, eigensolver="device",
+                            n_workers=1)
+    par = get_all_operators(vlist, flist, k_eig=6, eigensolver="device",
+                            n_workers=2)
+    for a, b in zip(seq, par):
+        np.testing.assert_array_equal(a.evals, b.evals)
+        np.testing.assert_array_equal(a.evecs, b.evecs)
+
+    # dataset path: the threaded precompute produces per-sample operators
+    # aligned with the sample order (shape check; numeric parity is covered
+    # by the get_all_operators comparison above — the dataset applies its
+    # own vertex preprocessing so raw comparison does not apply)
+    ds = SurfaceDataset(labels_kind="global")
+    for v, f in zip(vlist, flist):
+        ds.add(v, f, 0)
+    ds.precompute(k_eig=6, verbose=False, eigensolver="device")
+    assert len(ds.ops_list) == 3
+    for i, o in enumerate(ds.ops_list):
+        assert o.evecs.shape == (ds.verts_list[i].shape[0], 6)
+        assert np.isfinite(np.asarray(o.evals)).all()
