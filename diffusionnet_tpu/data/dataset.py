@@ -112,12 +112,16 @@ class SurfaceDataset:
                 self.verts_list[i], self.faces_list[i], k_eig=k_eig,
                 op_cache_dir=op_cache_dir, normals=normals, **kw)
 
-        # device eigensolver: 2 threads overlap mesh i's host f64 polish with
-        # mesh i+1's on-chip sweeps (see get_all_operators); the host ARPACK
-        # path stays sequential (single-core bound either way)
+        # device eigensolver on a multi-core host: 2 threads overlap mesh i's
+        # host-side work (band build + f64 polish + assembly) with mesh i+1's
+        # on-chip sweeps (see get_all_operators). Sequential on hosts without
+        # spare cores — host stages dominate and threads would just
+        # time-slice one core (measured neutral, 0.96x, on a 1-core host) —
+        # and for the host ARPACK path (host-bound everywhere).
+        import os
         from ..geometry.operators import DEFAULT_EIGENSOLVER
         solver = eigensolver if eigensolver is not None else DEFAULT_EIGENSOLVER
-        if solver == "device" and n > 1:
+        if solver == "device" and n > 1 and (os.cpu_count() or 1) >= 4:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=2) as ex:
                 self.ops_list = list(ex.map(one, range(n)))

@@ -14,6 +14,7 @@ from .operators import (
 from .laplacian import cotan_laplacian, vertex_areas, face_areas_np
 from .gradients import build_grad, build_grad_point_cloud
 from .point_cloud import point_cloud_laplacian, mesh_laplacian_robust
+from .tufted import tufted_laplacian
 from .eigen import (eigensolve_host, eigensolve_device,
                     eigensolve_device_sharded)
 from .geodesics import (

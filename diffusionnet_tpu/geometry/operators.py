@@ -357,16 +357,21 @@ def get_all_operators(verts_list, faces_list, k_eig: int,
 
     n_workers: pipeline width. With the device eigensolver the per-mesh work
     alternates between the chip (filtered sweeps) and the host CPU (assembly
-    + f64 Rayleigh-Ritz polish); 2 THREADS overlap mesh i's host polish with
-    mesh i+1's on-chip sweeps (the GIL is released in both device dispatch
-    and BLAS), hiding the smaller of the two. Default: 2 for 'device', 1
-    (sequential, reference behavior) for 'host' — ARPACK is host-bound so
-    threads would only fight for the core. The operator cache is
+    + band build + f64 Rayleigh-Ritz polish); 2 THREADS overlap mesh i's
+    host work with mesh i+1's on-chip sweeps (the GIL is released in both
+    device dispatch and BLAS). That only pays when the host has spare cores:
+    host-side stages dominate the per-mesh wall at typical sizes, and on a
+    single-core host the threads just time-slice the same core (measured at
+    50k x 6 meshes on this 1-core environment: 0.96x — neutral). Default:
+    2 for 'device' when the host has >= 4 cores, else 1; always 1 for
+    'host' — ARPACK is host-bound everywhere. The operator cache is
     race-tolerant by design (reference geometry.py:444-446), so concurrent
     writers — even of identical meshes — at worst duplicate a bucket file."""
     N = len(verts_list)
     if n_workers is None:
-        n_workers = 2 if eigensolver == "device" else 1
+        import os
+        n_workers = 2 if (eigensolver == "device"
+                          and (os.cpu_count() or 1) >= 4) else 1
 
     def one(i):
         print(f"get_all_operators() processing {i} / {N} {i / N * 100:.3f}%")

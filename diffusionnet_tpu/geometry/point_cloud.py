@@ -84,7 +84,8 @@ def _cotan_from_lengths(lengths: np.ndarray):
 
 
 def mesh_laplacian_robust(verts: np.ndarray, faces: np.ndarray,
-                          mollify_factor: float = 1e-6):
+                          mollify_factor: float = 1e-6,
+                          intrinsic_delaunay: bool = False):
     """Robust (L, mass) for an arbitrary triangle SOUP — nonmanifold edges,
     inconsistent orientation, degenerate slivers all allowed.
 
@@ -94,9 +95,16 @@ def mesh_laplacian_robust(verts: np.ndarray, faces: np.ndarray,
     and all diffusion operators are IDENTICAL to assembling per-face cotans
     from intrinsically mollified edge lengths — which is what this does.
     Counterpart of the reference's commented-out robust mesh path
-    (geometry.py:320-321) and robust_laplacian.mesh_laplacian."""
+    (geometry.py:320-321) and robust_laplacian.mesh_laplacian.
+
+    intrinsic_delaunay=True additionally runs intrinsic Delaunay edge flips
+    on the literal tufted cover (tufted.py) — the robust-laplacian package's
+    full recipe, restoring nonnegative edge weights on pathological inputs."""
     verts = np.asarray(verts, dtype=np.float64)
     faces = np.asarray(faces, dtype=np.int64)
+    if intrinsic_delaunay:
+        from .tufted import tufted_laplacian
+        return tufted_laplacian(verts, faces, mollify_factor=mollify_factor)
     # drop degenerate faces (repeated vertices contribute nothing)
     ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
           & (faces[:, 0] != faces[:, 2]))
@@ -138,12 +146,17 @@ def _soup_laplacian(verts: np.ndarray, faces: np.ndarray,
 
 
 def point_cloud_laplacian(verts: np.ndarray, n_neighbors: int = 30,
-                          mollify_factor: float = 1e-6):
+                          mollify_factor: float = 1e-6,
+                          intrinsic_delaunay: bool = False):
     """(L, mass) for a point cloud; both float64, L a (V,V) CSC PSD matrix.
 
     The triangulation runs in threaded native C++ when available (the
     per-point SVD + Delaunay loop is the hot precompute path at cloud scale);
-    the pure-Python implementation is the fallback and the test oracle."""
+    the pure-Python implementation is the fallback and the test oracle.
+
+    intrinsic_delaunay=True runs intrinsic Delaunay flips on the tufted
+    cover of the local-Delaunay soup (tufted.py) — the robust-laplacian
+    package's full point-cloud recipe."""
     verts = np.asarray(verts, dtype=np.float64)
     V = verts.shape[0]
     try:
@@ -153,4 +166,7 @@ def point_cloud_laplacian(verts: np.ndarray, n_neighbors: int = 30,
             raise RuntimeError("no triangles")
     except Exception:
         faces = _local_triangles(verts, n_neighbors=n_neighbors)
+    if intrinsic_delaunay:
+        from .tufted import tufted_laplacian
+        return tufted_laplacian(verts, faces, mollify_factor=mollify_factor)
     return _soup_laplacian(verts, faces, mollify_factor)
