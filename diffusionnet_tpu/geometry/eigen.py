@@ -20,13 +20,16 @@ Two paths:
         RR: T = Y^T C Y; eigh; rotate; residuals ||C u - w u||
         lo  <- top Ritz value (the filter window adapts to the iterate)
 
-    Everything is static-shape jittable: the filter is a fori_loop of ELL
-    SpMMs, SVQB/RR are (V,n)x(n,n) matmuls plus an (n,n) eigh. Per-sweep cost
-    is ~m SpMMs; memory is 3 (V, n) blocks — O(10x) less than LOBPCG's
-    extended basis, which is what lets 1M x 128 fit on one chip. The sharded
-    variant row-shards all (V, n) blocks over a `vert` mesh axis; the only
-    collectives are an all-gather of the iterate for the SpMM and (n, n)
-    psums for Gram/RR matrices.
+    Everything big is static-shape jittable: the filter is a fori_loop of
+    ELL (or banded-dense) SpMMs, and the SVQB/RR rotations are (V,n)x(n,n)
+    matmuls. The tiny (n,n) eigh factorizations run on HOST between four
+    device programs (see _whiten_factor: device eigh of small matrices is
+    pathologically slow on TPU); only ~100 KB Gram/RR matrices cross the
+    host boundary per sweep. Per-sweep cost is ~m SpMMs; memory is 3 (V, n)
+    blocks — O(10x) less than LOBPCG's extended basis, which is what lets
+    1M x 128 fit on one chip. The sharded variant row-shards all (V, n)
+    blocks over a `vert` mesh axis; the only collectives are an all-gather
+    of the iterate for the SpMM and (n, n) psums for Gram/RR matrices.
 """
 
 from __future__ import annotations
@@ -102,18 +105,34 @@ def _cheb_filter(matvec, X, lo: float, hi: float, m: int):
     return Y
 
 
-def _svqb(Y, tau: float = 1e-12):
-    """Orthonormalize the columns of Y by Gram-matrix eigh whitening
-    (Stathopoulos–Wu SVQB). Rank-revealing with no Cholesky failure mode;
-    cost is one (n,n) Gram matmul + tiny eigh + one (V,n)x(n,n) — all MXU.
-    Call twice for f32 orthogonality to machine precision."""
-    G = Y.T @ Y
+def _whiten_factor(G, tau: float = 1e-12) -> np.ndarray:
+    """HOST half of SVQB orthonormalization (Stathopoulos–Wu): from the Gram
+    matrix G = Y^T Y, build the (n, n) factor F such that Y F has orthonormal
+    columns — diagonal scaling, eigh whitening, rank-revealing clip.
+
+    The eigh deliberately runs on host, in float64: an (n, n) Gram is ~100 KB
+    at n=160 (a microsecond LAPACK call and a negligible transfer), while
+    jitting `jnp.linalg.eigh` into the device sweep was measured to dominate
+    the whole eigensolve on TPU — the tiny-matrix eigh lowers to a giant
+    QR-iteration HLO that costs seconds per call (and minutes of XLA compile).
+    Splitting the sweep so only dense (V,n)-block matmuls stay on device cut
+    the 200k-vertex solve ~3x end to end."""
+    import scipy.linalg
+    G = np.asarray(G, np.float64)
     G = 0.5 * (G + G.T)
-    d = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(G), 1e-30, None))
-    G = G * d[:, None] * d[None, :]
-    w, S = jnp.linalg.eigh(G)
-    w = jnp.clip(w, tau * jnp.max(w), None)
-    return Y @ (S * (d[:, None] / jnp.sqrt(w)[None, :]))
+    d = 1.0 / np.sqrt(np.clip(np.diag(G), 1e-30, None))
+    w, S = scipy.linalg.eigh(G * d[:, None] * d[None, :])
+    w = np.clip(w, tau * max(w.max(), 1e-300), None)
+    return (d[:, None] * S) / np.sqrt(w)[None, :]
+
+
+def _host_eigh_ascending(T):
+    """Host f64 eigh of the (n, n) Rayleigh-Ritz matrix (same rationale as
+    _whiten_factor: tiny-matrix eigh does not belong in a TPU program)."""
+    import scipy.linalg
+    T = np.asarray(T, np.float64)
+    w, S = scipy.linalg.eigh(0.5 * (T + T.T))
+    return w, S
 
 
 def _device_solver_setup(L_ell: Ell, massvec, k_eig: int, n_valid, eps: float,
@@ -277,49 +296,30 @@ def _matvec_C(L_idx, L_val, inv_sqrt_m, mask, bound, eps, x,
 from functools import partial as _partial
 
 
-def _sweep_core(mv, mask, X, lo, bound, cheb_degree: int):
-    """Shared body of one outer iteration: filter, orthonormalize,
-    Rayleigh-Ritz, residuals. Returns (ritz vectors U, ritz values w
-    ascending, residual 2-norms res)."""
-    # f32-accurate matmul precision is load-bearing on TPU: the default
-    # precision runs dots in bf16 passes, but the wanted band's RELATIVE
-    # gaps are ~1e-5 of lambda_max(C) — far below bf16's ~3 digits. The
-    # Gram/RR matrices would degrade on hardware while CPU tests pass.
-    with jax.default_matmul_precision("highest"):
-        X = jnp.where(mask[:, None], X, 0.0)
-        Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
-        Y = _svqb(_svqb(Y))
-        W = mv(Y)
-        T = Y.T @ W
-        T = 0.5 * (T + T.T)
-        w, S = jnp.linalg.eigh(T)          # ascending
-        U = Y @ S
-        R = W @ S - U * w[None, :]
-        res = jnp.linalg.norm(R, axis=0)
-    return U, w, res
+# One outer iteration is SPLIT into four device programs with host (n, n)
+# eigh factorizations between them (see _whiten_factor for why):
+#   1. filter+Gram:      Y = p_m(C) X;  G = Y^T Y
+#   2. [host F1 = whiten(G)]  rotate+Gram:  Y <- Y F1;  G2 = Y^T Y
+#   3. [host F2 = whiten(G2)] rotate+apply: Y <- Y F2;  W = C Y;  T = Y^T W
+#   4. [host w,S = eigh(T)]   rotate+residuals: U = Y S;  R = W S - U w
+# The (V, n) blocks never leave the device; only (n, n) matrices cross the
+# host boundary (~100 KB each at n=160).
+#
+# f32-accurate ("highest") matmul precision is load-bearing on TPU: the
+# default precision runs dots in bf16 passes, but the wanted band's RELATIVE
+# gaps are ~1e-5 of lambda_max(C) — far below bf16's ~3 digits. The Gram/RR
+# matrices would degrade on hardware while CPU tests pass.
 
 
-@_partial(jax.jit, static_argnames=("cheb_degree", "col_chunk"))
-def _filtered_sweep(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound, eps,
-                    cheb_degree: int, col_chunk: int | None = None):
-    """ELL-gather sweep. Module-level jit: meshes sharing (V, D, n_cols,
-    degree) reuse ONE compiled sweep — per-mesh closures would recompile for
-    every mesh of a dataset."""
-    mv = _partial(_matvec_C, L_idx, L_val, inv_sqrt_m, mask, bound, eps,
-                  col_chunk=col_chunk)
-    return _sweep_core(mv, mask, X, lo, bound, cheb_degree)
+def _mv_ell(L_idx, L_val, inv_sqrt_m, mask, bound, eps, col_chunk):
+    return _partial(_matvec_C, L_idx, L_val, inv_sqrt_m, mask, bound, eps,
+                    col_chunk=col_chunk)
 
 
-@_partial(jax.jit, static_argnames=("cheb_degree", "col_chunk"))
-def _filtered_sweep_banded(band, starts, inv_sqrt_m, mask, X, lo, bound,
-                           eps, cheb_degree: int,
-                           col_chunk: int | None = None):
-    """Banded-dense sweep (ops/banded.py): the SpMM is a batch of per-tile
-    (TR, W) x (W, C) MXU matmuls fed by contiguous window slices — ~13x
-    faster than the ELL gather on TPU (1.5 ms vs 19.5 ms per 200k x 160
-    matvec). Everything is in RCM-permuted, tile-padded row order."""
+def _mv_banded(band, starts, inv_sqrt_m, mask, bound, eps, col_chunk):
     from ..ops.banded import Banded, banded_matvec
-    b = Banded(band=band, starts=starts, n=X.shape[0], perm=None)
+    b = Banded(band=band, starts=starts, n=band.shape[0] * band.shape[1],
+               perm=None)
 
     def mv_block(x):
         y = banded_matvec(b, inv_sqrt_m[:, None] * x)
@@ -332,8 +332,98 @@ def _filtered_sweep_banded(band, starts, inv_sqrt_m, mask, X, lo, bound,
             return mv_block(x)
         return jnp.concatenate([mv_block(x[:, i:i + col_chunk])
                                 for i in range(0, n, col_chunk)], axis=1)
+    return mv
 
-    return _sweep_core(mv, mask, X, lo, bound, cheb_degree)
+
+@_partial(jax.jit, static_argnames=("cheb_degree", "col_chunk"))
+def _dev_filter_gram_ell(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound, eps,
+                         cheb_degree: int, col_chunk: int | None = None):
+    """Stage 1 (ELL operator). Module-level jit: meshes sharing (V, D,
+    n_cols, degree) reuse ONE compiled program — per-mesh closures would
+    recompile for every mesh of a dataset."""
+    mv = _mv_ell(L_idx, L_val, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        X = jnp.where(mask[:, None], X, 0.0)
+        Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
+        G = Y.T @ Y
+    return Y, G
+
+
+@_partial(jax.jit, static_argnames=("cheb_degree", "col_chunk"))
+def _dev_filter_gram_banded(band, starts, inv_sqrt_m, mask, X, lo, bound,
+                            eps, cheb_degree: int,
+                            col_chunk: int | None = None):
+    """Stage 1 (banded-dense operator, ops/banded.py): the SpMM is a batch
+    of per-tile (TR, W) x (W, C) MXU matmuls fed by contiguous window
+    slices — ~13x faster than the ELL gather on TPU per 200k x 160 matvec.
+    Everything is in RCM-permuted, tile-padded row order."""
+    mv = _mv_banded(band, starts, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        X = jnp.where(mask[:, None], X, 0.0)
+        Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
+        G = Y.T @ Y
+    return Y, G
+
+
+@jax.jit
+def _dev_rotate_gram(Y, F):
+    """Stage 2: apply the first whitening factor, re-Gram (the second SVQB
+    pass exists to fix the f32 roundoff of the big rotation matmul)."""
+    with jax.default_matmul_precision("highest"):
+        Y = Y @ F
+        G = Y.T @ Y
+    return Y, G
+
+
+@_partial(jax.jit, static_argnames=("col_chunk",))
+def _dev_rotate_apply_ell(L_idx, L_val, inv_sqrt_m, mask, bound, eps, Y, F,
+                          col_chunk: int | None = None):
+    mv = _mv_ell(L_idx, L_val, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        Y = Y @ F
+        W = mv(Y)
+        T = Y.T @ W
+    return Y, W, T
+
+
+@_partial(jax.jit, static_argnames=("col_chunk",))
+def _dev_rotate_apply_banded(band, starts, inv_sqrt_m, mask, bound, eps, Y,
+                             F, col_chunk: int | None = None):
+    mv = _mv_banded(band, starts, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        Y = Y @ F
+        W = mv(Y)
+        T = Y.T @ W
+    return Y, W, T
+
+
+@jax.jit
+def _dev_rotate_residuals(Y, W, S, w):
+    """Stage 4: rotate into the Ritz basis, per-column residual 2-norms."""
+    with jax.default_matmul_precision("highest"):
+        U = Y @ S
+        R = W @ S - U * w[None, :]
+        res = jnp.linalg.norm(R, axis=0)
+    return U, res
+
+
+def _split_sweep(filter_gram, rotate_apply, X, lo,
+                 rotate_gram=None, rotate_residuals=None):
+    """One outer iteration via the four-stage device/host split above.
+    Returns (ritz vectors U (device), ritz values w ascending (np.float64),
+    residual 2-norms res)."""
+    rotate_gram = rotate_gram if rotate_gram is not None else _dev_rotate_gram
+    rotate_residuals = (rotate_residuals if rotate_residuals is not None
+                        else _dev_rotate_residuals)
+    Y, G = filter_gram(X, lo)
+    F1 = jnp.asarray(_whiten_factor(np.asarray(G)), jnp.float32)
+    Y, G2 = rotate_gram(Y, F1)
+    F2 = jnp.asarray(_whiten_factor(np.asarray(G2)), jnp.float32)
+    Y, W, T = rotate_apply(Y, F2)
+    w, S = _host_eigh_ascending(np.asarray(T))
+    U, res = rotate_residuals(Y, W, jnp.asarray(S, jnp.float32),
+                              jnp.asarray(w, jnp.float32))
+    return U, w, res
 
 
 def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
@@ -374,7 +464,9 @@ def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
                 "far above the f32 noise floor")
         prev_worst = worst
         # adapt the filter window: dampen everything above the basis's top
-        lo = jnp.clip(w[-1], 0.0, 0.5 * bound)
+        # w is host float64 now; pin the traced-scalar dtype so every sweep
+        # hits the same compiled program
+        lo = jnp.asarray(np.clip(w[-1], 0.0, 0.5 * bound), jnp.float32)
     else:
         raise RuntimeError(f"{name}: wanted band not converged after "
                            f"{max_sweeps} sweeps (worst residual "
@@ -486,9 +578,9 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         banded = None if not on_cpu else False
     band_rep = None
     if banded is not False:
-        from ..ops.banded import banded_from_sparse
+        from ..ops.banded import banded_from_sparse_device
         L_host = polish[0] if polish is not None else _ell_to_scipy(L_ell)
-        band_rep = banded_from_sparse(L_host)
+        band_rep = banded_from_sparse_device(L_host)
         if band_rep is None and banded is True:
             raise RuntimeError("banded=True but the RCM-reordered bandwidth "
                                "exceeds the band-size budget")
@@ -511,9 +603,14 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                        jax.random.normal(key, (n_pad, n_cols), jnp.float32),
                        0.0)
         X, w = _converge(
-            lambda X, lo: _filtered_sweep_banded(
-                band_j, starts_j, imp_j, mkp_j, X, lo, bound_j, eps_j,
-                cheb_degree, col_chunk),
+            lambda X, lo: _split_sweep(
+                lambda Xs, los: _dev_filter_gram_banded(
+                    band_j, starts_j, imp_j, mkp_j, Xs, los, bound_j, eps_j,
+                    cheb_degree, col_chunk),
+                lambda Ys, Fs: _dev_rotate_apply_banded(
+                    band_j, starts_j, imp_j, mkp_j, bound_j, eps_j, Ys, Fs,
+                    col_chunk),
+                X, lo),
             X0, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
             "eigensolve_device[banded]")
         # back to the original vertex order
@@ -538,9 +635,14 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         col_chunk = max(16, int(1.5e9 / gather_bytes) // 16 * 16)
 
     X, w = _converge(
-        lambda X, lo: _filtered_sweep(L_ell.idx, L_ell.val, inv_sqrt_m, mask,
-                                      X, lo, bound_j, eps_j, cheb_degree,
-                                      col_chunk),
+        lambda X, lo: _split_sweep(
+            lambda Xs, los: _dev_filter_gram_ell(
+                L_ell.idx, L_ell.val, inv_sqrt_m, mask, Xs, los, bound_j,
+                eps_j, cheb_degree, col_chunk),
+            lambda Ys, Fs: _dev_rotate_apply_ell(
+                L_ell.idx, L_ell.val, inv_sqrt_m, mask, bound_j, eps_j, Ys,
+                Fs, col_chunk),
+            X, lo),
         X0, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
         "eigensolve_device")
 
@@ -560,68 +662,114 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
 # ---------------------------------------------------------------------------
 
 
+def _mv_sharded(L_idx, L_val, inv_sqrt_m, mask, bound, eps, axis,
+                col_chunk):
+    """Matvec for row-sharded operands inside shard_map: all-gather the
+    pre-scaled iterate (the operator's column indices are global; L is
+    symmetric, applied as r L r, so scaling x before the gather lets both
+    sides use local data), then a local ELL gather-contraction."""
+    def mv_block(x):  # x: (V_loc, c) -> (V_loc, c)
+        x_full = jax.lax.all_gather(x * inv_sqrt_m[:, None], axis,
+                                    axis=0, tiled=True)      # (V, c)
+        gathered = x_full[L_idx]                             # (V_loc,D,c)
+        y = jnp.einsum("vd,vdc->vc", L_val, gathered,
+                       preferred_element_type=jnp.float32)
+        y = inv_sqrt_m[:, None] * y \
+            + eps * (inv_sqrt_m[:, None] ** 2) * x
+        return jnp.where(mask[:, None], y, bound * x)
+
+    def mv(x):  # column-chunked (see _matvec_C)
+        n = x.shape[1]
+        if col_chunk is None or n <= col_chunk:
+            return mv_block(x)
+        return jnp.concatenate([mv_block(x[:, i:i + col_chunk])
+                                for i in range(0, n, col_chunk)], axis=1)
+    return mv
+
+
 @_partial(jax.jit, static_argnames=("cheb_degree", "mesh", "axis",
                                     "col_chunk"))
-def _filtered_sweep_sharded(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound,
-                            eps, cheb_degree: int, mesh, axis: str,
-                            col_chunk: int | None = None):
-    """shard_map twin of _filtered_sweep. All (V, ...) operands arrive
-    row-sharded over `axis`; w/res come back replicated, U row-sharded."""
+def _dev_filter_gram_sharded(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound,
+                             eps, cheb_degree: int, mesh, axis: str,
+                             col_chunk: int | None = None):
+    """Stage 1, shard_map twin of _dev_filter_gram_ell: (V, ...) operands
+    arrive row-sharded over `axis`; the Gram comes back replicated (psum)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def device_fn(L_idx, L_val, inv_sqrt_m, mask, X, lo):
-        def mv_block(x):  # x: (V_loc, c) -> (V_loc, c)
-            x_full = jax.lax.all_gather(x * inv_sqrt_m_g[:, None], axis,
-                                        axis=0, tiled=True)      # (V, c)
-            gathered = x_full[L_idx]                             # (V_loc,D,c)
-            y = jnp.einsum("vd,vdc->vc", L_val, gathered,
-                           preferred_element_type=jnp.float32)
-            y = inv_sqrt_m[:, None] * y \
-                + eps * (inv_sqrt_m[:, None] ** 2) * x
-            return jnp.where(mask[:, None], y, bound * x)
-
-        def mv(x):  # column-chunked (see _matvec_C)
-            n = x.shape[1]
-            if col_chunk is None or n <= col_chunk:
-                return mv_block(x)
-            return jnp.concatenate([mv_block(x[:, i:i + col_chunk])
-                                    for i in range(0, n, col_chunk)], axis=1)
-
-        # all_gather needs the pre-scaled iterate; fold the row scaling of
-        # the *column* side into the gathered copy (L is symmetric, applied
-        # as r L r): scale x before the gather so both sides use local data
-        inv_sqrt_m_g = inv_sqrt_m
-
-        def svqb(Y):
-            G = jax.lax.psum(Y.T @ Y, axis)
-            G = 0.5 * (G + G.T)
-            d = 1.0 / jnp.sqrt(jnp.clip(jnp.diag(G), 1e-30, None))
-            G = G * d[:, None] * d[None, :]
-            w, S = jnp.linalg.eigh(G)
-            w = jnp.clip(w, 1e-12 * jnp.max(w), None)
-            return Y @ (S * (d[:, None] / jnp.sqrt(w)[None, :]))
-
+        mv = _mv_sharded(L_idx, L_val, inv_sqrt_m, mask, bound, eps, axis,
+                         col_chunk)
         with jax.default_matmul_precision("highest"):
             X = jnp.where(mask[:, None], X, 0.0)
             Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
-            Y = svqb(svqb(Y))
-            W = mv(Y)
-            T = jax.lax.psum(Y.T @ W, axis)
-            T = 0.5 * (T + T.T)
-            w, S = jnp.linalg.eigh(T)
-            U = Y @ S
-            R = W @ S - U * w[None, :]
-            res = jnp.sqrt(jax.lax.psum(jnp.sum(R * R, axis=0), axis))
-        return U, w, res
+            G = jax.lax.psum(Y.T @ Y, axis)
+        return Y, G
 
     pv = P(axis)
     return shard_map(
         device_fn, mesh=mesh,
         in_specs=(pv, pv, pv, pv, pv, P()),
-        out_specs=(pv, P(), P()),
+        out_specs=(pv, P()),
         check_vma=False,
     )(L_idx, L_val, inv_sqrt_m, mask, X, lo)
+
+
+@_partial(jax.jit, static_argnames=("mesh", "axis"))
+def _dev_rotate_gram_sharded(Y, F, mesh, axis: str):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def device_fn(Y, F):
+        with jax.default_matmul_precision("highest"):
+            Y = Y @ F
+            G = jax.lax.psum(Y.T @ Y, axis)
+        return Y, G
+
+    pv = P(axis)
+    return shard_map(device_fn, mesh=mesh, in_specs=(pv, P()),
+                     out_specs=(pv, P()), check_vma=False)(Y, F)
+
+
+@_partial(jax.jit, static_argnames=("mesh", "axis", "col_chunk"))
+def _dev_rotate_apply_sharded(L_idx, L_val, inv_sqrt_m, mask, bound, eps, Y,
+                              F, mesh, axis: str,
+                              col_chunk: int | None = None):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def device_fn(L_idx, L_val, inv_sqrt_m, mask, Y, F):
+        mv = _mv_sharded(L_idx, L_val, inv_sqrt_m, mask, bound, eps, axis,
+                         col_chunk)
+        with jax.default_matmul_precision("highest"):
+            Y = Y @ F
+            W = mv(Y)
+            T = jax.lax.psum(Y.T @ W, axis)
+        return Y, W, T
+
+    pv = P(axis)
+    return shard_map(device_fn, mesh=mesh,
+                     in_specs=(pv, pv, pv, pv, pv, P()),
+                     out_specs=(pv, pv, P()),
+                     check_vma=False)(L_idx, L_val, inv_sqrt_m, mask, Y, F)
+
+
+@_partial(jax.jit, static_argnames=("mesh", "axis"))
+def _dev_rotate_residuals_sharded(Y, W, S, w, mesh, axis: str):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def device_fn(Y, W, S, w):
+        with jax.default_matmul_precision("highest"):
+            U = Y @ S
+            R = W @ S - U * w[None, :]
+            res = jnp.sqrt(jax.lax.psum(jnp.sum(R * R, axis=0), axis))
+        return U, res
+
+    pv = P(axis)
+    return shard_map(device_fn, mesh=mesh,
+                     in_specs=(pv, pv, P(), P()),
+                     out_specs=(pv, P()), check_vma=False)(Y, W, S, w)
 
 
 def eigensolve_device_sharded(L_ell: Ell, massvec, k_eig: int, mesh,
@@ -682,9 +830,18 @@ def eigensolve_device_sharded(L_ell: Ell, massvec, k_eig: int, mesh,
         col_chunk = max(16, int(1.5e9 / gather_bytes) // 16 * 16)
 
     X, w = _converge(
-        lambda X, lo: _filtered_sweep_sharded(
-            L_idx, L_val, inv_sqrt_m_s, mask_s, X, lo, bound_j, eps_j,
-            cheb_degree, mesh, axis, col_chunk),
+        lambda X, lo: _split_sweep(
+            lambda Xs, los: _dev_filter_gram_sharded(
+                L_idx, L_val, inv_sqrt_m_s, mask_s, Xs, los, bound_j, eps_j,
+                cheb_degree, mesh, axis, col_chunk),
+            lambda Ys, Fs: _dev_rotate_apply_sharded(
+                L_idx, L_val, inv_sqrt_m_s, mask_s, bound_j, eps_j, Ys, Fs,
+                mesh, axis, col_chunk),
+            X, lo,
+            rotate_gram=lambda Ys, Fs: _dev_rotate_gram_sharded(
+                Ys, Fs, mesh, axis),
+            rotate_residuals=lambda Ys, Ws, Ss, ws: (
+                _dev_rotate_residuals_sharded(Ys, Ws, Ss, ws, mesh, axis))),
         X, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
         "eigensolve_device_sharded")
 

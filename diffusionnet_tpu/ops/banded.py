@@ -57,13 +57,11 @@ def rcm_permutation(mat) -> np.ndarray:
         scipy.sparse.csr_matrix(mat), symmetric_mode=True), dtype=np.int64)
 
 
-def banded_from_sparse(mat, tile_rows: int = 512,
-                       max_band_bytes: int = 2_500_000_000,
-                       perm: np.ndarray | None = None,
-                       dtype=np.float32) -> Banded | None:
-    """Build the banded representation of a scipy sparse matrix under an RCM
-    permutation (host-side). Returns None when the reordered bandwidth would
-    exceed max_band_bytes — callers fall back to the gather path."""
+def _band_plan(mat, tile_rows: int, max_band_bytes: int,
+               perm: np.ndarray | None, dtype):
+    """Host-side band layout plan: permutation, per-tile window starts, and
+    the flat scatter targets of every nonzero. Returns None when the
+    reordered bandwidth would exceed max_band_bytes."""
     import scipy.sparse
     csr = scipy.sparse.csr_matrix(mat)
     V = csr.shape[0]
@@ -92,14 +90,55 @@ def banded_from_sparse(mat, tile_rows: int = 512,
     # + nothing: windows index [start, start + W) within [0, n_pad))
     starts = np.minimum(starts, max(n_pad - W, 0))
 
-    band = np.zeros((T, tile_rows, W), dtype)
     rows = np.repeat(np.arange(V), np.diff(indptr))
     t_of = rows // tile_rows
     local_r = rows % tile_rows
     local_c = indices - starts[t_of]
     assert (local_c >= 0).all() and (local_c < W).all()
-    band[t_of, local_r, local_c] = data.astype(dtype)
-    return Banded(band=band, starts=starts.astype(np.int32), n=V, perm=perm)
+    flat = (t_of * tile_rows + local_r) * W + local_c
+    return perm, starts, T, W, flat, data.astype(dtype)
+
+
+def banded_from_sparse(mat, tile_rows: int = 512,
+                       max_band_bytes: int = 2_500_000_000,
+                       perm: np.ndarray | None = None,
+                       dtype=np.float32) -> Banded | None:
+    """Build the banded representation of a scipy sparse matrix under an RCM
+    permutation (host-side numpy band — the test oracle). Returns None when
+    the reordered bandwidth would exceed max_band_bytes — callers fall back
+    to the gather path."""
+    plan = _band_plan(mat, tile_rows, max_band_bytes, perm, dtype)
+    if plan is None:
+        return None
+    perm, starts, T, W, flat, vals = plan
+    band = np.zeros(T * tile_rows * W, dtype)
+    band[flat] = vals
+    return Banded(band=band.reshape(T, tile_rows, W),
+                  starts=starts.astype(np.int32), n=mat.shape[0], perm=perm)
+
+
+def banded_from_sparse_device(mat, tile_rows: int = 512,
+                              max_band_bytes: int = 2_500_000_000,
+                              perm: np.ndarray | None = None,
+                              dtype=np.float32) -> Banded | None:
+    """banded_from_sparse with the dense band assembled ON DEVICE by a
+    ~nnz-sized scatter. The band stores ~TR*W/avg_degree x more zeros than
+    the sparse matrix (a 1.13 GB band for 14 MB of ELL data at 200k); both
+    materializing it in host memory and shipping it over the host->device
+    link are pure waste — measured through this environment's device tunnel
+    the upload alone dominated the whole 200k eigensolve. Uploading the flat
+    scatter targets + values (2 x nnz x 4 bytes) and scattering on device is
+    bounded by nnz instead of the dense band size."""
+    plan = _band_plan(mat, tile_rows, max_band_bytes, perm, dtype)
+    if plan is None:
+        return None
+    perm, starts, T, W, flat, vals = plan
+    band = (jnp.zeros(T * tile_rows * W, dtype)
+            .at[jnp.asarray(flat, jnp.int32)]
+            .set(jnp.asarray(vals), unique_indices=True)
+            .reshape(T, tile_rows, W))
+    return Banded(band=band, starts=jnp.asarray(starts, jnp.int32),
+                  n=mat.shape[0], perm=perm)
 
 
 def banded_matvec(b: Banded, x):
