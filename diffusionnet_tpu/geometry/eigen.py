@@ -34,6 +34,8 @@ Two paths:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import scipy.sparse
 import scipy.sparse.linalg as sla
@@ -133,6 +135,28 @@ def _host_eigh_ascending(T):
     T = np.asarray(T, np.float64)
     w, S = scipy.linalg.eigh(0.5 * (T + T.T))
     return w, S
+
+
+_COMP_CACHE_ON = False
+
+
+def _ensure_compilation_cache():
+    """Enable JAX's persistent compilation cache once per process (opt out
+    with DNT_NO_COMPILATION_CACHE=1). The filtered-sweep programs take tens
+    of seconds to compile on slow toolchains; without the on-disk cache
+    every fresh process calling get_operators with the device eigensolver
+    pays that again. Skipped silently if the cache dir is not writable or
+    the caller already configured one."""
+    global _COMP_CACHE_ON
+    if _COMP_CACHE_ON or os.environ.get("DNT_NO_COMPILATION_CACHE"):
+        return
+    _COMP_CACHE_ON = True
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            from ..utils import enable_compilation_cache
+            enable_compilation_cache()
+    except Exception:
+        pass
 
 
 def _device_solver_setup(L_ell: Ell, massvec, k_eig: int, n_valid, eps: float,
@@ -542,6 +566,7 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                          "(the recurrence always consumes degrees 0..1)")
     if k_eig == 0:
         return jnp.zeros((0,)), jnp.zeros((L_ell.idx.shape[0], 0))
+    _ensure_compilation_cache()
 
     mask, inv_sqrt_m, bound, n_cols, oversample, lambda_cut = \
         _device_solver_setup(L_ell, massvec, k_eig, n_valid, eps,

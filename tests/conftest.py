@@ -3,13 +3,23 @@ are exercised without TPU pods (SURVEY §4 implication)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE the CPU platform (not setdefault): the harness environment exports
+# JAX_PLATFORMS=axon, and with it the experimental TPU plugin initializes its
+# network tunnel during backend discovery — tests then hang for minutes
+# whenever the tunnel is down. The suite is hermetic CPU by design.
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")
 
 import jax
 import numpy as np
 import pytest
+
+# The env var alone is NOT enough: the plugin's sitecustomize registration
+# runs at interpreter start and force-updates jax_platforms to "axon,cpu".
+# Re-pin the CONFIG (runtime-settable, read by backends() at first init) so
+# only the CPU backend ever initializes.
+jax.config.update("jax_platforms", "cpu")
 
 # Numerical tests compare against float64/numpy ground truth; force full-precision
 # matmuls (the backend may otherwise use fast low-precision passes). Production
