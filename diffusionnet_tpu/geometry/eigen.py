@@ -277,9 +277,9 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
         YtZ, YtCZ = Y.T @ Z, Y.T @ CZ
         T = np.block([[T0, YtCZ], [YtCZ.T, Z.T @ CZ]])
         G = np.block([[G0, YtZ], [YtZ.T, Z.T @ Z]])
-        B = np.concatenate([Y, Z], axis=1)
+        del CY, CZ
     else:
-        T, G, B = T0, G0, Y
+        T, G, Z = T0, G0, None
     T = 0.5 * (T + T.T)
     G = 0.5 * (G + G.T)
     try:
@@ -289,7 +289,12 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
         G = G + 1e-10 * np.eye(G.shape[0])
         w, S = scipy.linalg.eigh(T, G)
     evals = np.clip(w[:k_eig] - eps, 0.0, None)
-    evecs = r[:, None] * (B @ S[:, :k_eig])
+    # B @ S without materializing B = [Y, Z] (a second (V, 2n) copy)
+    n = Y.shape[1]
+    BS = Y @ S[:n, :k_eig]
+    if Z is not None:
+        BS += Z @ S[n:, :k_eig]
+    evecs = r[:, None] * BS
     return evals, evecs
 
 
