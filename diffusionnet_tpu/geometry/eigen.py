@@ -468,8 +468,8 @@ def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
     w = None
     for it in range(max_sweeps):
         X, w, res = sweep_fn(X, lo)
-        scale = float(jnp.maximum(w[k_eig - 1], eps))
-        worst = float(jnp.max(res[:k_eig]))
+        scale = float(max(float(w[k_eig - 1]), eps))  # w is host float64
+        worst = float(np.max(np.asarray(res)[:k_eig]))
         if verbose:
             print(f"  {name} sweep {it}: worst wanted residual {worst:.3e} "
                   f"(tol*scale {tol * scale:.3e})")

@@ -291,6 +291,22 @@ def test_eigensolve_device_banded_matches_ell(sphere_mesh):
     np.testing.assert_allclose(y_perm[inv], L @ x, atol=2e-5)
 
 
+def test_banded_device_build_matches_host(sphere_mesh):
+    """banded_from_sparse_device (on-device nnz scatter — what the
+    eigensolver uses so the dense band never crosses the host->device link)
+    must produce bit-identical band/starts/perm to the host oracle."""
+    from diffusionnet_tpu.ops.banded import (banded_from_sparse,
+                                             banded_from_sparse_device)
+    verts, faces = sphere_mesh
+    L = cotan_laplacian(verts, faces)
+    bh = banded_from_sparse(L, tile_rows=64)
+    bd = banded_from_sparse_device(L, tile_rows=64)
+    np.testing.assert_array_equal(np.asarray(bd.band), bh.band)
+    np.testing.assert_array_equal(np.asarray(bd.starts), bh.starts)
+    np.testing.assert_array_equal(bd.perm, bh.perm)
+    assert bd.n == bh.n
+
+
 def test_eigensolve_device_tiny_dense_path(sphere_mesh):
     """Sub-4x-subspace problems route to the exact dense eigh: the filtered
     sweeps cannot separate a band spanning most of the spectrum (a 42-vert
