@@ -161,6 +161,35 @@ def test_flip_count_and_intrinsic_lengths_stay_valid():
     assert (a + b - c > -1e-12).all()
 
 
+def test_fuzz_random_soups_stay_valid():
+    """Adversarial fuzz: random vertex positions with random (possibly
+    repeated, disconnected, inconsistently wound) face index triples — the
+    operator must always come back symmetric PSD with zero row sums, finite,
+    with strictly positive mass, and every interior cover edge Delaunay."""
+    for seed in range(12):
+        rs = np.random.RandomState(seed)
+        V = rs.randint(5, 40)
+        F = rs.randint(2, 60)
+        verts = rs.randn(V, 3)
+        if seed % 3 == 0:
+            verts[:, 2] *= 1e-3            # near-planar (sliver factory)
+        if seed % 4 == 0:
+            verts[rs.randint(V)] = verts[rs.randint(V)]  # duplicate point
+        faces = rs.randint(0, V, size=(F, 3))
+        ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+              & (faces[:, 0] != faces[:, 2]))
+        if not ok.any():
+            continue
+        L, m = tufted_laplacian(verts, faces)
+        Ld = np.asarray(L.todense())
+        assert np.isfinite(Ld).all() and np.isfinite(m).all(), seed
+        assert (m > 0).all(), seed
+        assert abs(Ld - Ld.T).max() < 1e-9, seed
+        assert abs(Ld.sum(axis=1)).max() < 1e-7 * max(abs(Ld).max(), 1), seed
+        w = np.linalg.eigvalsh(Ld)
+        assert w.min() > -1e-7 * max(w.max(), 1), seed
+
+
 def test_point_cloud_intrinsic_delaunay_option():
     """point_cloud_laplacian(intrinsic_delaunay=True) routes the local-
     Delaunay soup through the tufted iDT cover; spectrum stays close to the
