@@ -578,10 +578,16 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                              lambda_cut, oversample)
     V = L_ell.idx.shape[0]
 
-    # tiny problems: the filtered subspace spans most of the spectrum, so
-    # the sweeps stagnate — direct dense eigh is exact and cheaper
+    # small problems: when the subspace spans more than ~1/10 of the
+    # spectrum, the band-pass filter cannot separate the wanted band and
+    # the sweeps stagnate far above tolerance (measured boundary on
+    # sphere/torus/grid families: V/n_cols <= 7.5 always stagnates, >= 9.8
+    # always converges). Gate with margin at 12x — a direct f64 eigh there
+    # is exact and costs about the same as the sweeps (V <= 1920 at
+    # k_eig=128); the 4096-row cap bounds the O(V^3) for very wide bands,
+    # beyond which the sweeps + ARPACK fallback take over.
     n_valid_rows = int(np.sum(np.asarray(mask)))
-    if n_valid_rows <= 4 * n_cols:
+    if n_valid_rows <= min(12 * n_cols, 4096):
         return _dense_eigh_tiny(L_ell, massvec, mask, k_eig, eps, polish)
 
     if cheb_degree is None:

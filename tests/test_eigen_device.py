@@ -359,3 +359,62 @@ def test_compute_operators_tiny_mesh_device_no_fallback(recwarn):
                 if "falling back" in str(w.message)]
     ops_h = compute_operators(verts, faces, k_eig=8, eigensolver="host")
     np.testing.assert_allclose(ops.evals, ops_h.evals, atol=1e-4)
+
+
+@pytest.mark.parametrize("mesh_kind,k", [
+    ("ico2", 32),       # V=162,  n_cols=40  (ratio 4.05 — just past old gate)
+    ("torus_s", 32),    # V=288,  n_cols=40  (ratio 7.2)
+    ("torus_m", 128),   # V=1200, n_cols=160 (ratio 7.5 — worst observed)
+])
+def test_eigensolve_device_midratio_dense_path(mesh_kind, k, recwarn):
+    """Meshes whose subspace spans > ~1/10 of the spectrum stagnate in the
+    filtered sweeps (measured boundary: V/n_cols <= 7.5 always stagnated,
+    >= 9.8 always converged on sphere/torus/grid families); the dense-eigh
+    gate at 12x routes them to the exact path. These three shapes all fell
+    back to ARPACK with a warning before the gate was widened."""
+    from tests.meshgen import icosphere, torus
+    from diffusionnet_tpu.geometry import compute_operators
+
+    if mesh_kind == "ico2":
+        verts, faces = icosphere(2)
+    elif mesh_kind == "torus_s":
+        verts, faces = torus(n_major=24, n_minor=12)
+    else:
+        verts, faces = torus(n_major=50, n_minor=24)
+
+    ops = compute_operators(verts, faces, k_eig=k, eigensolver="device")
+    assert not [w for w in recwarn.list
+                if "falling back" in str(w.message)], \
+        "device eigensolver must not fall back to ARPACK on mid-ratio meshes"
+    ops_h = compute_operators(verts, faces, k_eig=k, eigensolver="host")
+    scale = max(float(np.max(ops_h.evals)), 1.0)
+    np.testing.assert_allclose(ops.evals, ops_h.evals, atol=1e-4 * scale)
+    # gauge-invariant parity: heat-diffusion outputs (these symmetric meshes
+    # have degenerate clusters at the band edge, so the truncated subspace
+    # itself is gauge-ambiguous — raw projectors are NOT comparable; the
+    # e^{-t lambda} weighting damps the ambiguous edge)
+    evh = np.asarray(ops_h.evals, np.float64)
+    evd = np.asarray(ops.evals, np.float64)
+    Eh = np.asarray(ops_h.evecs, np.float64)
+    Ed = np.asarray(ops.evecs, np.float64)
+    m = np.asarray(ops_h.mass, np.float64)
+    rng = np.random.RandomState(0)
+    x = rng.randn(len(m), 4)
+    # (a) diffusion outputs at t large enough that e^{-t lambda_k} <= 6e-6
+    # damps the ambiguous band edge below the tolerance
+    for t in np.asarray([12.0, 24.0, 48.0]) / max(evh[k - 1], 1e-12):
+        dh = Eh @ (np.exp(-evh * t)[:, None] * (Eh.T @ (m[:, None] * x)))
+        dd = Ed @ (np.exp(-evd * t)[:, None] * (Ed.T @ (m[:, None] * x)))
+        err = np.abs(dd - dh).max() / (np.abs(dh).max() + 1e-30)
+        assert err <= 1e-4, (t, err)
+    # (b) projector parity over a cluster-closed prefix: truncate at the
+    # largest j <= k preceded by a real spectral gap, where the spanned
+    # subspace IS well-defined
+    gaps = (evh[1:k] - evh[:k - 1]) / max(evh[k - 1], 1e-12)
+    closed = np.where(gaps >= 1e-3)[0]
+    assert closed.size, "no spectral gap in the band — test mesh unusable"
+    j = int(closed[-1]) + 1
+    Mw = m[None, :]
+    np.testing.assert_allclose(
+        Ed[:, :j] @ (Ed[:, :j].T * Mw), Eh[:, :j] @ (Eh[:, :j].T * Mw),
+        atol=2e-3)
