@@ -30,7 +30,12 @@ def mesh_vertex_normals_np(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     vertex_normals = np.zeros(verts.shape)
     for i in range(3):
         np.add.at(vertex_normals, faces[:, i], face_n)
-    return vertex_normals / np.linalg.norm(vertex_normals, axis=-1, keepdims=True)
+    # 0/0 -> NaN is the DESIGNED signal for the recovery ladder in
+    # vertex_normals_np (unreferenced/degenerate vertices); silence the
+    # RuntimeWarning, the NaNs are handled downstream
+    with np.errstate(invalid="ignore"):
+        return (vertex_normals
+                / np.linalg.norm(vertex_normals, axis=-1, keepdims=True))
 
 
 def neighborhood_normal_np(points: np.ndarray) -> np.ndarray:
