@@ -53,12 +53,37 @@ def build_inputs():
     return ops, x, precompute_s
 
 
-def eigensolver_bench(run_host: bool = True):
+def _spectral_diffusion(ev, evec, mass, x, ts):
+    """Heat-diffusion outputs D_t x = Phi e^{-lambda t} (Phi^T M x), one
+    (V, C) array per t."""
+    return [evec @ (np.exp(-ev * t)[:, None] * (evec.T @ (mass[:, None] * x)))
+            for t in ts]
+
+
+def eigensolver_parity_errs(ev_h, evec_h, ev_d, evec_d, mass, x, ts,
+                            dh_list=None):
+    """Gauge-invariant parity of a device eigenbasis vs the host reference,
+    judged the way the network consumes the basis: (band, diffusion-output,
+    HKS) max relative errors. dh_list: precomputed host diffusion outputs
+    (pass when comparing several device bases against one reference)."""
+    if dh_list is None:
+        dh_list = _spectral_diffusion(ev_h, evec_h, mass, x, ts)
+    dd_list = _spectral_diffusion(ev_d, evec_d, mass, x, ts)
+    diff = max(float(np.abs(dd - dh).max() / (np.abs(dh).max() + 1e-30))
+               for dh, dd in zip(dh_list, dd_list))
+    hks_h = (evec_h ** 2) @ np.exp(-np.asarray(ev_h)[:, None] * ts[None, :])
+    hks_d = (evec_d ** 2) @ np.exp(-np.asarray(ev_d)[:, None] * ts[None, :])
+    hks = float(np.abs(hks_d - hks_h).max() / (np.abs(hks_h).max() + 1e-30))
+    band = float(np.abs(ev_d - ev_h).max() / (ev_h.max() + 1e-30))
+    return band, diff, hks
+
+
+def eigensolver_bench(run_host: bool = True, mesh=None, k_eig: int = K_EIG):
     """Device (TPU subspace-filter) vs host (ARPACK ladder) eigensolve at the
     bench scale — time AND gauge-invariant accuracy (VERDICT r2 item 1: the
     device solver is the primary path; this records the evidence). Accuracy
-    is judged the way the network consumes the basis: eigenvalue band error,
-    heat-diffusion outputs D_t x = Phi e^{-lambda t} (Phi^T M x), and HKS."""
+    is judged via eigensolver_parity_errs. mesh: optional (verts, faces)
+    override of the bench-scale grid (gen_results reuses this at 20k)."""
     import jax
     import jax.numpy as jnp
     from diffusionnet_tpu.geometry import (cotan_laplacian, vertex_areas,
@@ -68,7 +93,7 @@ def eigensolver_bench(run_host: bool = True):
     from diffusionnet_tpu.utils import enable_compilation_cache
     enable_compilation_cache()
 
-    verts, faces = _bench_mesh()
+    verts, faces = _bench_mesh() if mesh is None else mesh
     V = verts.shape[0]
     L = cotan_laplacian(verts, faces)
     mass = vertex_areas(verts, faces)
@@ -80,21 +105,21 @@ def eigensolver_bench(run_host: bool = True):
     mass_j = jnp.asarray(mass.astype(np.float32))
 
     t0 = time.perf_counter()
-    ev_d, evec_d = eigensolve_device(ell, mass_j, K_EIG)
+    ev_d, evec_d = eigensolve_device(ell, mass_j, k_eig)
     t_cold = time.perf_counter() - t0
     t0 = time.perf_counter()                  # warm: sweep program compiled
-    ev_d, evec_d = eigensolve_device(ell, mass_j, K_EIG)
+    ev_d, evec_d = eigensolve_device(ell, mass_j, k_eig)
     ev_d, evec_d = np.asarray(ev_d, np.float64), np.asarray(evec_d, np.float64)
     t_device = time.perf_counter() - t0
 
     # the compute_operators default path adds the f64 host RR polish
     t0 = time.perf_counter()
-    ev_p, evec_p = eigensolve_device(ell, mass_j, K_EIG, polish=(L, mass))
+    ev_p, evec_p = eigensolve_device(ell, mass_j, k_eig, polish=(L, mass))
     t_polished = time.perf_counter() - t0
 
     out = {
         "metric": f"TPU eigensolve (Chebyshev subspace iteration) @ {V} "
-                  f"verts, k={K_EIG}",
+                  f"verts, k={k_eig}",
         "value": round(t_device, 2),
         "unit": "s (warm; cold adds one-time sweep compile)",
         "cold_incl_compile_s": round(t_cold, 2),
@@ -103,41 +128,24 @@ def eigensolver_bench(run_host: bool = True):
     if not run_host:
         # sanity without the ARPACK reference: Weyl-law slope of the band
         area = float(mass.sum())
-        weyl = 4.0 * np.pi * np.arange(1, K_EIG) / area
+        weyl = 4.0 * np.pi * np.arange(1, k_eig) / area
         out["band_vs_weyl_ratio"] = round(float(
             np.median(ev_d[1:] / weyl)), 3)
         return [out]
 
     t0 = time.perf_counter()
-    ev_h, evec_h = eigensolve_host(L, mass, K_EIG)
+    ev_h, evec_h = eigensolve_host(L, mass, k_eig)
     t_host = time.perf_counter() - t0
 
-    # gauge-invariant parity: diffusion outputs and HKS
     rng = np.random.RandomState(0)
     x = rng.randn(V, 4)
     ts = np.logspace(-3, 0, 6) / max(ev_h[1], 1e-12)
-    diff_err = 0.0
-    for t in ts:
-        dh = evec_h @ (np.exp(-ev_h * t)[:, None]
-                       * (evec_h.T @ (mass[:, None] * x)))
-        dd = evec_d @ (np.exp(-ev_d * t)[:, None]
-                       * (evec_d.T @ (mass[:, None] * x)))
-        diff_err = max(diff_err, float(np.abs(dd - dh).max()
-                                       / (np.abs(dh).max() + 1e-30)))
-    hks_h = (evec_h ** 2) @ np.exp(-ev_h[:, None] * ts[None, :]).reshape(K_EIG, -1)
-    hks_d = (evec_d ** 2) @ np.exp(-ev_d[:, None] * ts[None, :]).reshape(K_EIG, -1)
-    hks_err = float(np.abs(hks_d - hks_h).max() / (np.abs(hks_h).max() + 1e-30))
-    band_err = float(np.abs(ev_d - ev_h).max() / (ev_h.max() + 1e-30))
-
-    diff_err_p = 0.0
-    for t in ts:
-        dh = evec_h @ (np.exp(-ev_h * t)[:, None]
-                       * (evec_h.T @ (mass[:, None] * x)))
-        dp = evec_p @ (np.exp(-ev_p * t)[:, None]
-                       * (evec_p.T @ (mass[:, None] * x)))
-        diff_err_p = max(diff_err_p, float(np.abs(dp - dh).max()
-                                           / (np.abs(dh).max() + 1e-30)))
-    band_err_p = float(np.abs(ev_p - ev_h).max() / (ev_h.max() + 1e-30))
+    dh_list = _spectral_diffusion(ev_h, evec_h, mass, x, ts)
+    band_err, diff_err, hks_err = eigensolver_parity_errs(
+        ev_h, evec_h, ev_d, evec_d, mass, x, ts, dh_list)
+    band_err_p, diff_err_p, hks_err_p = eigensolver_parity_errs(
+        ev_h, evec_h, np.asarray(ev_p, np.float64),
+        np.asarray(evec_p, np.float64), mass, x, ts, dh_list)
 
     out.update({
         "arpack_host_s": round(t_host, 2),
@@ -147,6 +155,7 @@ def eigensolver_bench(run_host: bool = True):
         "hks_max_rel_err": hks_err,
         "polished_band_max_rel_err": band_err_p,
         "polished_diffusion_output_max_rel_err": diff_err_p,
+        "polished_hks_max_rel_err": hks_err_p,
     })
     return [out]
 

@@ -25,7 +25,7 @@ from typing import Iterator, NamedTuple, Sequence
 import numpy as np
 
 from .. import utils
-from ..geometry.operators import (Operators, get_operators, pad_operators)
+from ..geometry.operators import Operators, pad_operators
 
 LABEL_KINDS = ("global", "vertex", "face")
 
@@ -102,31 +102,15 @@ class SurfaceDataset:
         if normals_list is not None and len(normals_list) != n:
             raise ValueError(f"normals_list has {len(normals_list)} entries "
                              f"for {n} samples")
-        kw = {} if eigensolver is None else {"eigensolver": eigensolver}
-
-        def one(i):
-            if verbose:
-                print(f"precomputing operators {i + 1} / {n}")
-            normals = None if normals_list is None else normals_list[i]
-            return get_operators(
-                self.verts_list[i], self.faces_list[i], k_eig=k_eig,
-                op_cache_dir=op_cache_dir, normals=normals, **kw)
-
-        # device eigensolver on a multi-core host: 2 threads overlap mesh i's
-        # host-side work (band build + f64 polish + assembly) with mesh i+1's
-        # on-chip sweeps (see get_all_operators). Sequential on hosts without
-        # spare cores — host stages dominate and threads would just
-        # time-slice one core (measured neutral, 0.96x, on a 1-core host) —
-        # and for the host ARPACK path (host-bound everywhere).
-        import os
-        from ..geometry.operators import DEFAULT_EIGENSOLVER
+        # delegate to get_all_operators — it owns the pipeline policy
+        # (2-thread host/device overlap for the device eigensolver on
+        # multi-core hosts, sequential otherwise)
+        from ..geometry.operators import get_all_operators, DEFAULT_EIGENSOLVER
         solver = eigensolver if eigensolver is not None else DEFAULT_EIGENSOLVER
-        if solver == "device" and n > 1 and (os.cpu_count() or 1) >= 4:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                self.ops_list = list(ex.map(one, range(n)))
-        else:
-            self.ops_list = [one(i) for i in range(n)]
+        self.ops_list = get_all_operators(
+            self.verts_list, self.faces_list, k_eig,
+            op_cache_dir=op_cache_dir, normals=normals_list,
+            eigensolver=solver, verbose=verbose)
 
 
 def _group_by_bucket(ds: SurfaceDataset, buckets) -> dict[int, list[int]]:

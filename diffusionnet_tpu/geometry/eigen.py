@@ -222,7 +222,10 @@ def _dense_eigh_tiny(L_ell: Ell, massvec, mask, k_eig: int, eps: float,
     A[np.diag_indices_from(A)] += eps
     m = np.asarray(mass, np.float64)[idx]
     w, U = scipy.linalg.eigh(A, np.diag(m))
-    w = np.clip(w[:k_eig], 0.0, None)
+    # subtract the eps regularization like every sibling path (the
+    # eigensolve_device no-polish branch and _rr_polish_host both return
+    # clip(w - eps, 0, ...)) so the zero mode comes back as exactly 0
+    w = np.clip(w[:k_eig] - eps, 0.0, None)
     evecs = np.zeros((L_ell.idx.shape[0], k_eig), np.float64)
     evecs[idx] = U[:, :k_eig]
     if polish is not None:
@@ -835,6 +838,7 @@ def eigensolve_device_sharded(L_ell: Ell, massvec, k_eig: int, mesh,
                          " — pad the operator rows (ell_pad) first")
     if k_eig == 0:
         return jnp.zeros((0,)), jnp.zeros((V, 0))
+    _ensure_compilation_cache()
 
     mask, inv_sqrt_m, bound, n_cols, oversample, lambda_cut = \
         _device_solver_setup(L_ell, massvec, k_eig, n_valid, eps,

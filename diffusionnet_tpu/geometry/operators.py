@@ -351,7 +351,8 @@ def get_all_operators(verts_list, faces_list, k_eig: int,
                       op_cache_dir: str | None = None,
                       normals=None,
                       eigensolver: str = DEFAULT_EIGENSOLVER,
-                      n_workers: int | None = None) -> list[Operators]:
+                      n_workers: int | None = None,
+                      verbose: bool = True) -> list[Operators]:
     """Batch precompute over a list of shapes (reference geometry.py:395-424).
     Returns a list of Operators (vs the reference's 7 parallel lists).
 
@@ -374,7 +375,9 @@ def get_all_operators(verts_list, faces_list, k_eig: int,
                           and (os.cpu_count() or 1) >= 4) else 1
 
     def one(i):
-        print(f"get_all_operators() processing {i} / {N} {i / N * 100:.3f}%")
+        if verbose:
+            print(f"get_all_operators() processing {i} / {N} "
+                  f"{i / N * 100:.3f}%")
         ni = None if normals is None else normals[i]
         return get_operators(verts_list[i], faces_list[i], k_eig,
                              op_cache_dir, normals=ni,

@@ -233,16 +233,21 @@ def tufted_laplacian(verts: np.ndarray, faces: np.ndarray,
     L = scipy.sparse.coo_matrix((vals, (rows, cols)), shape=(V, V)).tocsc()
 
     # barycentric mass from final intrinsic areas (each triangle contributes
-    # a third of its area to each corner; halved for the double cover)
-    tri_first = h[h % 3 == 0]
-    a = length[tri_first]
-    b = length[nxt[tri_first]]
-    c = length[nxt[nxt[tri_first]]]
+    # a third of its area to each corner; halved for the double cover).
+    # Triangles are the 3-cycles of `nxt` — NOT the index triples (3t, 3t+1,
+    # 3t+2): _delaunay_flips rewires nxt/tail, so membership is only
+    # recoverable by following nxt. One representative per cycle = the
+    # halfedge that is the minimum of its cycle.
+    rep = h[(h < nxt[h]) & (h < nxt[nxt[h]])]
+    assert 3 * len(rep) == H, "tufted cover: nxt is not a disjoint 3-cycle set"
+    a = length[rep]
+    b = length[nxt[rep]]
+    c = length[nxt[nxt[rep]]]
     s = 0.5 * (a + b + c)
     area = np.sqrt(np.maximum(s * (s - a) * (s - b) * (s - c), 0.0))
     mass = np.zeros(V, dtype=np.float64)
-    for off in range(3):
-        np.add.at(mass, tail[tri_first + off], area / 6.0)
+    for corner in (rep, nxt[rep], nxt[nxt[rep]]):
+        np.add.at(mass, tail[corner], area / 6.0)
     mass[mass == 0.0] = (mass[mass > 0.0].mean() * 1e-8
                          if (mass > 0).any() else 1.0)
     return L, mass

@@ -81,58 +81,27 @@ def section_bench() -> None:
 
 
 def section_eigen() -> None:
-    """Device-vs-ARPACK gauge-invariant parity at ~20k, k=128 (the unit-test
-    gate's numbers, recorded as an artifact)."""
+    """Device-vs-ARPACK gauge-invariant parity at ~20k, k=128, measured by
+    the SAME procedure as the 200k artifact (bench_large.eigensolver_bench,
+    reused with a mesh override — one copy of the parity math)."""
     sys.path.insert(0, REPO)
-    import numpy as np
     import jax
-    import jax.numpy as jnp
     from tests.meshgen import flat_grid
-    from diffusionnet_tpu.geometry import (cotan_laplacian, vertex_areas,
-                                           eigensolve_host)
-    from diffusionnet_tpu.geometry.eigen import eigensolve_device
-    from diffusionnet_tpu.ops.sparse import Ell, ell_from_coo
-    from diffusionnet_tpu.utils import enable_compilation_cache
-    import time
-    enable_compilation_cache()
+    import bench_large
 
-    verts, faces = flat_grid(n=142, jitter=0.4)
-    V, k = verts.shape[0], 128
-    L = cotan_laplacian(verts, faces)
-    mass = vertex_areas(verts, faces) + 0.0
-    mass = mass + 1e-8 * np.mean(mass)
-    t0 = time.perf_counter()
-    evh, eveh = eigensolve_host(L, mass, k)
-    t_host = time.perf_counter() - t0
-    coo = L.tocoo()
-    ell = ell_from_coo(coo.row, coo.col, coo.data, V)
-    ell = Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val))
-    eigensolve_device(ell, jnp.asarray(mass, jnp.float32), k)  # compile
-    t0 = time.perf_counter()
-    evd, evecd = eigensolve_device(ell, jnp.asarray(mass, jnp.float32), k,
-                                   polish=(L, mass))
-    t_dev = time.perf_counter() - t0
-    evd, evecd = np.asarray(evd, np.float64), np.asarray(evecd, np.float64)
-
-    rng = np.random.RandomState(0)
-    x = rng.randn(V, 4)
-    ts = np.logspace(-3, 0, 6) / max(evh[1], 1e-12)
-    diff = 0.0
-    for t in ts:
-        dh = eveh @ (np.exp(-evh * t)[:, None] * (eveh.T @ (mass[:, None] * x)))
-        dd = evecd @ (np.exp(-evd * t)[:, None] * (evecd.T @ (mass[:, None] * x)))
-        diff = max(diff, float(np.abs(dd - dh).max() / np.abs(dh).max()))
-    hks_h = (eveh ** 2) @ np.exp(-evh[:, None] * ts[None, :])
-    hks_d = (evecd ** 2) @ np.exp(-evd[:, None] * ts[None, :])
+    rec = bench_large.eigensolver_bench(
+        mesh=flat_grid(n=142, jitter=0.4))[0]
+    # the compute_operators default path = device sweeps + f64 polish:
+    # report the polished errors/time under the renderer's field names
     _write_jsonl("eigensolver", [{
-        "metric": f"device (subspace filter + f64 polish) vs ARPACK @ {V} "
-                  f"verts, k={k}",
+        "metric": rec["metric"] + " (device sweeps + f64 polish)",
         "backend": jax.default_backend(),
-        "band_max_rel_err": float(np.abs(evd - evh).max() / evh.max()),
-        "diffusion_output_max_rel_err": diff,
-        "hks_max_rel_err": float(np.abs(hks_d - hks_h).max()
-                                 / np.abs(hks_h).max()),
-        "device_s": round(t_dev, 2), "arpack_s": round(t_host, 2),
+        "band_max_rel_err": rec["polished_band_max_rel_err"],
+        "diffusion_output_max_rel_err":
+            rec["polished_diffusion_output_max_rel_err"],
+        "hks_max_rel_err": rec["polished_hks_max_rel_err"],
+        "device_s": rec["with_f64_polish_s"],
+        "arpack_s": rec["arpack_host_s"],
     }])
 
 

@@ -107,6 +107,18 @@ def test_flips_restore_delaunay_and_positive_weights():
     w_0 = _low_spectrum(L_0, m_0)[1:]
     assert np.max(np.abs(w_f - w_0) / w_0) < 0.06
 
+    # mass-regression gate: intrinsic flips preserve the metric, so total
+    # area is invariant and every barycentric mass stays positive. (The mass
+    # assembly once enumerated triangles by index triples, which flips break
+    # — this mesh produced 164% per-vertex and 2% total-area error.)
+    assert (m_t > 0).all()
+    np.testing.assert_allclose(m_t.sum(), m_0.sum(), rtol=1e-9)
+    # flips move area between the corners of flipped quads (up to ~2.2x per
+    # vertex on this heavily-stretched grid) but never out of the local
+    # neighborhood — bound the ratio as a sanity check
+    ratio = m_t / m_0
+    assert ratio.min() > 0.2 and ratio.max() < 5.0
+
 
 def scipy_diag(L):
     import scipy.sparse
