@@ -256,9 +256,24 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     r[pos] = 1.0 / np.sqrt(m[pos])
     Lcsr = L.tocsr()
 
+    # Fold the M^-1/2 row/col scaling and the eps shift INTO the operator
+    # once (C = r L r + eps r^2 I): each matvec is then a single SpMM with
+    # no per-call elementwise passes over (V, n)-sized temporaries — those
+    # broadcasts cost more than the SpMM itself at 200k. The SpMM goes
+    # through the native threaded axpy kernel (scipy's csr multivector
+    # product is several times slower on a wide B).
+    rows = np.repeat(np.arange(V), np.diff(Lcsr.indptr))
+    C_sp = scipy.sparse.csr_matrix(
+        (Lcsr.data * r[rows] * r[Lcsr.indices], Lcsr.indices, Lcsr.indptr),
+        shape=Lcsr.shape)
+    C_sp = (C_sp + scipy.sparse.diags(eps * r * r)).tocsr()
+    try:
+        from ..native import csr_spmm_native as _spmm
+    except Exception:  # no compiler: scipy fallback
+        _spmm = lambda A, B: A @ B
+
     def matvec(B):
-        return (r[:, None] * (Lcsr @ (r[:, None] * B))
-                + eps * (r[:, None] ** 2) * B)
+        return _spmm(C_sp, B)
 
     # No QR: the generalized eigh(T, G) handles a non-orthonormal basis
     # directly (Y arrives f32-SVQB'd, so G ~ I), and the big O(V n^2) GEMMs
@@ -274,7 +289,10 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
         Z = CY - Y @ scipy.linalg.solve(G0, T0, assume_a="pos")
         zn = np.linalg.norm(Z, axis=0)
         keep = zn > 1e-13 * max(zn.max(), 1e-300)
-        Z = Z[:, keep] / zn[keep]
+        if keep.all():
+            Z /= zn            # in place: the (V, n) column-gather copy of
+        else:                  # the fancy-index path costs seconds at 200k
+            Z = Z[:, keep] / zn[keep]
         CZ = matvec(Z)
         # blockwise T/G for B = [Y, Z] (C symmetric: Z^T C Y = (Y^T C Z)^T)
         YtZ, YtCZ = Y.T @ Z, Y.T @ CZ

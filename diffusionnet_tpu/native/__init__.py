@@ -7,5 +7,5 @@ the native paths accelerate large precompute jobs.
 
 from .build import (  # noqa: F401
     get_lib, knn_native, dijkstra_geodesics_native, steiner_geodesics_native,
-    exact_geodesics_native, cloud_triangles_native,
+    exact_geodesics_native, cloud_triangles_native, csr_spmm_native,
 )

@@ -88,6 +88,14 @@ def get_lib() -> ctypes.CDLL:
         ]
         lib.dnet_cloud_triangles.restype = ctypes.c_int64
 
+        lib.dnet_csr_spmm_f64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+        ]
+        lib.dnet_csr_spmm_f64.restype = None
+
         lib.dnet_ich_geodesics.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
@@ -112,6 +120,25 @@ def _check_faces(faces: np.ndarray, n_verts: int, what: str = "faces"):
     if faces.size and (faces.min() < 0 or faces.max() >= n_verts):
         raise ValueError(f"{what} index out of range [0, {n_verts}): "
                          f"got {faces.min()}..{faces.max()}")
+
+
+def csr_spmm_native(A, B: np.ndarray, n_threads: int = 0) -> np.ndarray:
+    """out = A @ B with A a scipy CSR (V, V) and B a dense (V, C) float64 —
+    the threaded/vectorized replacement for scipy's slow csr-multivector
+    product (see dnet_csr_spmm_f64). n_threads=0: hardware concurrency."""
+    lib = get_lib()
+    if A.shape[0] != A.shape[1] or A.shape[1] != B.shape[0]:
+        raise ValueError(f"shape mismatch: A {A.shape} @ B {B.shape}")
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+    data = np.ascontiguousarray(A.data, dtype=np.float64)
+    B = np.ascontiguousarray(B, dtype=np.float64)
+    out = np.empty((A.shape[0], B.shape[1]), dtype=np.float64)
+    lib.dnet_csr_spmm_f64(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int64),
+        _ptr(data, ctypes.c_double), _ptr(B, ctypes.c_double),
+        A.shape[0], B.shape[1], _ptr(out, ctypes.c_double), n_threads)
+    return out
 
 
 def knn_native(points_target: np.ndarray, points_source: np.ndarray, k: int):
