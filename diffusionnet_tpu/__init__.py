@@ -16,6 +16,9 @@ Architecture (TPU-first, not a port):
   * parallel/  jax.sharding Mesh utilities: data-parallel training via shard_map,
                vertex-sharded inference for very large meshes.
   * training/  generic fit()/evaluate() harness, optax schedules, checkpointing.
+  * serving/   AOT deployment: the forward exported as portable StableHLO
+               artifacts (bucketed static shapes, symbolic batch), loadable
+               with jax + numpy only.
   * native/    C++ (ctypes) host kernels: mesh IO, KD-tree kNN, geodesic distances.
 """
 
@@ -75,6 +78,7 @@ from .models import (
 )
 
 from . import parallel
+from . import serving
 from . import training
 
 __version__ = "0.1.0"

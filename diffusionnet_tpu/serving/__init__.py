@@ -1,0 +1,7 @@
+"""AOT serving: export the forward pass as portable StableHLO artifacts
+(bucketed static vertex shapes, symbolic batch), load + serve without the
+model definition. See serving.export module docstring."""
+
+from .export import ServingModel, export_forward, load_serving_model
+
+__all__ = ["ServingModel", "export_forward", "load_serving_model"]

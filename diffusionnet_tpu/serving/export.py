@@ -1,0 +1,303 @@
+"""AOT serving artifacts: the forward pass exported to portable StableHLO.
+
+The reference "serves" by rebuilding the model class in Python and loading a
+torch state_dict into eager CUDA code (each driver, e.g.
+/root/reference/experiments/human_segmentation_original/human_segmentation_original.py
+model ctor + load_state_dict). The TPU-native story is ahead-of-time:
+`export_forward` traces + lowers the jitted forward ONCE into self-contained
+StableHLO modules (`jax.export`) — one per vertex bucket, batch dimension
+symbolic — and writes them next to the params. A serving process calls
+`load_serving_model(dir)` and needs only jax + numpy: no flax, no model class,
+no geometry stack, no Python retracing; XLA compiles the shipped module for
+whatever backend is present (TPU or CPU), so the same artifact deploys to a
+serving fleet and to a laptop.
+
+Inputs are the production spectral path (dense (V, K) spectral gradient
+operators, see geometry.operators.Operators): x, mass, evals, evecs,
+gradX_spec, gradY_spec — no sparse operators cross the serving boundary, so
+per-mesh ELL degree never leaks into the artifact's shapes. Vertex counts are
+handled exactly like training handles them: a fixed set of static V buckets
+(XLA static shapes); the batch dimension is shape-polymorphic so one artifact
+serves any batch size. `outputs_at='edges'/'faces'` adds one index input with
+a symbolic element count.
+
+Artifact directory layout:
+    manifest.json          io spec, bucket list, metadata
+    params.npz             parameters keyed by '/'-joined pytree path
+    bucket_<V>.stablehlo   jax.export.Exported bytes for vertex bucket V
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Sequence
+
+import numpy as np
+
+MANIFEST_NAME = "manifest.json"
+PARAMS_NAME = "params.npz"
+FORMAT_VERSION = 1
+
+
+# ---------------------------------------------------------------------------
+# params (de)serialization — '/'-joined-path npz, reconstructable WITHOUT a
+# pytree template (unlike training.checkpoint, which restores into a template;
+# the serving loader must not need the model definition to build one)
+
+def _flatten_params(tree, prefix=""):
+    flat = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            k = str(k)
+            if "/" in k:
+                raise ValueError(f"param key {k!r} contains '/'")
+            flat.update(_flatten_params(v, f"{prefix}{k}/"))
+    else:
+        flat[prefix[:-1]] = np.asarray(tree)
+    return flat
+
+
+def _unflatten_params(flat: dict) -> dict:
+    tree: dict = {}
+    for path, leaf in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# export
+
+def _io_kind(outputs_at: str) -> dict:
+    if outputs_at in ("vertices", "global_mean"):
+        return {"index_input": None}
+    if outputs_at == "edges":
+        return {"index_input": "edges", "index_width": 2}
+    if outputs_at == "faces":
+        return {"index_input": "faces", "index_width": 3}
+    raise ValueError(f"unsupported outputs_at={outputs_at!r}")
+
+
+def export_forward(model, params, v_buckets: Sequence[int], out_dir: str,
+                   k_eig: int, platforms: Sequence[str] = ("cpu", "tpu"),
+                   extra_metadata: dict | None = None) -> str:
+    """Export `model.apply(params, ...)` (deterministic forward, spectral path)
+    as a portable serving artifact under `out_dir`.
+
+    model: a models.DiffusionNet (any outputs_at). params: its init pytree.
+    v_buckets: static vertex paddings to export, e.g. (1024, 4096, 16384).
+    k_eig: the spectral basis width the operators were computed with.
+    platforms: lowering targets baked into each module; falls back to the
+    current default backend if cross-platform lowering is unavailable.
+
+    Returns out_dir. Loading needs only `load_serving_model` (jax + numpy).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    if model.diffusion_method != "spectral":
+        raise ValueError("export_forward supports diffusion_method='spectral' "
+                         "(the production serving path)")
+    v_buckets = sorted(set(int(v) for v in v_buckets))
+    if not v_buckets:
+        raise ValueError("need at least one vertex bucket")
+    io = _io_kind(model.outputs_at)
+
+    os.makedirs(out_dir, exist_ok=True)
+    f32 = jnp.float32
+
+    def make_fwd(with_inds: str | None):
+        if with_inds is None:
+            def fwd(params, x, mass, evals, evecs, gX, gY):
+                return model.apply(params, x, mass, evals=evals, evecs=evecs,
+                                   gradX=gX, gradY=gY)
+        elif with_inds == "edges":
+            def fwd(params, x, mass, evals, evecs, gX, gY, inds):
+                return model.apply(params, x, mass, evals=evals, evecs=evecs,
+                                   gradX=gX, gradY=gY, edges=inds)
+        else:
+            def fwd(params, x, mass, evals, evecs, gX, gY, inds):
+                return model.apply(params, x, mass, evals=evals, evecs=evecs,
+                                   gradX=gX, gradY=gY, faces=inds)
+        return fwd
+
+    fwd = make_fwd(io["index_input"])
+    params_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        params)
+
+    used_platforms = list(platforms)
+    for v in v_buckets:
+        if io["index_input"] is None:
+            b, = jexport.symbolic_shape("b")
+            args = (jax.ShapeDtypeStruct((b, v, model.c_in), f32),
+                    jax.ShapeDtypeStruct((b, v), f32),
+                    jax.ShapeDtypeStruct((b, k_eig), f32),
+                    jax.ShapeDtypeStruct((b, v, k_eig), f32),
+                    jax.ShapeDtypeStruct((b, v, k_eig), f32),
+                    jax.ShapeDtypeStruct((b, v, k_eig), f32))
+        else:
+            b, e = jexport.symbolic_shape("b, e")
+            args = (jax.ShapeDtypeStruct((b, v, model.c_in), f32),
+                    jax.ShapeDtypeStruct((b, v), f32),
+                    jax.ShapeDtypeStruct((b, k_eig), f32),
+                    jax.ShapeDtypeStruct((b, v, k_eig), f32),
+                    jax.ShapeDtypeStruct((b, v, k_eig), f32),
+                    jax.ShapeDtypeStruct((b, v, k_eig), f32),
+                    jax.ShapeDtypeStruct((b, e, io["index_width"]),
+                                         jnp.int32))
+        try:
+            exported = jexport.export(jax.jit(fwd),
+                                      platforms=used_platforms)(
+                params_spec, *args)
+        except Exception:
+            if used_platforms == [jax.default_backend()]:
+                raise
+            # cross-platform lowering unavailable (e.g. missing plugin
+            # lowering rules on this host): fall back to the local backend
+            used_platforms = [jax.default_backend()]
+            exported = jexport.export(jax.jit(fwd),
+                                      platforms=used_platforms)(
+                params_spec, *args)
+        with open(os.path.join(out_dir, f"bucket_{v}.stablehlo"), "wb") as f:
+            f.write(exported.serialize())
+
+    flat = _flatten_params(jax.tree.map(lambda a: np.asarray(a), params))
+    np.savez(os.path.join(out_dir, PARAMS_NAME), **flat)
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "c_in": int(model.c_in),
+        "c_out": int(model.c_out),
+        "k_eig": int(k_eig),
+        "outputs_at": model.outputs_at,
+        "index_input": io["index_input"],
+        "v_buckets": v_buckets,
+        "platforms": used_platforms,
+        "batch_symbolic": True,
+        "metadata": extra_metadata or {},
+    }
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# load + serve
+
+class ServingModel:
+    """A loaded serving artifact: callable, bucket-dispatching forward.
+
+    call(x, mass, evals, evecs, gradX_spec, gradY_spec, inds=None)
+      x: (V, c_in) or (B, V, c_in) float; operators shaped to match
+      (geometry.Operators fields; inds = edges/faces indices when the artifact
+      was exported with outputs_at='edges'/'faces').
+    Vertex counts are padded up to the smallest exported bucket >= V; the
+    output is sliced back to V (vertex outputs) or returned as-is
+    (global_mean). K wider than the artifact's k_eig is truncated (the
+    spectral basis is ordered); narrower is an error.
+    """
+
+    def __init__(self, manifest: dict, params: dict, buckets: dict):
+        self.manifest = manifest
+        self.params = params
+        self._buckets = buckets  # v -> jax.export.Exported
+
+    @property
+    def v_buckets(self):
+        return sorted(self._buckets)
+
+    def pick_bucket(self, v: int) -> int:
+        """Smallest exported vertex bucket >= v (the serving dispatch rule)."""
+        for b in self.v_buckets:
+            if v <= b:
+                return b
+        raise ValueError(
+            f"mesh has {v} vertices but the largest exported bucket is "
+            f"{self.v_buckets[-1]}; re-export with a larger bucket")
+
+    def __call__(self, x, mass, evals, evecs, gradX_spec, gradY_spec,
+                 inds=None):
+        import jax.numpy as jnp
+
+        m = self.manifest
+        unbatched = np.ndim(x) == 2
+        atleast3 = (lambda a: a[None]) if unbatched else (lambda a: a)
+        x, mass = atleast3(np.asarray(x)), atleast3(np.asarray(mass))
+        evals, evecs = atleast3(np.asarray(evals)), atleast3(np.asarray(evecs))
+        gX, gY = atleast3(np.asarray(gradX_spec)), atleast3(
+            np.asarray(gradY_spec))
+        if m["index_input"] is not None:
+            if inds is None:
+                raise ValueError(
+                    f"artifact was exported with outputs_at="
+                    f"{m['outputs_at']!r}; pass inds={m['index_input']}")
+            inds = atleast3(np.asarray(inds, np.int32))
+
+        if x.shape[-1] != m["c_in"]:
+            raise ValueError(f"x has {x.shape[-1]} channels; artifact "
+                             f"expects c_in={m['c_in']}")
+        k = evals.shape[-1]
+        if k < m["k_eig"]:
+            raise ValueError(f"operators have K={k} < artifact k_eig="
+                             f"{m['k_eig']}; recompute with larger k_eig")
+        if k > m["k_eig"]:  # ordered spectral basis: truncation is exact
+            kk = m["k_eig"]
+            evals, evecs = evals[..., :kk], evecs[..., :kk]
+            gX, gY = gX[..., :kk], gY[..., :kk]
+
+        v = x.shape[-2]
+        bucket = self.pick_bucket(v)
+        if bucket != v:
+            pad_v = lambda a: np.pad(
+                a, [(0, 0)] * (a.ndim - 2) + [(0, bucket - v), (0, 0)])
+            x, evecs, gX, gY = pad_v(x), pad_v(evecs), pad_v(gX), pad_v(gY)
+            mass = np.pad(mass, [(0, 0), (0, bucket - v)])
+
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        args = (self.params, f32(x), f32(mass), f32(evals), f32(evecs),
+                f32(gX), f32(gY))
+        if m["index_input"] is not None:
+            args = args + (jnp.asarray(inds, jnp.int32),)
+        out = self._buckets[bucket].call(*args)
+
+        if m["outputs_at"] == "vertices" and bucket != v:
+            out = out[..., :v, :]
+        if unbatched:
+            out = out[0]
+        return out
+
+    def call_operators(self, x, ops, inds=None):
+        """Convenience: forward from a geometry.Operators bundle (uses the
+        dense spectral gradient operators; requires ops.gradX_spec)."""
+        if ops.gradX_spec is None:
+            raise ValueError("Operators bundle lacks spectral gradient "
+                             "operators (computed by compute_operators)")
+        return self(x, ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                    ops.gradY_spec, inds=inds)
+
+
+def load_serving_model(artifact_dir: str) -> ServingModel:
+    """Load an artifact written by export_forward. Needs jax + numpy only."""
+    from jax import export as jexport
+
+    with open(os.path.join(artifact_dir, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    if manifest.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported artifact format_version="
+            f"{manifest.get('format_version')} (this build reads "
+            f"{FORMAT_VERSION})")
+    npz = np.load(os.path.join(artifact_dir, PARAMS_NAME))
+    params = _unflatten_params({k: npz[k] for k in npz.files})
+    buckets = {}
+    for v in manifest["v_buckets"]:
+        with open(os.path.join(artifact_dir, f"bucket_{v}.stablehlo"),
+                  "rb") as f:
+            buckets[int(v)] = jexport.deserialize(f.read())
+    return ServingModel(manifest, params, buckets)

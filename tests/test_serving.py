@@ -1,0 +1,216 @@
+"""AOT serving artifacts: export -> load -> serve parity and hermeticity.
+
+The artifact contract (serving/export.py): self-contained StableHLO per
+vertex bucket + params npz + manifest; loads with jax + numpy only (no model
+definition); symbolic batch; pads V to the bucket and slices back."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffusionnet_tpu.geometry import compute_operators, stack_operators
+from diffusionnet_tpu.models import DiffusionNet
+from diffusionnet_tpu.serving import export_forward, load_serving_model
+from tests.meshgen import icosphere
+
+K = 16
+V_BUCKET = 256
+
+
+def _setup(outputs_at="vertices", c_out=5):
+    verts, faces = icosphere(subdivisions=2)  # 162 verts
+    ops = compute_operators(verts, faces, k_eig=K)
+    model = DiffusionNet(c_in=3, c_out=c_out, c_width=16, n_block=2,
+                         dropout=False, outputs_at=outputs_at)
+    sops = stack_operators([ops], v_pad=V_BUCKET)
+    x = np.zeros((1, V_BUCKET, 3), np.float32)
+    x[0, :verts.shape[0]] = verts
+    kw = dict(evals=jnp.asarray(sops.evals), evecs=jnp.asarray(sops.evecs),
+              gradX=jnp.asarray(sops.gradX_spec),
+              gradY=jnp.asarray(sops.gradY_spec))
+    if outputs_at == "faces":
+        kw_init = dict(kw, faces=jnp.asarray(faces, jnp.int32)[None])
+    elif outputs_at == "edges":
+        raise NotImplementedError("tests use vertices/faces")
+    else:
+        kw_init = kw
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(sops.mass), **kw_init)
+    return verts, faces, ops, sops, model, params, x, kw
+
+
+@pytest.fixture(scope="module")
+def vertex_artifact(tmp_path_factory):
+    verts, faces, ops, sops, model, params, x, kw = _setup()
+    ref = model.apply(params, jnp.asarray(x), jnp.asarray(sops.mass), **kw)
+    d = str(tmp_path_factory.mktemp("serving_artifact"))
+    export_forward(model, params, v_buckets=(V_BUCKET, 2 * V_BUCKET),
+                   out_dir=d, k_eig=K)
+    return dict(dir=d, verts=verts, ops=ops, sops=sops, x=x,
+                ref=np.asarray(ref))
+
+
+def test_roundtrip_parity_batched(vertex_artifact):
+    a = vertex_artifact
+    sm = load_serving_model(a["dir"])
+    out = sm(a["x"], a["sops"].mass, a["sops"].evals, a["sops"].evecs,
+             a["sops"].gradX_spec, a["sops"].gradY_spec)
+    np.testing.assert_allclose(np.asarray(out), a["ref"], rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_unbatched_unpadded_input_pads_to_bucket(vertex_artifact):
+    a = vertex_artifact
+    sm = load_serving_model(a["dir"])
+    v = a["verts"].shape[0]
+    ops = a["ops"]
+    out = sm(a["verts"].astype(np.float32), ops.mass, ops.evals, ops.evecs,
+             ops.gradX_spec, ops.gradY_spec)
+    assert out.shape == (v, a["ref"].shape[-1])
+    np.testing.assert_allclose(np.asarray(out), a["ref"][0, :v], rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_symbolic_batch_serves_any_batch_size(vertex_artifact):
+    a = vertex_artifact
+    sm = load_serving_model(a["dir"])
+    s = a["sops"]
+    rep = lambda arr: np.tile(np.asarray(arr), (3,) + (1,) * (arr.ndim - 1))
+    out = sm(rep(a["x"]), rep(s.mass), rep(s.evals), rep(s.evecs),
+             rep(s.gradX_spec), rep(s.gradY_spec))
+    assert out.shape[0] == 3
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(out[i]), a["ref"][0],
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_k_truncation_and_errors(vertex_artifact):
+    a = vertex_artifact
+    sm = load_serving_model(a["dir"])
+    ops = a["ops"]
+    v = a["verts"].shape[0]
+    pad_k = lambda arr: np.pad(np.asarray(arr), [(0, 0)] * (arr.ndim - 1)
+                               + [(0, 4)])
+    # K wider than the artifact: exact truncation (basis is ordered)
+    out = sm(a["verts"].astype(np.float32), ops.mass, pad_k(ops.evals),
+             pad_k(ops.evecs), pad_k(ops.gradX_spec), pad_k(ops.gradY_spec))
+    np.testing.assert_allclose(np.asarray(out), a["ref"][0, :v], rtol=2e-5,
+                               atol=2e-6)
+    # K narrower: error
+    with pytest.raises(ValueError, match="k_eig"):
+        sm(a["verts"].astype(np.float32), ops.mass, ops.evals[:4],
+           ops.evecs[:, :4], ops.gradX_spec[:, :4], ops.gradY_spec[:, :4])
+    # wrong channel count: error
+    with pytest.raises(ValueError, match="c_in"):
+        sm(np.zeros((v, 7), np.float32), ops.mass, ops.evals, ops.evecs,
+           ops.gradX_spec, ops.gradY_spec)
+    # V beyond every bucket: error
+    big = 3 * V_BUCKET
+    with pytest.raises(ValueError, match="bucket"):
+        sm(np.zeros((big, 3), np.float32), np.ones(big, np.float32),
+           ops.evals, np.zeros((big, K), np.float32),
+           np.zeros((big, K), np.float32), np.zeros((big, K), np.float32))
+
+
+def test_manifest_contents(vertex_artifact):
+    with open(os.path.join(vertex_artifact["dir"], "manifest.json")) as f:
+        m = json.load(f)
+    assert m["c_in"] == 3 and m["k_eig"] == K
+    assert m["v_buckets"] == [V_BUCKET, 2 * V_BUCKET]
+    assert m["outputs_at"] == "vertices" and m["index_input"] is None
+
+
+def test_faces_output_artifact(tmp_path):
+    verts, faces, ops, sops, model, params, x, kw = _setup(
+        outputs_at="faces", c_out=4)
+    f_inds = jnp.asarray(faces, jnp.int32)[None]
+    ref = model.apply(params, jnp.asarray(x), jnp.asarray(sops.mass),
+                      faces=f_inds, **kw)
+    d = str(tmp_path / "faces_artifact")
+    export_forward(model, params, v_buckets=(V_BUCKET,), out_dir=d, k_eig=K)
+    sm = load_serving_model(d)
+    with pytest.raises(ValueError, match="inds"):
+        sm(x, sops.mass, sops.evals, sops.evecs, sops.gradX_spec,
+           sops.gradY_spec)
+    out = sm(x, sops.mass, sops.evals, sops.evecs, sops.gradX_spec,
+             sops.gradY_spec, inds=np.asarray(f_inds))
+    assert out.shape == (1, faces.shape[0], 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
+    # symbolic element count: a face subset through the same module
+    out_half = sm(x, sops.mass, sops.evals, sops.evecs, sops.gradX_spec,
+                  sops.gradY_spec, inds=np.asarray(f_inds)[:, ::2])
+    np.testing.assert_allclose(np.asarray(out_half),
+                               np.asarray(ref)[:, ::2], rtol=2e-5, atol=2e-6)
+
+
+def test_call_operators_convenience(vertex_artifact):
+    a = vertex_artifact
+    sm = load_serving_model(a["dir"])
+    v = a["verts"].shape[0]
+    out = sm.call_operators(a["verts"].astype(np.float32), a["ops"])
+    np.testing.assert_allclose(np.asarray(out), a["ref"][0, :v], rtol=2e-5,
+                               atol=2e-6)
+
+
+_HERMETIC_LOADER = r"""
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")  # the experimental TPU plugin
+# force-overrides JAX_PLATFORMS at interpreter start (see tests/conftest.py)
+
+# The artifact must load + run WITHOUT the model stack: ban flax and the
+# model/geometry/ops packages, then load serving/export.py by FILE PATH so
+# the diffusionnet_tpu package __init__ (which pulls the full stack) never
+# runs. This proves the serving module's only deps are jax + numpy.
+import builtins
+_real_import = builtins.__import__
+def guarded(name, *a, **k):
+    if (name == "flax" or name.startswith("flax.")
+            or name.startswith("diffusionnet_tpu")):
+        raise ImportError(f"hermetic serving loader tried to import {name}")
+    return _real_import(name, *a, **k)
+builtins.__import__ = guarded
+
+import importlib.util
+spec = importlib.util.spec_from_file_location("serving_export", sys.argv[3])
+serving = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(serving)
+
+artifact, inputs = sys.argv[1], sys.argv[2]
+z = np.load(inputs)
+sm = serving.load_serving_model(artifact)
+out = sm(z["x"], z["mass"], z["evals"], z["evecs"], z["gX"], z["gY"])
+print("CHECKSUM", float(np.abs(np.asarray(out) - z["ref"]).max()))
+"""
+
+
+def test_hermetic_subprocess_load(vertex_artifact, tmp_path):
+    """A fresh process loads + serves the artifact with flax and every
+    diffusionnet_tpu package import banned (serving/export.py loaded by file
+    path) — the serving boundary is real: jax + numpy only."""
+    import diffusionnet_tpu.serving.export as serving_export
+    a = vertex_artifact
+    s = a["sops"]
+    inputs = str(tmp_path / "inputs.npz")
+    np.savez(inputs, x=a["x"], mass=s.mass, evals=s.evals, evecs=s.evecs,
+             gX=s.gradX_spec, gY=s.gradY_spec, ref=a["ref"])
+    script = str(tmp_path / "loader.py")
+    with open(script, "w") as f:
+        f.write(_HERMETIC_LOADER)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, script, a["dir"], inputs, serving_export.__file__],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert proc.returncode == 0, proc.stderr
+    line = [l for l in proc.stdout.splitlines() if l.startswith("CHECKSUM")]
+    assert line, proc.stdout
+    assert float(line[0].split()[1]) < 1e-4
