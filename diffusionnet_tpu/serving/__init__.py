@@ -2,6 +2,20 @@
 (bucketed static vertex shapes, symbolic batch), load + serve without the
 model definition. See serving.export module docstring."""
 
-from .export import ServingModel, export_forward, load_serving_model
+from .export import (
+    ServingModel,
+    ShardedServingModel,
+    export_forward,
+    export_sharded_forward,
+    load_serving_model,
+    load_sharded_serving_model,
+)
 
-__all__ = ["ServingModel", "export_forward", "load_serving_model"]
+__all__ = [
+    "ServingModel",
+    "ShardedServingModel",
+    "export_forward",
+    "export_sharded_forward",
+    "load_serving_model",
+    "load_sharded_serving_model",
+]

@@ -21,10 +21,21 @@ handled exactly like training handles them: a fixed set of static V buckets
 serves any batch size. `outputs_at='edges'/'faces'` adds one index input with
 a symbolic element count.
 
+Two artifact kinds share the directory layout:
+  * kind="forward" (export_forward / load_serving_model): single-device,
+    one module per vertex bucket, symbolic batch.
+  * kind="sharded_forward" (export_sharded_forward /
+    load_sharded_serving_model): ONE large surface vertex-sharded over an
+    n-device mesh axis — the exported module embeds the GSPMD shardings, so
+    the serving fleet gets the same collective schedule the exporter
+    validated (all V-sized traffic stays device-local; the spectral
+    projection reduces over shards).
+
 Artifact directory layout:
     manifest.json          io spec, bucket list, metadata
     params.npz             parameters keyed by '/'-joined pytree path
     bucket_<V>.stablehlo   jax.export.Exported bytes for vertex bucket V
+    sharded_<V>x<n>.stablehlo   sharded module (kind="sharded_forward")
 """
 
 from __future__ import annotations
@@ -172,6 +183,7 @@ def export_forward(model, params, v_buckets: Sequence[int], out_dir: str,
 
     manifest = {
         "format_version": FORMAT_VERSION,
+        "kind": "forward",
         "c_in": int(model.c_in),
         "c_out": int(model.c_out),
         "k_eig": int(k_eig),
@@ -180,6 +192,99 @@ def export_forward(model, params, v_buckets: Sequence[int], out_dir: str,
         "v_buckets": v_buckets,
         "platforms": used_platforms,
         "batch_symbolic": True,
+        "metadata": extra_metadata or {},
+    }
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+def export_sharded_forward(model, params, v_bucket: int, out_dir: str,
+                           k_eig: int, mesh=None, n_devices: int | None = None,
+                           platforms: Sequence[str] = ("cpu", "tpu"),
+                           extra_metadata: dict | None = None) -> str:
+    """Export a VERTEX-SHARDED forward for one large surface (the 200k+-vertex
+    serving case) as a portable artifact.
+
+    The jitted forward is exported with its GSPMD shardings baked in: every
+    (V, ...) input/output row-sharded over an n-device 'vert' mesh axis,
+    params/evals replicated (parallel.vertex_sharded's recipe — the spectral
+    projection phi^T(m x) becomes local matmul + psum; all V-sized traffic
+    stays device-local). Loading (`load_sharded_serving_model`) rebuilds an
+    n-device mesh and serves a surface padded to v_bucket.
+
+    mesh: a jax.sharding.Mesh with a 'vert' axis to export against; or pass
+    n_devices to build one from jax.devices()[:n]. outputs_at must be
+    'vertices' or 'global_mean' (edges/faces remaps gather across shards —
+    serve those via the bucketed single-device artifact instead).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if model.diffusion_method != "spectral":
+        raise ValueError("export_sharded_forward supports "
+                         "diffusion_method='spectral'")
+    if model.outputs_at not in ("vertices", "global_mean"):
+        raise ValueError("sharded serving supports outputs_at='vertices' or "
+                         "'global_mean'")
+    if mesh is None:
+        if n_devices is None:
+            raise ValueError("pass mesh= or n_devices=")
+        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("vert",))
+    n = int(np.prod(mesh.devices.shape))
+    if v_bucket % n != 0:
+        raise ValueError(f"v_bucket={v_bucket} not divisible by the mesh's "
+                         f"{n} devices")
+
+    vs1 = NamedSharding(mesh, P("vert"))
+    vs2 = NamedSharding(mesh, P("vert", None))
+    repl = NamedSharding(mesh, P())
+
+    def fwd(params, x, mass, evals, evecs, gX, gY):
+        return model.apply(params, x, mass, evals=evals, evecs=evecs,
+                           gradX=gX, gradY=gY)
+
+    out_sharding = vs2 if model.outputs_at == "vertices" else repl
+    jfwd = jax.jit(fwd,
+                   in_shardings=(repl, vs2, vs1, repl, vs2, vs2, vs2),
+                   out_shardings=out_sharding)
+    f32 = jnp.float32
+    sds = lambda shape: jax.ShapeDtypeStruct(shape, f32)
+    params_spec = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        params)
+    v = int(v_bucket)
+    args = (sds((v, model.c_in)), sds((v,)), sds((k_eig,)), sds((v, k_eig)),
+            sds((v, k_eig)), sds((v, k_eig)))
+
+    used_platforms = list(platforms)
+    try:
+        exported = jexport.export(jfwd, platforms=used_platforms)(
+            params_spec, *args)
+    except Exception:
+        if used_platforms == [jax.default_backend()]:
+            raise
+        used_platforms = [jax.default_backend()]
+        exported = jexport.export(jfwd, platforms=used_platforms)(
+            params_spec, *args)
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, f"sharded_{v}x{n}.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    flat = _flatten_params(jax.tree.map(lambda a: np.asarray(a), params))
+    np.savez(os.path.join(out_dir, PARAMS_NAME), **flat)
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "kind": "sharded_forward",
+        "c_in": int(model.c_in),
+        "c_out": int(model.c_out),
+        "k_eig": int(k_eig),
+        "outputs_at": model.outputs_at,
+        "v_bucket": v,
+        "n_devices": n,
+        "platforms": used_platforms,
         "metadata": extra_metadata or {},
     }
     with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
@@ -282,10 +387,84 @@ class ServingModel:
                     ops.gradY_spec, inds=inds)
 
 
-def load_serving_model(artifact_dir: str) -> ServingModel:
-    """Load an artifact written by export_forward. Needs jax + numpy only."""
-    from jax import export as jexport
+class ShardedServingModel:
+    """A loaded vertex-sharded artifact: serves ONE large surface over an
+    n-device mesh. call(x, mass, evals, evecs, gradX_spec, gradY_spec) with
+    unbatched (V, ...) inputs; V is padded to the exported bucket and vertex
+    outputs sliced back. The module's GSPMD shardings are embedded — XLA
+    re-materializes the exporter's collective schedule on the local devices."""
 
+    def __init__(self, manifest: dict, params: dict, exported, devices=None):
+        import jax
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        self.manifest = manifest
+        self._exported = exported
+        n = manifest["n_devices"]
+        devices = list(jax.devices() if devices is None else devices)
+        if len(devices) < n:
+            raise ValueError(
+                f"artifact was exported for {n} devices; only "
+                f"{len(devices)} available (pass devices= to override)")
+        self.mesh = Mesh(np.array(devices[:n]), ("vert",))
+        self._vs1 = NamedSharding(self.mesh, P("vert"))
+        self._vs2 = NamedSharding(self.mesh, P("vert", None))
+        self._repl = NamedSharding(self.mesh, P())
+        self.params = jax.device_put(params, self._repl)
+
+    def __call__(self, x, mass, evals, evecs, gradX_spec, gradY_spec):
+        import jax
+        import jax.numpy as jnp
+
+        m = self.manifest
+        x, mass = np.asarray(x), np.asarray(mass)
+        evals, evecs = np.asarray(evals), np.asarray(evecs)
+        gX, gY = np.asarray(gradX_spec), np.asarray(gradY_spec)
+        if x.ndim != 2:
+            raise ValueError("sharded serving takes ONE surface: x (V, c_in)")
+        if x.shape[-1] != m["c_in"]:
+            raise ValueError(f"x has {x.shape[-1]} channels; artifact "
+                             f"expects c_in={m['c_in']}")
+        k = evals.shape[-1]
+        if k < m["k_eig"]:
+            raise ValueError(f"operators have K={k} < artifact k_eig="
+                             f"{m['k_eig']}; recompute with larger k_eig")
+        if k > m["k_eig"]:
+            kk = m["k_eig"]
+            evals, evecs = evals[:kk], evecs[:, :kk]
+            gX, gY = gX[:, :kk], gY[:, :kk]
+
+        v, bucket = x.shape[0], m["v_bucket"]
+        if v > bucket:
+            raise ValueError(f"surface has {v} vertices > exported bucket "
+                             f"{bucket}; re-export with a larger bucket")
+        if v < bucket:
+            pad2 = lambda a: np.pad(a, [(0, bucket - v), (0, 0)])
+            x, evecs, gX, gY = pad2(x), pad2(evecs), pad2(gX), pad2(gY)
+            mass = np.pad(mass, (0, bucket - v))
+
+        put1 = lambda a: jax.device_put(jnp.asarray(a, jnp.float32),
+                                        self._vs1)
+        put2 = lambda a: jax.device_put(jnp.asarray(a, jnp.float32),
+                                        self._vs2)
+        out = self._exported.call(
+            self.params, put2(x), put1(mass),
+            jax.device_put(jnp.asarray(evals, jnp.float32), self._repl),
+            put2(evecs), put2(gX), put2(gY))
+        if m["outputs_at"] == "vertices" and bucket != v:
+            out = out[:v]
+        return out
+
+    def call_operators(self, x, ops):
+        """Forward from a geometry.Operators bundle (needs ops.gradX_spec)."""
+        if ops.gradX_spec is None:
+            raise ValueError("Operators bundle lacks spectral gradient "
+                             "operators (computed by compute_operators)")
+        return self(x, ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                    ops.gradY_spec)
+
+
+def _read_manifest_params(artifact_dir: str):
     with open(os.path.join(artifact_dir, MANIFEST_NAME)) as f:
         manifest = json.load(f)
     if manifest.get("format_version") != FORMAT_VERSION:
@@ -295,9 +474,39 @@ def load_serving_model(artifact_dir: str) -> ServingModel:
             f"{FORMAT_VERSION})")
     npz = np.load(os.path.join(artifact_dir, PARAMS_NAME))
     params = _unflatten_params({k: npz[k] for k in npz.files})
+    return manifest, params
+
+
+def load_serving_model(artifact_dir: str) -> ServingModel:
+    """Load an artifact written by export_forward. Needs jax + numpy only."""
+    from jax import export as jexport
+
+    manifest, params = _read_manifest_params(artifact_dir)
+    kind = manifest.get("kind", "forward")
+    if kind != "forward":
+        raise ValueError(f"artifact kind={kind!r}; use "
+                         "load_sharded_serving_model for sharded artifacts")
     buckets = {}
     for v in manifest["v_buckets"]:
         with open(os.path.join(artifact_dir, f"bucket_{v}.stablehlo"),
                   "rb") as f:
             buckets[int(v)] = jexport.deserialize(f.read())
     return ServingModel(manifest, params, buckets)
+
+
+def load_sharded_serving_model(artifact_dir: str,
+                               devices=None) -> ShardedServingModel:
+    """Load an artifact written by export_sharded_forward. Needs jax + numpy
+    only; builds an n-device 'vert' mesh from `devices` (default
+    jax.devices())."""
+    from jax import export as jexport
+
+    manifest, params = _read_manifest_params(artifact_dir)
+    kind = manifest.get("kind", "forward")
+    if kind != "sharded_forward":
+        raise ValueError(f"artifact kind={kind!r}; use load_serving_model "
+                         "for bucketed single-device artifacts")
+    name = f"sharded_{manifest['v_bucket']}x{manifest['n_devices']}.stablehlo"
+    with open(os.path.join(artifact_dir, name), "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return ShardedServingModel(manifest, params, exported, devices=devices)

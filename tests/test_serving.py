@@ -17,7 +17,10 @@ import jax.numpy as jnp
 
 from diffusionnet_tpu.geometry import compute_operators, stack_operators
 from diffusionnet_tpu.models import DiffusionNet
-from diffusionnet_tpu.serving import export_forward, load_serving_model
+from diffusionnet_tpu.serving import (export_forward,
+                                      export_sharded_forward,
+                                      load_serving_model,
+                                      load_sharded_serving_model)
 from tests.meshgen import icosphere
 
 K = 16
@@ -158,6 +161,66 @@ def test_call_operators_convenience(vertex_artifact):
     out = sm.call_operators(a["verts"].astype(np.float32), a["ops"])
     np.testing.assert_allclose(np.asarray(out), a["ref"][0, :v], rtol=2e-5,
                                atol=2e-6)
+
+
+def test_sharded_artifact_roundtrip(tmp_path):
+    """Vertex-sharded export -> load -> serve over a 4-device CPU mesh
+    matches the single-device forward; padding + K truncation + guards."""
+    from jax.sharding import Mesh
+
+    verts, faces, ops, sops, model, params, x, kw = _setup()
+    ref = model.apply(params, jnp.asarray(x), jnp.asarray(sops.mass), **kw)
+    d = str(tmp_path / "sharded_artifact")
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("vert",))
+    export_sharded_forward(model, params, v_bucket=V_BUCKET, out_dir=d,
+                           k_eig=K, mesh=mesh)
+    with pytest.raises(ValueError, match="sharded"):
+        load_serving_model(d)  # kind dispatch
+    sm = load_sharded_serving_model(d, devices=jax.devices("cpu"))
+    v = verts.shape[0]
+    out = sm.call_operators(verts.astype(np.float32), ops)
+    assert out.shape == (v, ref.shape[-1])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[0, :v],
+                               rtol=2e-5, atol=2e-6)
+    # K wider than the artifact: exact truncation
+    pad_k = lambda arr: np.pad(np.asarray(arr), [(0, 0)] * (arr.ndim - 1)
+                               + [(0, 4)])
+    out2 = sm(verts.astype(np.float32), ops.mass, pad_k(ops.evals),
+              pad_k(ops.evecs), pad_k(ops.gradX_spec), pad_k(ops.gradY_spec))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref)[0, :v],
+                               rtol=2e-5, atol=2e-6)
+    # guards: batched input, oversized surface, bad bucket/device counts
+    with pytest.raises(ValueError, match="ONE surface"):
+        sm(x, sops.mass, sops.evals, sops.evecs, sops.gradX_spec,
+           sops.gradY_spec)
+    big = 2 * V_BUCKET
+    with pytest.raises(ValueError, match="bucket"):
+        sm(np.zeros((big, 3), np.float32), np.ones(big, np.float32),
+           ops.evals, np.zeros((big, K), np.float32),
+           np.zeros((big, K), np.float32), np.zeros((big, K), np.float32))
+    with pytest.raises(ValueError, match="devices"):
+        load_sharded_serving_model(d, devices=jax.devices("cpu")[:2])
+    with pytest.raises(ValueError, match="divisible"):
+        export_sharded_forward(model, params, v_bucket=V_BUCKET + 2,
+                               out_dir=str(tmp_path / "bad"), k_eig=K,
+                               mesh=mesh)
+
+
+def test_sharded_artifact_global_mean(tmp_path):
+    from jax.sharding import Mesh
+
+    verts, faces, ops, sops, model, params, x, kw = _setup(
+        outputs_at="global_mean", c_out=6)
+    ref = model.apply(params, jnp.asarray(x), jnp.asarray(sops.mass), **kw)
+    d = str(tmp_path / "gm_artifact")
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("vert",))
+    export_sharded_forward(model, params, v_bucket=V_BUCKET, out_dir=d,
+                           k_eig=K, mesh=mesh)
+    sm = load_sharded_serving_model(d, devices=jax.devices("cpu"))
+    out = sm.call_operators(verts.astype(np.float32), ops)
+    assert out.shape == (6,)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[0],
+                               rtol=2e-5, atol=2e-6)
 
 
 _HERMETIC_LOADER = r"""
