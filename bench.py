@@ -74,6 +74,24 @@ def build_inputs():
     return jax.tree.map(jnp.asarray, ops), jnp.asarray(x), verts.shape[0]
 
 
+def _probe_device(timeout_s: float = 300.0) -> str | None:
+    """Fail fast when the accelerator is unreachable (the axon TPU tunnel
+    can hang jax.devices() indefinitely when it is down): probe device init
+    in a subprocess with a hard timeout. Returns the error string, or None
+    when the backend is usable."""
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return f"device init did not complete within {timeout_s:.0f}s"
+    if proc.returncode != 0:
+        return (proc.stderr or "device init failed").strip()[-500:]
+    return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -209,4 +227,15 @@ def main():
 
 
 if __name__ == "__main__":
+    err = _probe_device()
+    if err is not None:
+        print(json.dumps({
+            "metric": "fwd+bwd meshes/sec @ ~20k verts (NOT RUN: "
+                      "accelerator unreachable)",
+            "value": 0.0,
+            "unit": "meshes/sec",
+            "vs_baseline": 0.0,
+            "error": err,
+        }))
+        raise SystemExit(1)
     main()
