@@ -248,7 +248,8 @@ def fit(model, train_ds, test_ds, cfg: FitConfig,
         resume_from: str | None = None):
     """Train `model` on train_ds, evaluating on test_ds each epoch.
 
-    Returns (params, history). `geodesic_eval(params, predict_fn)` is an
+    Returns (params, history, evaluate) where `evaluate(params, ds)` is the
+    jitted accuracy function. `geodesic_eval(params, predict_fn)` is an
     optional extra per-epoch metric hook (used by sampling_invariance).
     With cfg.data_parallel, batches are sharded over `devices` (default: all)
     and XLA auto-parallelizes the step (gradient all-reduce over ICI).
