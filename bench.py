@@ -230,8 +230,9 @@ if __name__ == "__main__":
     err = _probe_device()
     if err is not None:
         print(json.dumps({
-            "metric": "fwd+bwd meshes/sec @ ~20k verts (NOT RUN: "
-                      "accelerator unreachable)",
+            "metric": ("fwd-only" if MODE == "fwd" else "fwd+bwd")
+                      + " meshes/sec @ ~20k verts (NOT RUN: "
+                        "accelerator unreachable)",
             "value": 0.0,
             "unit": "meshes/sec",
             "vs_baseline": 0.0,

@@ -269,7 +269,10 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     C_sp = (C_sp + scipy.sparse.diags(eps * r * r)).tocsr()
     try:
         from ..native import csr_spmm_native as _spmm
-    except Exception:  # no compiler: scipy fallback
+        from ..native.build import get_lib
+        get_lib()  # compile now: the lazy build raises at first CALL, so
+        # probing here keeps the documented no-compiler scipy fallback alive
+    except Exception:  # no compiler / build failure: scipy fallback
         _spmm = lambda A, B: A @ B
 
     def matvec(B):

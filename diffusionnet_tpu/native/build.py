@@ -129,6 +129,8 @@ def csr_spmm_native(A, B: np.ndarray, n_threads: int = 0) -> np.ndarray:
     lib = get_lib()
     if A.shape[0] != A.shape[1] or A.shape[1] != B.shape[0]:
         raise ValueError(f"shape mismatch: A {A.shape} @ B {B.shape}")
+    if A.format != "csr":  # a CSC here would silently compute A.T @ B
+        A = A.tocsr()
     indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
     indices = np.ascontiguousarray(A.indices, dtype=np.int64)
     data = np.ascontiguousarray(A.data, dtype=np.float64)

@@ -83,6 +83,51 @@ def _unflatten_params(flat: dict) -> dict:
 # ---------------------------------------------------------------------------
 # export
 
+_PORTABLE_PLATFORMS = ("cpu", "tpu")
+
+
+def _params_spec(params):
+    """Shape/dtype skeleton of the param pytree WITHOUT transferring device
+    arrays to host (jax arrays and np arrays both expose .shape/.dtype)."""
+    import jax
+
+    return jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(
+            np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype),
+        params)
+
+
+def _export_with_platforms(jfn, spec_args, platforms):
+    """jax.export with honest platform semantics: an EXPLICIT platforms list
+    is honored exactly (failure raises — never silently ship an artifact for
+    a different target than requested); platforms=None tries the portable
+    ('cpu', 'tpu') pair and falls back to the local backend only when
+    cross-platform lowering is unavailable on this host.
+
+    Returns (used_platforms, exported)."""
+    import jax
+    from jax import export as jexport
+
+    if platforms is not None:
+        used = list(platforms)
+        return used, jexport.export(jfn, platforms=used)(*spec_args)
+    used = list(_PORTABLE_PLATFORMS)
+    try:
+        return used, jexport.export(jfn, platforms=used)(*spec_args)
+    except Exception:
+        used = [jax.default_backend()]
+        return used, jexport.export(jfn, platforms=used)(*spec_args)
+
+
+def _write_params_manifest(out_dir: str, params, manifest: dict) -> None:
+    import jax
+
+    flat = _flatten_params(jax.tree.map(lambda a: np.asarray(a), params))
+    np.savez(os.path.join(out_dir, PARAMS_NAME), **flat)
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
 def _io_kind(outputs_at: str) -> dict:
     if outputs_at in ("vertices", "global_mean"):
         return {"index_input": None}
@@ -94,7 +139,7 @@ def _io_kind(outputs_at: str) -> dict:
 
 
 def export_forward(model, params, v_buckets: Sequence[int], out_dir: str,
-                   k_eig: int, platforms: Sequence[str] = ("cpu", "tpu"),
+                   k_eig: int, platforms: Sequence[str] | None = None,
                    extra_metadata: dict | None = None) -> str:
     """Export `model.apply(params, ...)` (deterministic forward, spectral path)
     as a portable serving artifact under `out_dir`.
@@ -102,8 +147,10 @@ def export_forward(model, params, v_buckets: Sequence[int], out_dir: str,
     model: a models.DiffusionNet (any outputs_at). params: its init pytree.
     v_buckets: static vertex paddings to export, e.g. (1024, 4096, 16384).
     k_eig: the spectral basis width the operators were computed with.
-    platforms: lowering targets baked into each module; falls back to the
-    current default backend if cross-platform lowering is unavailable.
+    platforms: lowering targets baked into each module. An explicit list is
+    honored exactly (failure raises); the default None targets ('cpu', 'tpu')
+    and falls back to the local backend if cross-platform lowering is
+    unavailable on this host.
 
     Returns out_dir. Loading needs only `load_serving_model` (jax + numpy).
     """
@@ -138,11 +185,10 @@ def export_forward(model, params, v_buckets: Sequence[int], out_dir: str,
         return fwd
 
     fwd = make_fwd(io["index_input"])
-    params_spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
-        params)
+    params_spec = _params_spec(params)
 
-    used_platforms = list(platforms)
+    used_platforms = platforms  # decided by the first bucket's export; every
+    # bucket then uses the same list so the manifest is true for all of them
     for v in v_buckets:
         if io["index_input"] is None:
             b, = jexport.symbolic_shape("b")
@@ -162,24 +208,10 @@ def export_forward(model, params, v_buckets: Sequence[int], out_dir: str,
                     jax.ShapeDtypeStruct((b, v, k_eig), f32),
                     jax.ShapeDtypeStruct((b, e, io["index_width"]),
                                          jnp.int32))
-        try:
-            exported = jexport.export(jax.jit(fwd),
-                                      platforms=used_platforms)(
-                params_spec, *args)
-        except Exception:
-            if used_platforms == [jax.default_backend()]:
-                raise
-            # cross-platform lowering unavailable (e.g. missing plugin
-            # lowering rules on this host): fall back to the local backend
-            used_platforms = [jax.default_backend()]
-            exported = jexport.export(jax.jit(fwd),
-                                      platforms=used_platforms)(
-                params_spec, *args)
+        used_platforms, exported = _export_with_platforms(
+            jax.jit(fwd), (params_spec, *args), used_platforms)
         with open(os.path.join(out_dir, f"bucket_{v}.stablehlo"), "wb") as f:
             f.write(exported.serialize())
-
-    flat = _flatten_params(jax.tree.map(lambda a: np.asarray(a), params))
-    np.savez(os.path.join(out_dir, PARAMS_NAME), **flat)
 
     manifest = {
         "format_version": FORMAT_VERSION,
@@ -194,14 +226,13 @@ def export_forward(model, params, v_buckets: Sequence[int], out_dir: str,
         "batch_symbolic": True,
         "metadata": extra_metadata or {},
     }
-    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_params_manifest(out_dir, params, manifest)
     return out_dir
 
 
 def export_sharded_forward(model, params, v_bucket: int, out_dir: str,
                            k_eig: int, mesh=None, n_devices: int | None = None,
-                           platforms: Sequence[str] = ("cpu", "tpu"),
+                           platforms: Sequence[str] | None = None,
                            extra_metadata: dict | None = None) -> str:
     """Export a VERTEX-SHARDED forward for one large surface (the 200k+-vertex
     serving case) as a portable artifact.
@@ -220,7 +251,6 @@ def export_sharded_forward(model, params, v_bucket: int, out_dir: str,
     """
     import jax
     import jax.numpy as jnp
-    from jax import export as jexport
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     if model.diffusion_method != "spectral":
@@ -232,7 +262,14 @@ def export_sharded_forward(model, params, v_bucket: int, out_dir: str,
     if mesh is None:
         if n_devices is None:
             raise ValueError("pass mesh= or n_devices=")
-        mesh = Mesh(np.array(jax.devices()[:n_devices]), ("vert",))
+        devs = jax.devices()
+        if len(devs) < n_devices:
+            # a short slice would silently export the wrong shard topology
+            raise ValueError(
+                f"n_devices={n_devices} but only {len(devs)} devices are "
+                f"available on this host; export on a host with >= "
+                f"{n_devices} devices (or pass an explicit mesh=)")
+        mesh = Mesh(np.array(devs[:n_devices]), ("vert",))
     n = int(np.prod(mesh.devices.shape))
     if v_bucket % n != 0:
         raise ValueError(f"v_bucket={v_bucket} not divisible by the mesh's "
@@ -252,29 +289,17 @@ def export_sharded_forward(model, params, v_bucket: int, out_dir: str,
                    out_shardings=out_sharding)
     f32 = jnp.float32
     sds = lambda shape: jax.ShapeDtypeStruct(shape, f32)
-    params_spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
-        params)
+    params_spec = _params_spec(params)
     v = int(v_bucket)
     args = (sds((v, model.c_in)), sds((v,)), sds((k_eig,)), sds((v, k_eig)),
             sds((v, k_eig)), sds((v, k_eig)))
 
-    used_platforms = list(platforms)
-    try:
-        exported = jexport.export(jfwd, platforms=used_platforms)(
-            params_spec, *args)
-    except Exception:
-        if used_platforms == [jax.default_backend()]:
-            raise
-        used_platforms = [jax.default_backend()]
-        exported = jexport.export(jfwd, platforms=used_platforms)(
-            params_spec, *args)
+    used_platforms, exported = _export_with_platforms(
+        jfwd, (params_spec, *args), platforms)
 
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, f"sharded_{v}x{n}.stablehlo"), "wb") as f:
         f.write(exported.serialize())
-    flat = _flatten_params(jax.tree.map(lambda a: np.asarray(a), params))
-    np.savez(os.path.join(out_dir, PARAMS_NAME), **flat)
     manifest = {
         "format_version": FORMAT_VERSION,
         "kind": "sharded_forward",
@@ -287,13 +312,21 @@ def export_sharded_forward(model, params, v_bucket: int, out_dir: str,
         "platforms": used_platforms,
         "metadata": extra_metadata or {},
     }
-    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_params_manifest(out_dir, params, manifest)
     return out_dir
 
 
 # ---------------------------------------------------------------------------
 # load + serve
+
+def _call_from_operators(serving_model, x, ops, **kw):
+    """Shared body of {ServingModel,ShardedServingModel}.call_operators."""
+    if ops.gradX_spec is None:
+        raise ValueError("Operators bundle lacks spectral gradient "
+                         "operators (computed by compute_operators)")
+    return serving_model(x, ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                         ops.gradY_spec, **kw)
+
 
 class ServingModel:
     """A loaded serving artifact: callable, bucket-dispatching forward.
@@ -309,9 +342,16 @@ class ServingModel:
     """
 
     def __init__(self, manifest: dict, params: dict, buckets: dict):
+        import jax
+
         self.manifest = manifest
         self.params = params
         self._buckets = buckets  # v -> jax.export.Exported
+        # jit-wrap each module's call once: Exported.call alone rebuilds its
+        # wrapper and dispatches eagerly per request; under jit the serving
+        # hot loop hits the compiled-executable cache (one entry per
+        # (bucket, concrete batch size))
+        self._fns = {v: jax.jit(ex.call) for v, ex in buckets.items()}
 
     @property
     def v_buckets(self):
@@ -369,7 +409,7 @@ class ServingModel:
                 f32(gX), f32(gY))
         if m["index_input"] is not None:
             args = args + (jnp.asarray(inds, jnp.int32),)
-        out = self._buckets[bucket].call(*args)
+        out = self._fns[bucket](*args)
 
         if m["outputs_at"] == "vertices" and bucket != v:
             out = out[..., :v, :]
@@ -380,11 +420,7 @@ class ServingModel:
     def call_operators(self, x, ops, inds=None):
         """Convenience: forward from a geometry.Operators bundle (uses the
         dense spectral gradient operators; requires ops.gradX_spec)."""
-        if ops.gradX_spec is None:
-            raise ValueError("Operators bundle lacks spectral gradient "
-                             "operators (computed by compute_operators)")
-        return self(x, ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
-                    ops.gradY_spec, inds=inds)
+        return _call_from_operators(self, x, ops, inds=inds)
 
 
 class ShardedServingModel:
@@ -400,6 +436,7 @@ class ShardedServingModel:
 
         self.manifest = manifest
         self._exported = exported
+        self._fn = jax.jit(exported.call)  # cached-executable dispatch
         n = manifest["n_devices"]
         devices = list(jax.devices() if devices is None else devices)
         if len(devices) < n:
@@ -447,7 +484,7 @@ class ShardedServingModel:
                                         self._vs1)
         put2 = lambda a: jax.device_put(jnp.asarray(a, jnp.float32),
                                         self._vs2)
-        out = self._exported.call(
+        out = self._fn(
             self.params, put2(x), put1(mass),
             jax.device_put(jnp.asarray(evals, jnp.float32), self._repl),
             put2(evecs), put2(gX), put2(gY))
@@ -457,11 +494,7 @@ class ShardedServingModel:
 
     def call_operators(self, x, ops):
         """Forward from a geometry.Operators bundle (needs ops.gradX_spec)."""
-        if ops.gradX_spec is None:
-            raise ValueError("Operators bundle lacks spectral gradient "
-                             "operators (computed by compute_operators)")
-        return self(x, ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
-                    ops.gradY_spec)
+        return _call_from_operators(self, x, ops)
 
 
 def _read_manifest_params(artifact_dir: str):

@@ -418,3 +418,49 @@ def test_eigensolve_device_midratio_dense_path(mesh_kind, k, recwarn):
     np.testing.assert_allclose(
         Ed[:, :j] @ (Ed[:, :j].T * Mw), Eh[:, :j] @ (Eh[:, :j].T * Mw),
         atol=2e-3)
+
+
+def test_rr_polish_scipy_fallback_without_native(sphere_mesh, monkeypatch):
+    """The documented no-compiler fallback: when the native build is
+    unavailable, _rr_polish_host must degrade to scipy SpMM, not crash at
+    the first matvec (the lazy get_lib() raises at CALL time, so the
+    fallback probe must force the build before choosing the kernel)."""
+    import diffusionnet_tpu.native.build as build
+    from diffusionnet_tpu.geometry.eigen import _rr_polish_host
+
+    verts, faces = sphere_mesh
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    k = 8
+    rng = np.random.RandomState(3)
+    Y = rng.randn(L.shape[0], k + 4)
+
+    ev_native, Q_native = _rr_polish_host(L, mass, Y, k_eig=k, eps=1e-8)
+
+    def boom():
+        raise RuntimeError("native build failed (simulated: no compiler)")
+
+    monkeypatch.setattr(build, "get_lib", boom)
+    ev_fb, Q_fb = _rr_polish_host(L, mass, Y, k_eig=k, eps=1e-8)
+    np.testing.assert_allclose(ev_fb, ev_native, rtol=1e-10, atol=1e-12)
+    # same subspace (gauge-invariant projector comparison)
+    m = np.asarray(mass, np.float64)
+    P = lambda Q: Q @ (Q.T * m[None, :])
+    np.testing.assert_allclose(P(Q_fb), P(Q_native), atol=1e-9)
+
+
+def test_csr_spmm_native_accepts_csc():
+    """A CSC operand must not silently compute A.T @ B (same attrs, row/col
+    pointers swapped) — the kernel converts to CSR first."""
+    import scipy.sparse
+    from diffusionnet_tpu.native import csr_spmm_native
+
+    rng = np.random.RandomState(0)
+    A = scipy.sparse.random(64, 64, density=0.1, random_state=rng,
+                            format="csr")
+    A = (A - 2 * A.T).tocsr()  # deliberately non-symmetric
+    B = rng.randn(64, 5)
+    ref = A @ B
+    np.testing.assert_allclose(csr_spmm_native(A, B), ref, atol=1e-12)
+    np.testing.assert_allclose(csr_spmm_native(A.tocsc(), B), ref,
+                               atol=1e-12)

@@ -277,3 +277,49 @@ def test_hermetic_subprocess_load(vertex_artifact, tmp_path):
     line = [l for l in proc.stdout.splitlines() if l.startswith("CHECKSUM")]
     assert line, proc.stdout
     assert float(line[0].split()[1]) < 1e-4
+
+
+def test_export_sharded_rejects_too_few_devices(tmp_path):
+    """n_devices larger than the host's device count must raise, not
+    silently export a smaller mesh with the wrong shard topology."""
+    *_, model, params, x, kw = _setup()
+    with pytest.raises(ValueError, match="available"):
+        export_sharded_forward(model, params, v_bucket=V_BUCKET,
+                               out_dir=str(tmp_path / "nope"), k_eig=K,
+                               n_devices=1024)
+
+
+def test_explicit_platforms_honored(tmp_path, monkeypatch):
+    """An explicit platforms list is recorded exactly; when lowering for an
+    explicitly requested target fails, the exporter raises instead of
+    silently shipping an artifact for a different backend (the default
+    platforms=None keeps the local-backend fallback)."""
+    import json as _json
+
+    *_, model, params, x, kw = _setup()
+    d = str(tmp_path / "cpu_only")
+    export_forward(model, params, v_buckets=(V_BUCKET,), out_dir=d, k_eig=K,
+                   platforms=("cpu",))
+    with open(f"{d}/manifest.json") as f:
+        assert _json.load(f)["platforms"] == ["cpu"]
+
+    # simulate a host where cross-platform lowering is unavailable
+    import jax.export as jexport
+    real_export = jexport.export
+
+    def failing_export(fn, platforms=None, **kw2):
+        if platforms and list(platforms) != [jax.default_backend()]:
+            raise NotImplementedError("no lowering for requested platforms")
+        return real_export(fn, platforms=platforms, **kw2)
+
+    monkeypatch.setattr(jexport, "export", failing_export)
+    # explicit request: must propagate the failure
+    with pytest.raises(NotImplementedError):
+        export_forward(model, params, v_buckets=(V_BUCKET,),
+                       out_dir=str(tmp_path / "bad"), k_eig=K,
+                       platforms=("cpu", "tpu"))
+    # default request: falls back to the local backend and records it
+    d2 = str(tmp_path / "local_fb")
+    export_forward(model, params, v_buckets=(V_BUCKET,), out_dir=d2, k_eig=K)
+    with open(f"{d2}/manifest.json") as f:
+        assert _json.load(f)["platforms"] == [jax.default_backend()]
