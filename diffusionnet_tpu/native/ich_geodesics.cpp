@@ -308,19 +308,25 @@ class Solver {
   // conservative-safe. Returns false when nothing survives.
   bool trim_stored(StoredWin& w) const {
     const HalfEdge& h = he_[w.he];
+    // endpoint distances computed once; after a clip the new endpoint sits ON
+    // the crossing, where the window distance equals the vertex path exactly
+    double f0 = fdist(w, w.b0), f1 = fdist(w, w.b1);
     double ds = dist_[h.src];
-    if (ds + w.b0 <= fdist(w, w.b0) + kEps) {  // src path wins at b0
-      if (ds + w.b1 <= fdist(w, w.b1) + kEps) return false;
+    if (ds + w.b0 <= f0 + kEps) {  // src path wins at b0
+      if (ds + w.b1 <= f1 + kEps) return false;
       double c = ds - w.sigma;  // solve sqrt((p-sx)^2+sy^2) = c + p
       double den = 2.0 * (w.sx + c);
       if (std::fabs(den) > kEps) {
         double p = (w.sx * w.sx + w.sy * w.sy - c * c) / den;
-        if (p > w.b0 && p < w.b1) w.b0 = p;
+        if (p > w.b0 && p < w.b1) {
+          w.b0 = p;
+          f0 = w.sigma + c + p;  // = fdist(w, p) at the crossing
+        }
       }
     }
     double dd = dist_[h.dst], L = h.len;
-    if (dd + (L - w.b1) <= fdist(w, w.b1) + kEps) {  // dst path wins at b1
-      if (dd + (L - w.b0) <= fdist(w, w.b0) + kEps) return false;
+    if (dd + (L - w.b1) <= f1 + kEps) {  // dst path wins at b1
+      if (dd + (L - w.b0) <= f0 + kEps) return false;
       double c2 = dd + L - w.sigma;  // solve sqrt((p-sx)^2+sy^2) = c2 - p
       double den = 2.0 * (c2 - w.sx);
       if (std::fabs(den) > kEps) {
@@ -589,9 +595,6 @@ class Solver {
       return r;
     };
 
-    Hit l0 = hit_left(w.b0), l1 = hit_left(w.b1);
-    Hit r0 = hit_right(w.b0), r1 = hit_right(w.b1);
-
     auto push = [&](int32_t edge_he, double t_lo, double t_hi,
                     double x_lo, double y_lo, double x_hi, double y_hi,
                     double edge_len) {
@@ -603,6 +606,14 @@ class Solver {
                     dist2d(sx - x_lo, sy - y_lo),
                     dist2d(sx - x_hi, sy - y_hi), w.sigma);
     };
+    auto push_left = [&](const Hit& a, const Hit& b) {
+      push(t.next, a.t, b.t, a.x, a.y, b.x, b.y, e1.len);
+    };
+    auto push_right = [&](const Hit& a, const Hit& b) {
+      push(e1.next, a.t, b.t, a.x, a.y, b.x, b.y, e2.len);
+    };
+    const Hit hit_apex_l{true, 1.0, ax, ay};   // apex endpoint on the left edge
+    const Hit hit_apex_r{true, 0.0, ax, ay};   // apex endpoint on the right edge
 
     // strict apex-straddle test: the apex must lie INSIDE the window's cone;
     // a loose OR over ray hits can relax the apex through an invalid straight
@@ -610,18 +621,37 @@ class Solver {
     bool through_apex = (c0 > kEps && c1 < -kEps) || (c0 < -kEps && c1 > kEps);
     if (through_apex) {
       relax(pq, apex, w.sigma + d_apex);
-      if (l0.ok) push(t.next, l0.t, 1.0, l0.x, l0.y, ax, ay, e1.len);
-      if (r1.ok) push(e1.next, 0.0, r1.t, ax, ay, r1.x, r1.y, e2.len);
-    } else if (l0.ok && l1.ok) {
-      push(t.next, l0.t, l1.t, l0.x, l0.y, l1.x, l1.y, e1.len);
-    } else if (r0.ok && r1.ok) {
-      push(e1.next, r0.t, r1.t, r0.x, r0.y, r1.x, r1.y, e2.len);
-    } else if (l0.ok && r1.ok) {
-      // rays hit different edges but the strict straddle test was inconclusive
-      // (apex grazing a ray): split at the apex WITHOUT relaxing it directly —
-      // the pushed windows' endpoint relaxations reach it through valid paths
-      push(t.next, l0.t, 1.0, l0.x, l0.y, ax, ay, e1.len);
-      push(e1.next, 0.0, r1.t, ax, ay, r1.x, r1.y, e2.len);
+      Hit l0 = hit_left(w.b0), r1 = hit_right(w.b1);
+      if (l0.ok) push_left(l0, hit_apex_l);
+      if (r1.ok) push_right(hit_apex_r, r1);
+      return;
+    }
+    // both endpoint rays pass on one side of the apex (c > 0: left of the
+    // ray is the apex -> the cone exits the LEFT far edge; c < 0: right),
+    // so try that edge first — the common case costs 2 ray intersections,
+    // not 4 — and keep the full fallback chain for numerical slivers
+    if (c0 > 0.0 || c1 > 0.0) {
+      Hit l0 = hit_left(w.b0), l1 = hit_left(w.b1);
+      if (l0.ok && l1.ok) { push_left(l0, l1); return; }
+      Hit r0 = hit_right(w.b0), r1 = hit_right(w.b1);
+      if (r0.ok && r1.ok) { push_right(r0, r1); return; }
+      if (l0.ok && r1.ok) {
+        // rays hit different edges but the strict straddle test was
+        // inconclusive (apex grazing a ray): split at the apex WITHOUT
+        // relaxing it directly — the pushed windows' endpoint relaxations
+        // reach it through valid paths
+        push_left(l0, hit_apex_l);
+        push_right(hit_apex_r, r1);
+      }
+    } else {
+      Hit r0 = hit_right(w.b0), r1 = hit_right(w.b1);
+      if (r0.ok && r1.ok) { push_right(r0, r1); return; }
+      Hit l0 = hit_left(w.b0), l1 = hit_left(w.b1);
+      if (l0.ok && l1.ok) { push_left(l0, l1); return; }
+      if (l0.ok && r1.ok) {
+        push_left(l0, hit_apex_l);
+        push_right(hit_apex_r, r1);
+      }
     }
     // remaining combinations are numerical slivers; dropping them can only
     // lose coverage (over-estimate), never produce an invalid short path
