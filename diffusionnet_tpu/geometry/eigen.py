@@ -551,7 +551,8 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                       seed: int = 777,
                       polish=None,
                       banded: bool | None = None,
-                      verbose: bool = False):
+                      verbose: bool = False,
+                      timings: dict | None = None):
     """TPU eigensolver for the k smallest generalized eigenpairs of
     L phi = lambda M phi — residual-converged Chebyshev-filtered subspace
     iteration (see the module docstring for the algorithm).
@@ -585,11 +586,20 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     Raises RuntimeError if the wanted band has not converged after
     max_sweeps (callers may retry with a larger budget or fall back to the
     host ladder — compute_operators does exactly that).
+    timings: optional dict; records wall seconds of the internal stages
+    (eigen_band_build, eigen_sweeps, eigen_polish) for bench breakdowns.
 
     Memory: 3 live (V, n_cols) f32 blocks plus matmul temporaries — 1M x 128
     fits a single 16 GB chip (unlike LOBPCG's 3x extended basis). For
     multi-chip scaling see eigensolve_device_sharded."""
     del n_iter
+    import time as _time
+
+    def _mark(stage, t0):
+        if timings is not None:
+            timings[stage] = timings.get(stage, 0.0) + _time.perf_counter() - t0
+        return _time.perf_counter()
+
     if cheb_degree is not None and cheb_degree < 2:
         raise ValueError(f"cheb_degree must be >= 2, got {cheb_degree} "
                          "(the recurrence always consumes degrees 0..1)")
@@ -639,8 +649,10 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     band_rep = None
     if banded is not False:
         from ..ops.banded import banded_from_sparse_device
+        t0 = _time.perf_counter()
         L_host = polish[0] if polish is not None else _ell_to_scipy(L_ell)
         band_rep = banded_from_sparse_device(L_host)
+        _mark("eigen_band_build", t0)
         if band_rep is None and banded is True:
             raise RuntimeError("banded=True but the RCM-reordered bandwidth "
                                "exceeds the band-size budget")
@@ -662,6 +674,7 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         X0 = jnp.where(mkp_j[:, None],
                        jax.random.normal(key, (n_pad, n_cols), jnp.float32),
                        0.0)
+        t0 = _time.perf_counter()
         X, w = _converge(
             lambda X, lo: _split_sweep(
                 lambda Xs, los: _dev_filter_gram_banded(
@@ -676,9 +689,12 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         # back to the original vertex order
         X_orig = np.zeros((V, n_cols), np.float32)
         X_orig[perm] = np.asarray(X)[:V]
+        t0 = _mark("eigen_sweeps", t0)
         if polish is not None:
             L_sp, mass_f64 = polish
-            return _rr_polish_host(L_sp, mass_f64, X_orig, k_eig, eps)
+            out = _rr_polish_host(L_sp, mass_f64, X_orig, k_eig, eps)
+            _mark("eigen_polish", t0)
+            return out
         evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
         evecs = inv_sqrt_m[:, None] * jnp.asarray(X_orig[:, :k_eig])
         return evals, evecs
@@ -694,6 +710,7 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     if gather_bytes * n_cols > 1.5e9:
         col_chunk = max(16, int(1.5e9 / gather_bytes) // 16 * 16)
 
+    t0 = _time.perf_counter()
     X, w = _converge(
         lambda X, lo: _split_sweep(
             lambda Xs, los: _dev_filter_gram_ell(
@@ -705,10 +722,13 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
             X, lo),
         X0, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
         "eigensolve_device")
+    t0 = _mark("eigen_sweeps", t0)
 
     if polish is not None:
         L_sp, mass_f64 = polish
-        return _rr_polish_host(L_sp, mass_f64, np.asarray(X), k_eig, eps)
+        out = _rr_polish_host(L_sp, mass_f64, np.asarray(X), k_eig, eps)
+        _mark("eigen_polish", t0)
+        return out
     evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
     evecs = inv_sqrt_m[:, None] * X[:, :k_eig]
     return evals, evecs

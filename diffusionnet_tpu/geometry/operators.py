@@ -99,7 +99,8 @@ DEFAULT_EIGENSOLVER = "device"
 def compute_operators(verts, faces, k_eig: int, normals=None,
                       dtype=np.float32,
                       eigensolver: str = DEFAULT_EIGENSOLVER,
-                      _return_sparse: bool = False):
+                      _return_sparse: bool = False,
+                      timings: dict | None = None):
     """Build spectral operators for a mesh or point cloud (numpy in / Operators out).
 
     verts: (V,3); faces: (F,3) int or empty/None for a point cloud; k_eig: number
@@ -107,7 +108,23 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
     Laplacian+mass (cotan for meshes, Sharp-Crane-style for clouds), ARPACK-ladder
     eigendecomposition, least-squares tangent gradients over the Laplacian's edge
     set (mesh) or a 30-NN graph (cloud).
+
+    timings: optional dict; when given, per-stage wall seconds are recorded
+    into it (keys: frames, laplacian, eigensolve, build_grad,
+    spectral_grad, ell_convert) so callers (bench_large) can publish a
+    cold-precompute stage breakdown.
     """
+    import time as _time
+    _t = {"last": _time.perf_counter()}
+
+    def _mark(stage):
+        if timings is not None:
+            now = _time.perf_counter()
+            timings[stage] = timings.get(stage, 0.0) + now - _t["last"]
+            _t["last"] = now
+        else:
+            _t["last"] = _time.perf_counter()
+
     verts_np = np.asarray(verts, dtype=np.float64)
     faces_np = (np.asarray(faces, dtype=np.int64)
                 if faces is not None and np.asarray(faces).size else
@@ -119,6 +136,7 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
         normals = np.asarray(normals, dtype=np.float64)
     frames = build_tangent_frames_np(verts_np, faces_np if not is_cloud else None,
                                      normals=normals)
+    _mark("frames")
 
     # Laplacian + lumped mass
     if is_cloud:
@@ -132,6 +150,7 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
         raise RuntimeError("NaN Laplace matrix")
     if np.isnan(massvec_np).any():
         raise RuntimeError("NaN mass matrix")
+    _mark("laplacian")
 
     # Eigenbasis: the TPU-resident Chebyshev-filtered subspace iteration is
     # the PRIMARY solver (default) — the heaviest precompute stage runs
@@ -158,7 +177,7 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
             ev, evec = eigensolve_device(
                 Ell(jnp.asarray(ell.idx), jnp.asarray(ell.val)),
                 jnp.asarray(massvec_np.astype(np.float32)), k_eig, eps=eps,
-                polish=(L, massvec_np))
+                polish=(L, massvec_np), timings=timings)
             evals_np = np.asarray(ev, dtype=np.float64)
             evecs_np = np.asarray(evec, dtype=np.float64)
         except RuntimeError as e:
@@ -169,6 +188,7 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
                                                  eps=eps)
     else:
         raise ValueError("eigensolver must be 'host' or 'device'")
+    _mark("eigensolve")
 
     # Gradient operator: mesh edges = Laplacian sparsity (reference
     # geometry.py:331-334,375); clouds use a 30-NN graph.
@@ -179,6 +199,7 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
         edges = np.stack((L_coo.row, L_coo.col), axis=0)
         edge_vecs = edge_tangent_vectors_np(verts_np, frames, edges)
         grad_mat = build_grad(verts_np.shape[0], edges, edge_vecs)
+    _mark("build_grad")
 
     # Split the complex gradient into two real sparse mats (reference
     # geometry.py:380-382 does the same for torch's benefit; here it maps onto
@@ -190,12 +211,15 @@ def compute_operators(verts, faces, k_eig: int, normals=None,
 
     gradX_ell = _csc_to_ell(gradX_sp, dtype=dtype)
     gradY_ell = _csc_to_ell(gradY_sp, dtype=dtype)
+    L_ell = _csc_to_ell(L, dtype=dtype)
+    _mark("ell_convert")
     gX_spec, gY_spec = spectral_gradients(gradX_sp, gradY_sp,
                                           evecs_np.astype(dtype))
+    _mark("spectral_grad")
     ops = Operators(
         frames=frames.astype(dtype),
         mass=massvec_np.astype(dtype),
-        L=_csc_to_ell(L, dtype=dtype),
+        L=L_ell,
         evals=evals_np.astype(dtype),
         evecs=evecs_np.astype(dtype),
         gradX=gradX_ell,
@@ -248,7 +272,8 @@ def _read_sp_mat(npzfile, prefix) -> scipy.sparse.csc_matrix:
 def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = None,
                   normals=None, overwrite_cache: bool = False,
                   dtype=np.float32, eigensolver: str = DEFAULT_EIGENSOLVER,
-                  cache_only: bool = False) -> Operators | None:
+                  cache_only: bool = False,
+                  timings: dict | None = None) -> Operators | None:
     """compute_operators with reference-compatible disk caching
     (geometry.py:426-570): SHA1-of-bytes key, linear probing on collision, exact
     array-equality verification, k_eig truncation on load, race-tolerant writes.
@@ -340,10 +365,15 @@ def get_operators(verts, faces, k_eig: int = 128, op_cache_dir: str | None = Non
     ops, sparse_mats = compute_operators(verts_np, faces_np, k_eig,
                                          normals=normals, dtype=dtype,
                                          eigensolver=eigensolver,
-                                         _return_sparse=True)
+                                         _return_sparse=True,
+                                         timings=timings)
     if search_path is not None:
+        import time as _time
+        t0 = _time.perf_counter()
         _write_cache(search_path, np.asarray(verts_np, dtype=np.float64),
                      faces_np, k_eig, ops, sparse_mats)
+        if timings is not None:
+            timings["cache_write"] = _time.perf_counter() - t0
     return ops
 
 

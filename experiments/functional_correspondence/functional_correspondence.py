@@ -144,10 +144,11 @@ def main():
         if os.path.exists(cand):
             args.load_model = cand
     if args.load_model:
-        if args.load_model.endswith(".npz"):
+        if args.load_model.endswith((".npz", ".pth")):
+            # converted .npz OR the reference's original torch .pth directly
             sys.path.insert(0, os.path.join(base_path, "..", "tools"))
-            from convert_torch_checkpoint import load_converted
-            params = load_converted(args.load_model)
+            from convert_torch_checkpoint import load_reference_checkpoint
+            params = load_reference_checkpoint(args.load_model, fmaps=True)
         else:
             params = restore_checkpoint(args.load_model, params)
     if args.evaluate and not args.load_model:

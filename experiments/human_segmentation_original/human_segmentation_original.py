@@ -76,10 +76,11 @@ def main():
                              input_features=cfg.input_features,
                              labels_kind="face")
         params, _, evaluate = fit(model, test_dataset, test_dataset, eval_cfg)
-        if args.load_model.endswith(".npz"):
+        if args.load_model.endswith((".npz", ".pth")):
+            # converted .npz OR the reference's original torch .pth directly
             sys.path.insert(0, os.path.join(base_path, "..", "tools"))
-            from convert_torch_checkpoint import load_converted
-            params = load_converted(args.load_model)
+            from convert_torch_checkpoint import load_reference_checkpoint
+            params = load_reference_checkpoint(args.load_model)
         else:
             params = restore_checkpoint(args.load_model, params)
         print(f"Overall test accuracy: "

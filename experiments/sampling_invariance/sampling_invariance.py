@@ -144,7 +144,13 @@ def main():
                              input_features=cfg.input_features,
                              labels_kind="vertex")
         params, _, evaluate = fit(model, test_dataset, test_dataset, eval_cfg)
-        params = restore_checkpoint(args.load_model, params)
+        if args.load_model.endswith((".npz", ".pth")):
+            # converted .npz OR a reference-format torch .pth directly
+            sys.path.insert(0, os.path.join(base_path, "..", "tools"))
+            from convert_torch_checkpoint import load_reference_checkpoint
+            params = load_reference_checkpoint(args.load_model)
+        else:
+            params = restore_checkpoint(args.load_model, params)
     else:
         params, history, evaluate = fit(model, train_dataset, test_dataset,
                                         cfg, model_save_path=model_save_path,

@@ -88,6 +88,44 @@ def load_converted(path: str) -> dict:
     return {"params": unflatten({k: npz[k] for k in npz.files})}
 
 
+def _infer_n_block(sd: dict, prefix: str = "") -> int:
+    """Number of DiffusionNet blocks from state_dict key names."""
+    blocks = set()
+    for k in sd:
+        if k.startswith(prefix + "block_"):
+            blocks.add(int(k[len(prefix + "block_"):].split(".")[0]))
+    if not blocks:
+        raise ValueError("no block_i.* keys found — not a reference "
+                         "DiffusionNet state_dict")
+    return max(blocks) + 1
+
+
+def load_reference_checkpoint(path: str, n_block: int | None = None,
+                              fmaps: bool = False) -> dict:
+    """Load reference DiffusionNet weights into {'params': nested dict}.
+
+    Accepts either an .npz previously written by this converter, or the
+    reference's ORIGINAL torch .pth checkpoint directly (converted in
+    memory — no separate conversion step needed; requires the baked-in cpu
+    torch). n_block defaults to what the state_dict's key names imply.
+    fmaps: the checkpoint is a functional-maps model (DiffusionNet nested
+    under `feature_extractor.`, reference fmaps_model.py)."""
+    if path.endswith(".npz"):
+        return load_converted(path)
+    import torch
+    sd_t = torch.load(path, map_location="cpu", weights_only=True)
+    if not isinstance(sd_t, dict):
+        raise ValueError(f"{path}: expected a state_dict, got {type(sd_t)}")
+    sd = {k: v.detach().numpy() for k, v in sd_t.items()}
+    prefix = "feature_extractor." if fmaps else ""
+    if n_block is None:
+        n_block = _infer_n_block(sd, prefix)
+    params = convert_state_dict(sd, n_block, prefix=prefix)
+    if fmaps:
+        params = {"feature_extractor": params}
+    return {"params": params}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("input")
