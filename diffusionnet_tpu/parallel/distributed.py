@@ -129,6 +129,18 @@ def _mp_child_main(coordinator: str, num_processes: int, process_id: int,
     w_local = np.asarray(jax.device_get(params["w"]))
     param_hash = hashlib.sha1(w_local.tobytes()).hexdigest()
 
+    # (c) two-axis (data, vert) TRAIN step with the vert axis CROSSING the
+    # process boundary: devices arrive grouped by process
+    # [p0d0..p0dk, p1d0..], so reshape(num_processes, n_local).T makes each
+    # vert group a column of one device per process — the per-block (K, C)
+    # psum and the grad psum over `vert` must ride the cross-process
+    # transport (DCN on a pod; gloo here). Validated two ways: the updated
+    # params must agree bit-for-bit across processes AND match a
+    # single-device reference step computed locally.
+    two_axis = None
+    if n_local >= 2 and num_processes >= 2:
+        two_axis = _two_axis_cross_process_step(num_processes, n_local)
+
     # (b) multi-host precompute: this process computes its round-robin slice
     # of 4 tiny meshes into the SHARED cache; afterwards a full cache-hit
     # load must succeed from this process alone
@@ -154,13 +166,151 @@ def _mp_child_main(coordinator: str, num_processes: int, process_id: int,
                             cache_only=True) for v, f in meshes]
     all_cached = all(o is not None for o in loaded)
 
+    report = {"process_id": process_id,
+              "n_global_devices": n_global,
+              "process_count": jax.process_count(),
+              "loss": loss, "param_hash": param_hash,
+              "computed_indices": list(mine),
+              "all_cached_after_barrier": bool(all_cached)}
+    if two_axis is not None:
+        report["two_axis"] = two_axis
     with open(out_path, "w") as f:
-        json.dump({"process_id": process_id,
-                   "n_global_devices": n_global,
-                   "process_count": jax.process_count(),
-                   "loss": loss, "param_hash": param_hash,
-                   "computed_indices": list(mine),
-                   "all_cached_after_barrier": bool(all_cached)}, f)
+        json.dump(report, f)
+
+
+def _two_axis_cross_process_step(num_processes: int, n_local: int) -> dict:
+    """One (data=n_local, vert=num_processes) megakernel train step whose
+    vert collectives cross the process boundary (see _mp_child_main stage c).
+    Returns {param_hash, vs_single_max_rel_err, vert_crosses_processes}."""
+    import hashlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ..data.dataset import PaddedBatch
+    from ..geometry import compute_operators, stack_operators, grad_operators
+    from ..models import DiffusionNet
+    from ..models.fast_path import megablock_apply
+    from ..training import make_train_step
+    from .vertex_sharded import batch_pspecs, make_two_axis_train_step
+
+    devices = np.asarray(jax.devices())
+    mesh = Mesh(devices.reshape(num_processes, n_local).T, ("data", "vert"))
+    vert_groups = [mesh.devices[d, :] for d in range(mesh.shape["data"])]
+    crosses = all(len({dev.process_index for dev in grp}) == num_processes
+                  for grp in vert_groups)
+    assert crosses, "vert axis does not span processes — mesh layout bug"
+
+    # same tiny batch in every process (icosahedron, k_eig=8, no device work)
+    from math import sqrt
+    phi = (1 + sqrt(5)) / 2
+    verts = np.array([[-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+                      [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+                      [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1]],
+                     np.float64)
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    faces = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10],
+                      [0, 10, 11], [1, 5, 9], [5, 11, 4], [11, 10, 2],
+                      [10, 7, 6], [7, 1, 8], [3, 9, 4], [3, 4, 2],
+                      [3, 2, 6], [3, 6, 8], [3, 8, 9], [4, 9, 5],
+                      [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int64)
+    ops1 = compute_operators(verts, faces, k_eig=8, eigensolver="host")
+    B = mesh.shape["data"]
+    v_pad = 128 * mesh.shape["vert"]            # one 128-tile per vert shard
+    ops = stack_operators([ops1] * B, v_pad=v_pad)
+    x = np.zeros((B, v_pad, 3), np.float32)
+    x[:, :12] = verts
+    labels = np.full((B, v_pad), -1, np.int32)
+    labels[:, :12] = (verts[:, 2] > 0).astype(np.int32)
+    batch_np = PaddedBatch(verts=x, ops=ops, labels=labels,
+                           faces=np.zeros((B, 4, 3), np.int32),
+                           face_mask=np.zeros((B, 4), bool))
+
+    model = DiffusionNet(c_in=3, c_out=2, c_width=8, n_block=1, dropout=False,
+                         last_activation=jax.nn.log_softmax)
+    gX, gY = grad_operators(ops)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                        jnp.asarray(ops.mass), evals=jnp.asarray(ops.evals),
+                        evecs=jnp.asarray(ops.evecs), gradX=jnp.asarray(gX),
+                        gradY=jnp.asarray(gY))
+    optimizer = optax.adam(1e-2)
+    opt_state = optimizer.init(params)
+
+    def apply_mega(params, batch, vert_axis=None):
+        xr = (None if vert_axis is None
+              else (lambda h: jax.lax.psum(h, vert_axis)))
+        logits = megablock_apply(params, batch.verts, batch.ops.mass,
+                                 batch.ops.evals, batch.ops.evecs,
+                                 batch.ops.gradX_spec, batch.ops.gradY_spec,
+                                 n_block=1, tile_v=128, xhat_reduce=xr,
+                                 interpret=True)
+        return jax.nn.log_softmax(logits)
+
+    def sums(preds, batch):
+        valid = batch.labels >= 0
+        safe = jnp.maximum(batch.labels, 0)
+        per = -jnp.take_along_axis(preds, safe[..., None], axis=-1)[..., 0]
+        return jnp.sum(per * valid), jnp.sum(valid)
+
+    # single-device reference on this process's first local device (the
+    # global arrays are replicated host-side, so every process computes the
+    # same reference)
+    def sd_loss(params, batch, rng):
+        S, N = sums(apply_mega(params, batch), batch)
+        return S / jnp.maximum(N, 1), N
+
+    batch_local = jax.tree.map(
+        lambda a: jax.device_put(jnp.asarray(a), jax.local_devices()[0]),
+        batch_np)
+    sd_step = make_train_step(sd_loss, optimizer, donate=False)
+    p_sd, _, _, _ = sd_step(params, opt_state, batch_local,
+                            jax.random.PRNGKey(1))
+    p_sd = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), p_sd)
+
+    # two-axis cross-process step: build the global sharded batch from the
+    # (identical) host copy each process holds
+    from jax.sharding import NamedSharding
+
+    specs = batch_pspecs(batch_np, labels_kind="vertex")
+
+    def to_global(a, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(np.asarray(a).shape, sh,
+                                            lambda idx: np.asarray(a)[idx])
+
+    batch_g = jax.tree.map(to_global, batch_np, specs)
+
+    def vs_loss(params, batch, rng):
+        S, N = sums(apply_mega(params, batch, vert_axis="vert"), batch)
+        return S, N, N
+
+    vs_step = make_two_axis_train_step(vs_loss, optimizer, mesh, specs,
+                                       donate=False)
+    p_vs, _, loss_vs, _ = vs_step(params, opt_state, batch_g,
+                                  jax.random.PRNGKey(1))
+    # fully-addressable per-leaf gather: params are replicated (P()) so every
+    # process holds complete values
+    p_vs = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), p_vs)
+
+    scale = max(abs(float(np.abs(l).max())) for l in jax.tree.leaves(p_sd))
+    err = max(float(np.abs(a - b).max()) for a, b in
+              zip(jax.tree.leaves(p_vs), jax.tree.leaves(p_sd)))
+    rel = err / max(scale, 1e-30)
+    if rel > 1e-3:
+        raise RuntimeError(f"two-axis cross-process step diverged from the "
+                           f"single-device step: max rel err {rel:.3e}")
+    h = hashlib.sha1()
+    for leaf in jax.tree.leaves(p_vs):
+        h.update(np.asarray(leaf, np.float32).tobytes())
+    return {"param_hash": h.hexdigest(),
+            "vs_single_max_rel_err": rel,
+            "mesh_shape": {"data": int(mesh.shape["data"]),
+                           "vert": int(mesh.shape["vert"])},
+            "vert_crosses_processes": True,
+            "loss": float(loss_vs)}
 
 
 def run_multiprocess_dryrun(n_processes: int = 2, devices_per_process: int = 2,
@@ -239,6 +389,14 @@ def run_multiprocess_dryrun(n_processes: int = 2, devices_per_process: int = 2,
     if not all(r["all_cached_after_barrier"] for r in reports):
         raise RuntimeError("some process missed cache entries after the "
                            "barrier")
+    if devices_per_process >= 2:
+        ta = [r.get("two_axis") for r in reports]
+        if any(t is None for t in ta):
+            raise RuntimeError("two-axis cross-process step missing from a "
+                               "process report")
+        if len({t["param_hash"] for t in ta}) != 1:
+            raise RuntimeError("two-axis param replicas diverged across "
+                               f"processes: {[t['param_hash'] for t in ta]}")
     return reports
 
 

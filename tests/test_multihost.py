@@ -20,3 +20,13 @@ def test_two_process_distributed_dp_step_and_precompute():
     assert reports[0]["param_hash"] == reports[1]["param_hash"]
     idx = sorted(i for r in reports for i in r["computed_indices"])
     assert idx == [0, 1, 2, 3]
+
+    # two-axis (data=2, vert=2) step: vert collectives crossed the process
+    # boundary, replicas agree, and the update matched a single-device step
+    for r in reports:
+        ta = r["two_axis"]
+        assert ta["vert_crosses_processes"] is True
+        assert ta["mesh_shape"] == {"data": 2, "vert": 2}
+        assert ta["vs_single_max_rel_err"] <= 1e-3
+    assert reports[0]["two_axis"]["param_hash"] == \
+        reports[1]["two_axis"]["param_hash"]
