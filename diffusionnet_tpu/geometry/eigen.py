@@ -77,11 +77,6 @@ def eigensolve_host(L: scipy.sparse.spmatrix, massvec: np.ndarray, k_eig: int,
             L_eigsh = L_eigsh + scipy.sparse.identity(L.shape[0]) * (eps * 10 ** failcount)
 
 
-def _gershgorin_bound(ell: Ell) -> jnp.ndarray:
-    """Upper bound on lambda_max of a symmetric ELL matrix: max_i sum_j |a_ij|."""
-    return jnp.max(jnp.sum(jnp.abs(ell.val), axis=-1))
-
-
 def _cheb_filter(matvec, X, lo: float, hi: float, m: int):
     """Y = rho_m(C) X with rho_m(x) = T_m((x - c)/e) / T_m((0 - c)/e),
     c = (hi + lo)/2, e = (hi - lo)/2 — the Zhou–Saad SCALED Chebyshev filter
@@ -162,31 +157,40 @@ def _ensure_compilation_cache():
 def _device_solver_setup(L_ell: Ell, massvec, k_eig: int, n_valid, eps: float,
                          lambda_cut, oversample):
     """Shared setup for the single-chip and vert-sharded solvers: validity
-    mask, M^-1/2 row scaling, spectral-radius bound, filter window estimate."""
-    V = L_ell.idx.shape[0]
-    mask = massvec > 0
+    mask, M^-1/2 row scaling, spectral-radius bound, filter window estimate.
+
+    Runs ENTIRELY on host numpy (returns numpy mask/inv_sqrt_m): these are
+    trivial O(nnz) reductions, but expressed as eager device ops each one is
+    a separate compile + dispatch — measured 137 s cold at 200k through a
+    tunneled TPU (vs milliseconds here). Callers transfer the two (V,)
+    vectors once, alongside the operator itself."""
+    idx = np.asarray(L_ell.idx)
+    val = np.asarray(L_ell.val)
+    massvec_np = np.asarray(massvec)
+    V = idx.shape[0]
+    mask = massvec_np > 0
     if n_valid is not None:
         # caller-declared valid-row count: rows at or beyond n_valid are
         # padding even if their mass is nonzero
-        mask = mask & (jnp.arange(V) < n_valid)
-    inv_sqrt_m = jnp.where(mask, 1.0 / jnp.sqrt(jnp.where(mask, massvec, 1.0)),
-                           0.0)
+        mask = mask & (np.arange(V) < n_valid)
+    inv_sqrt_m = np.where(
+        mask, 1.0 / np.sqrt(np.where(mask, massvec_np, 1.0)), 0.0
+    ).astype(np.float32)
 
     # spectral radius bound of C (Gershgorin over the normalized entries,
     # PLUS the eps * M^-1 regularization term of matvec_C — a tiny-mass
     # vertex with a near-zero Laplacian row otherwise pushes lambda_max(C)
     # outside the Chebyshev interval)
-    bound = (float(_gershgorin_bound(
-        Ell(L_ell.idx, L_ell.val * inv_sqrt_m[:, None]
-            * inv_sqrt_m[L_ell.idx])))
-             + eps * float(jnp.max(jnp.where(mask, inv_sqrt_m, 0.0))) ** 2
+    scaled = np.abs(val) * inv_sqrt_m[:, None] * inv_sqrt_m[idx]
+    bound = (float(scaled.sum(axis=1).max())
+             + eps * float(inv_sqrt_m.max()) ** 2
              + eps)
 
     if oversample is None:
         oversample = max(8, k_eig // 4)
     # the subspace cannot exceed the number of valid rows (tiny meshes):
     # clamp the oversampling, and refuse k_eig > valid rows outright
-    n_valid_rows = int(jnp.sum(mask))
+    n_valid_rows = int(mask.sum())
     if k_eig > n_valid_rows:
         raise RuntimeError(f"k_eig={k_eig} exceeds the {n_valid_rows} valid "
                            "vertices")
@@ -197,7 +201,7 @@ def _device_solver_setup(L_ell: Ell, massvec, k_eig: int, n_valid, eps: float,
     # (initial filter window edge; the outer loop replaces it with the top
     # Ritz value after the first sweep)
     if lambda_cut is None:
-        area = float(jnp.sum(massvec))
+        area = float(massvec_np.sum())
         lambda_cut = max(4.0 * np.pi * (n_cols + 1) / max(area, 1e-30), eps)
     lambda_cut = min(lambda_cut, 0.5 * bound)
     return mask, inv_sqrt_m, bound, n_cols, oversample, lambda_cut
@@ -234,7 +238,8 @@ def _dense_eigh_tiny(L_ell: Ell, massvec, mask, k_eig: int, eps: float,
 
 
 def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
-                    eps: float, augment: bool = True):
+                    eps: float, augment: bool = True,
+                    certify_tol: float | None = 1e-3):
     """Float64 Rayleigh–Ritz polish of a device-converged basis Y (V, n).
 
     The f32 device sweeps converge the SUBSPACE to the f32 matvec noise
@@ -282,6 +287,12 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     # directly (Y arrives f32-SVQB'd, so G ~ I), and the big O(V n^2) GEMMs
     # are the polish's whole cost on a host core — the Gram blocks below are
     # the minimal set.
+    #
+    # Every tall-output (V, n) product goes through np.matmul(..., out=):
+    # measured on this host's OpenBLAS, plain `A @ B` with a (200k, 160)
+    # result runs at 1.6 GFLOPS while the preallocated-out path runs at
+    # ~29 GFLOPS (the allocating path takes a degenerate kernel); the
+    # (n, n)-output Gram products are fast either way (~46 GFLOPS).
     Y = np.asarray(Y, np.float64)
     CY = matvec(Y)
     T0 = Y.T @ CY
@@ -289,7 +300,9 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     if augment:
         # residual block Z = CY - Y G0^-1 T0 (first-order subspace
         # correction — one block-Krylov step), column-normalized
-        Z = CY - Y @ scipy.linalg.solve(G0, T0, assume_a="pos")
+        Z = CY
+        Z -= np.matmul(Y, scipy.linalg.solve(G0, T0, assume_a="pos"),
+                       out=np.empty_like(CY))
         zn = np.linalg.norm(Z, axis=0)
         keep = zn > 1e-13 * max(zn.max(), 1e-300)
         if keep.all():
@@ -315,9 +328,33 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     evals = np.clip(w[:k_eig] - eps, 0.0, None)
     # B @ S without materializing B = [Y, Z] (a second (V, 2n) copy)
     n = Y.shape[1]
-    BS = Y @ S[:n, :k_eig]
+    BS = np.matmul(Y, np.ascontiguousarray(S[:n, :k_eig]),
+                   out=np.empty((Y.shape[0], k_eig)))
     if Z is not None:
-        BS += Z @ S[n:, :k_eig]
+        BS += np.matmul(Z, np.ascontiguousarray(S[n:, :k_eig]),
+                        out=np.empty_like(BS))
+
+    if certify_tol is not None:
+        # f64 CERTIFICATION of the final pairs (one extra SpMM): the f32
+        # outer loop's noise-floor acceptance is calibrated for sane
+        # bound-to-band ratios; on ill-scaled operators (sliver meshes:
+        # cotan weights ~1e10, Gershgorin bound ~1e12) it can accept an
+        # unconverged basis whose residual is huge in absolute terms but
+        # under 1e-5*bound. The polish cannot rescue a wrong SUBSPACE, so
+        # measure the true generalized residual ||C u - w u|| here (U = BS
+        # has unit columns: S is G-orthonormal) and reject loudly —
+        # compute_operators then falls back to the ARPACK ladder. Healthy
+        # polished bases sit orders below this tolerance (band error ~1e-12
+        # at 20k, docs/RESULTS.md); garbage sits at O(1) relative.
+        res = matvec(BS) - BS * w[None, :k_eig]
+        rel = float(np.linalg.norm(res, axis=0).max()
+                    / max(float(w[k_eig - 1]), eps))
+        if rel > certify_tol:
+            raise RuntimeError(
+                f"f64 certification failed after polish: max relative "
+                f"residual {rel:.3e} > {certify_tol:g} — the f32 sweeps "
+                "converged to a wrong subspace (ill-scaled operator?); "
+                "falling back to the host ladder is required")
     evecs = r[:, None] * BS
     return evals, evecs
 
@@ -418,6 +455,99 @@ def _dev_filter_gram_banded(band, starts, inv_sqrt_m, mask, X, lo, bound,
     return Y, G
 
 
+# --- segmented filter (large-V single-chip path) -------------------------
+# One degree-m filter as ONE device program runs for minutes at 1M x 160 and
+# reliably kills this environment's tunneled TPU worker (measured: a
+# degree-32 program executes fine, degree-64 faults — a per-program
+# execution watchdog, not memory: live buffers are identical). The segmented
+# path drives the same scaled-Chebyshev recurrence as _cheb_filter through
+# short fori_loop programs, carrying (Z_{k-1}, Z_k, sigma_k) on device; only
+# the traced scalars cross the host boundary between segments.
+
+
+@_partial(jax.jit, static_argnames=("col_chunk",))
+def _dev_cheb_start_ell(L_idx, L_val, inv_sqrt_m, mask, X, lo, bound, eps,
+                        col_chunk: int | None = None):
+    mv = _mv_ell(L_idx, L_val, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        X = jnp.where(mask[:, None], X, 0.0)
+        e = (bound - lo) / 2.0
+        c = (bound + lo) / 2.0
+        sigma1 = 1.0 / (-c / e)
+        Z1 = (mv(X) - c * X) * (sigma1 / e)
+    return X, Z1, sigma1
+
+
+@_partial(jax.jit, static_argnames=("steps", "col_chunk"))
+def _dev_cheb_seg_ell(L_idx, L_val, inv_sqrt_m, mask, Zm1, Zm0, sigma, lo,
+                      bound, eps, steps: int, col_chunk: int | None = None):
+    mv = _mv_ell(L_idx, L_val, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        e = (bound - lo) / 2.0
+        c = (bound + lo) / 2.0
+        l0 = -c / e
+
+        def body(_, carry):
+            Zm1, Zm0, sigma = carry
+            sigma_new = 1.0 / (2.0 * l0 - sigma)
+            Zn = (mv(Zm0) - c * Zm0) * (2.0 * sigma_new / e) \
+                - (sigma * sigma_new) * Zm1
+            return (Zm0, Zn, sigma_new)
+
+        return jax.lax.fori_loop(0, steps, body, (Zm1, Zm0, sigma))
+
+
+@_partial(jax.jit, static_argnames=("col_chunk",))
+def _dev_cheb_start_banded(band, starts, inv_sqrt_m, mask, X, lo, bound, eps,
+                           col_chunk: int | None = None):
+    mv = _mv_banded(band, starts, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        X = jnp.where(mask[:, None], X, 0.0)
+        e = (bound - lo) / 2.0
+        c = (bound + lo) / 2.0
+        sigma1 = 1.0 / (-c / e)
+        Z1 = (mv(X) - c * X) * (sigma1 / e)
+    return X, Z1, sigma1
+
+
+@_partial(jax.jit, static_argnames=("steps", "col_chunk"))
+def _dev_cheb_seg_banded(band, starts, inv_sqrt_m, mask, Zm1, Zm0, sigma, lo,
+                         bound, eps, steps: int,
+                         col_chunk: int | None = None):
+    mv = _mv_banded(band, starts, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        e = (bound - lo) / 2.0
+        c = (bound + lo) / 2.0
+        l0 = -c / e
+
+        def body(_, carry):
+            Zm1, Zm0, sigma = carry
+            sigma_new = 1.0 / (2.0 * l0 - sigma)
+            Zn = (mv(Zm0) - c * Zm0) * (2.0 * sigma_new / e) \
+                - (sigma * sigma_new) * Zm1
+            return (Zm0, Zn, sigma_new)
+
+        return jax.lax.fori_loop(0, steps, body, (Zm1, Zm0, sigma))
+
+
+@jax.jit
+def _dev_gram(Y):
+    with jax.default_matmul_precision("highest"):
+        return Y.T @ Y
+
+
+def _segmented_filter_gram(start_fn, seg_fn, X, lo, m: int, seg: int):
+    """filter+Gram via short device programs (same math as _cheb_filter: the
+    recurrence applies m-1 steps after the start; Y = Z_m)."""
+    Zm1, Zm0, sigma = start_fn(X, lo)
+    done = 0
+    while done < m - 1:
+        steps = min(seg, m - 1 - done)
+        Zm1, Zm0, sigma = seg_fn(Zm1, Zm0, sigma, lo, steps)
+        done += steps
+    return Zm0, _dev_gram(Zm0)
+
+
 @jax.jit
 def _dev_rotate_gram(Y, F):
     """Stage 2: apply the first whitening factor, re-Gram (the second SVQB
@@ -479,6 +609,15 @@ def _split_sweep(filter_gram, rotate_apply, X, lo,
     return U, w, res
 
 
+# Diagnostic record of the most recent _converge call in this process:
+# {"name", "exit" ("tol" | "floor"), "sweeps", "worst", "tol_scale",
+#  "floor_limit"}. Written on every successful convergence so tests (and
+# postmortems) can distinguish a true tolerance exit from a noise-floor
+# acceptance — a *wrong* floor acceptance is exactly the silent failure mode
+# the adversarial suite guards against (VERDICT r3 weak #7).
+LAST_CONVERGE_INFO: dict = {}
+
+
 def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
               max_sweeps: int, bound: float, verbose: bool, name: str):
     """Outer loop shared by all solver variants: sweep until the worst
@@ -487,6 +626,13 @@ def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
     post-stagnation sweep is load-bearing for the f64 polish: measured at
     200k, polishing the first at-floor basis gives 9e-2 subspace angle,
     polishing the next sweep's gives 9e-6). Returns (X, w)."""
+    def _record(exit_kind, it, worst, scale):
+        LAST_CONVERGE_INFO.clear()
+        LAST_CONVERGE_INFO.update(
+            name=name, exit=exit_kind, sweeps=it + 1, worst=worst,
+            tol_scale=tol * scale,
+            floor_limit=max(1e-5 * bound, 10 * tol * scale))
+
     lo = jnp.asarray(lo0, jnp.float32)
     prev_worst = np.inf
     w = None
@@ -500,6 +646,7 @@ def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
         if not np.isfinite(worst):
             raise RuntimeError(f"{name}: non-finite residual at sweep {it}")
         if worst <= tol * scale:
+            _record("tol", it, worst, scale)
             break
         if worst > 0.9 * prev_worst:
             # <1.11x reduction = plateau. (Not 2x: a sweep still cutting the
@@ -511,6 +658,7 @@ def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
             # (~1e-7 * bound * margin); tiny meshes stall marginally above
             # tol*scale without being anywhere near 1e-5*bound
             if worst <= max(1e-5 * bound, 10 * tol * scale):
+                _record("floor", it, worst, scale)
                 break                              # converged to the floor
             raise RuntimeError(
                 f"{name}: residual stagnated at {worst:.3e} (sweep {it}), "
@@ -551,6 +699,7 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                       seed: int = 777,
                       polish=None,
                       banded: bool | None = None,
+                      cheb_segment: int | None = None,
                       verbose: bool = False,
                       timings: dict | None = None):
     """TPU eigensolver for the k smallest generalized eigenpairs of
@@ -578,6 +727,12 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     sqrt(bound/lambda_cut), the Chebyshev convergence exponent).
     n_iter: deprecated (the pre-round-3 LOBPCG iteration count); ignored.
     seed: deterministic start-vector seed (the host ladder's 777 convention).
+    cheb_segment: max Chebyshev steps per device program (None = auto: 32
+    when V >= 400k, unsegmented below). Large-V filter sweeps as ONE XLA
+    program run for minutes and trip per-program execution watchdogs
+    (measured on this environment's tunneled worker: degree-32 programs at
+    1M execute, degree-64 fault); segmenting keeps each program short while
+    the iterate stays on device. 0 disables segmentation.
     polish: optional (L_scipy_sparse, massvec_float64) pair enabling the
     float64 host Rayleigh–Ritz polish of the converged basis (see
     _rr_polish_host) — compute_operators passes it since it holds the f64
@@ -620,7 +775,7 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     # is exact and costs about the same as the sweeps (V <= 1920 at
     # k_eig=128); the 4096-row cap bounds the O(V^3) for very wide bands,
     # beyond which the sweeps + ARPACK fallback take over.
-    n_valid_rows = int(np.sum(np.asarray(mask)))
+    n_valid_rows = int(mask.sum())
     if n_valid_rows <= min(12 * n_cols, 4096):
         return _dense_eigh_tiny(L_ell, massvec, mask, k_eig, eps, polish)
 
@@ -635,6 +790,8 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     key = jax.random.PRNGKey(seed)
     bound_j = jnp.asarray(bound, jnp.float32)
     eps_j = jnp.asarray(eps, jnp.float32)
+    if cheb_segment is None:
+        cheb_segment = 32 if V >= 400_000 else 0
 
     # banded fast path (default on accelerators when the RCM-reordered
     # bandwidth is small enough): the sweeps run as dense per-tile MXU
@@ -662,9 +819,9 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         n_pad = T_ * TR
         perm = band_rep.perm
         imp = np.zeros(n_pad, np.float32)
-        imp[:V] = np.asarray(inv_sqrt_m)[perm]
+        imp[:V] = inv_sqrt_m[perm]
         mkp = np.zeros(n_pad, bool)
-        mkp[:V] = np.asarray(mask)[perm]
+        mkp[:V] = mask[perm]
         band_j = jnp.asarray(band_rep.band)
         starts_j = jnp.asarray(band_rep.starts)
         imp_j, mkp_j = jnp.asarray(imp), jnp.asarray(mkp)
@@ -674,12 +831,23 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         X0 = jnp.where(mkp_j[:, None],
                        jax.random.normal(key, (n_pad, n_cols), jnp.float32),
                        0.0)
+        if cheb_segment:
+            filter_gram = lambda Xs, los: _segmented_filter_gram(
+                lambda X_, lo_: _dev_cheb_start_banded(
+                    band_j, starts_j, imp_j, mkp_j, X_, lo_, bound_j, eps_j,
+                    col_chunk),
+                lambda Zm1, Zm0, sig, lo_, steps: _dev_cheb_seg_banded(
+                    band_j, starts_j, imp_j, mkp_j, Zm1, Zm0, sig, lo_,
+                    bound_j, eps_j, steps, col_chunk),
+                Xs, los, cheb_degree, cheb_segment)
+        else:
+            filter_gram = lambda Xs, los: _dev_filter_gram_banded(
+                band_j, starts_j, imp_j, mkp_j, Xs, los, bound_j, eps_j,
+                cheb_degree, col_chunk)
         t0 = _time.perf_counter()
         X, w = _converge(
             lambda X, lo: _split_sweep(
-                lambda Xs, los: _dev_filter_gram_banded(
-                    band_j, starts_j, imp_j, mkp_j, Xs, los, bound_j, eps_j,
-                    cheb_degree, col_chunk),
+                filter_gram,
                 lambda Ys, Fs: _dev_rotate_apply_banded(
                     band_j, starts_j, imp_j, mkp_j, bound_j, eps_j, Ys, Fs,
                     col_chunk),
@@ -699,7 +867,10 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         evecs = inv_sqrt_m[:, None] * jnp.asarray(X_orig[:, :k_eig])
         return evals, evecs
 
-    # ELL gather path (wide-band matrices / banded=False)
+    # ELL gather path (wide-band matrices / banded=False) — one transfer of
+    # the host-computed (V,) setup vectors
+    inv_sqrt_m = jnp.asarray(inv_sqrt_m)
+    mask = jnp.asarray(mask)
     X0 = jnp.where(mask[:, None],
                    jax.random.normal(key, (V, n_cols), dtype=jnp.float32),
                    0.0)
@@ -710,12 +881,23 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     if gather_bytes * n_cols > 1.5e9:
         col_chunk = max(16, int(1.5e9 / gather_bytes) // 16 * 16)
 
+    if cheb_segment:
+        filter_gram = lambda Xs, los: _segmented_filter_gram(
+            lambda X_, lo_: _dev_cheb_start_ell(
+                L_ell.idx, L_ell.val, inv_sqrt_m, mask, X_, lo_, bound_j,
+                eps_j, col_chunk),
+            lambda Zm1, Zm0, sig, lo_, steps: _dev_cheb_seg_ell(
+                L_ell.idx, L_ell.val, inv_sqrt_m, mask, Zm1, Zm0, sig, lo_,
+                bound_j, eps_j, steps, col_chunk),
+            Xs, los, cheb_degree, cheb_segment)
+    else:
+        filter_gram = lambda Xs, los: _dev_filter_gram_ell(
+            L_ell.idx, L_ell.val, inv_sqrt_m, mask, Xs, los, bound_j,
+            eps_j, cheb_degree, col_chunk)
     t0 = _time.perf_counter()
     X, w = _converge(
         lambda X, lo: _split_sweep(
-            lambda Xs, los: _dev_filter_gram_ell(
-                L_ell.idx, L_ell.val, inv_sqrt_m, mask, Xs, los, bound_j,
-                eps_j, cheb_degree, col_chunk),
+            filter_gram,
             lambda Ys, Fs: _dev_rotate_apply_ell(
                 L_ell.idx, L_ell.val, inv_sqrt_m, mask, bound_j, eps_j, Ys,
                 Fs, col_chunk),

@@ -435,13 +435,17 @@ def test_rr_polish_scipy_fallback_without_native(sphere_mesh, monkeypatch):
     rng = np.random.RandomState(3)
     Y = rng.randn(L.shape[0], k + 4)
 
-    ev_native, Q_native = _rr_polish_host(L, mass, Y, k_eig=k, eps=1e-8)
+    # certify_tol=None: Y is a RANDOM basis (this test compares kernels, not
+    # accuracy) and the f64 certification would rightly reject its polish
+    ev_native, Q_native = _rr_polish_host(L, mass, Y, k_eig=k, eps=1e-8,
+                                          certify_tol=None)
 
     def boom():
         raise RuntimeError("native build failed (simulated: no compiler)")
 
     monkeypatch.setattr(build, "get_lib", boom)
-    ev_fb, Q_fb = _rr_polish_host(L, mass, Y, k_eig=k, eps=1e-8)
+    ev_fb, Q_fb = _rr_polish_host(L, mass, Y, k_eig=k, eps=1e-8,
+                                  certify_tol=None)
     np.testing.assert_allclose(ev_fb, ev_native, rtol=1e-10, atol=1e-12)
     # same subspace (gauge-invariant projector comparison)
     m = np.asarray(mass, np.float64)
@@ -464,3 +468,30 @@ def test_csr_spmm_native_accepts_csc():
     np.testing.assert_allclose(csr_spmm_native(A, B), ref, atol=1e-12)
     np.testing.assert_allclose(csr_spmm_native(A.tocsc(), B), ref,
                                atol=1e-12)
+
+
+def test_cheb_segmented_filter_matches_unsegmented():
+    """The segmented Chebyshev filter (short device programs carrying the
+    recurrence state, used at large V where one long program trips execution
+    watchdogs) is the SAME arithmetic as the fused filter — results must
+    match to f32 roundoff."""
+    from tests.meshgen import flat_grid
+
+    verts, faces = flat_grid(n=40, jitter=0.3, seed=4)   # 1600 verts
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    k = 12
+
+    ev0, evec0 = eigensolve_device(
+        _ell_of(L), jnp.asarray(mass.astype(np.float32)), k_eig=k,
+        cheb_segment=0)
+    ev1, evec1 = eigensolve_device(
+        _ell_of(L), jnp.asarray(mass.astype(np.float32)), k_eig=k,
+        cheb_segment=7)   # deliberately not dividing the degree evenly
+    ev0, ev1 = np.asarray(ev0), np.asarray(ev1)
+    np.testing.assert_allclose(ev1, ev0, rtol=1e-5, atol=1e-6)
+    # subspace projector parity (gauge-invariant)
+    M = np.asarray(mass, np.float64)[:, None]
+    P0 = np.asarray(evec0, np.float64) @ (np.asarray(evec0, np.float64).T * M.T)
+    P1 = np.asarray(evec1, np.float64) @ (np.asarray(evec1, np.float64).T * M.T)
+    np.testing.assert_allclose(P1, P0, atol=5e-4)
