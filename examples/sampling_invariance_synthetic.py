@@ -9,12 +9,26 @@ is equivalent, so the task would be ill-posed; the fixed bump pattern breaks the
 symmetry. Features are xyz, matching the reference E5 default
 (sampling_invariance.py:21).
 Train split: jittered bumpy sub-2 spheres.
-Test mutations: {orig: sub-2, dense: sub-3 (642 v), cloud: sub-3 points}.
+Test mutations mirror the reference's six-method protocol
+(faust_with_robust_test_dataset.py:85 `['orig','iso','qes','mc','dense',
+'cloud']`), realized on the sphere family:
+  orig  — the training tessellation (icosphere sub-2, 162 v)
+  iso   — isotropic remesh: Fibonacci-sphere points, hull triangulation
+  qes   — decimation: FPS-subsampled sub-3 directions (~100 v), hull
+  mc    — irregular remesh (marching-cubes-like quality): random directions
+  dense — finer remesh (icosphere sub-3, 642 v)
+  cloud — sub-3 vertices as a raw point cloud (no faces)
 Metric: mean angular (great-circle) error between the predicted template vertex
 and the true nearest template vertex — the analogue of the reference's
 per-mutation geodesic error table (sampling_invariance.py:212-225).
 
-Usage: python examples/sampling_invariance_synthetic.py [--n_epoch 30]
+The per-mutation table is appended to --out (docs/results/synthetic.jsonl by
+default) and, with --gate, each mutation's mean angular error is asserted
+<= max(2x orig's, one template edge length ~19 deg — the label quantization
+scale; collapse reads ~90 deg): the discretization-invariance property as a
+failing check, not just a printout.
+
+Usage: python examples/sampling_invariance_synthetic.py [--n_epoch 30] [--gate]
 """
 
 import argparse
@@ -55,6 +69,61 @@ def nearest_template_labels(verts, template):
     return np.argmax(cos, axis=1).astype(np.int32)
 
 
+def sphere_hull_mesh(dirs):
+    """Triangulate unit directions via their convex hull (valid for the
+    star-convex bumpy-sphere family), faces oriented outward."""
+    from scipy.spatial import ConvexHull
+    dirs = unit(np.asarray(dirs, np.float64))
+    hull = ConvexHull(dirs)
+    faces = hull.simplices.copy()
+    # orient each face outward: normal . centroid-direction > 0
+    a, b, c = dirs[faces[:, 0]], dirs[faces[:, 1]], dirs[faces[:, 2]]
+    n = np.cross(b - a, c - a)
+    flip = np.sum(n * (a + b + c), axis=1) < 0
+    faces[flip] = faces[flip][:, ::-1]
+    return dirs, faces.astype(np.int64)
+
+
+def fibonacci_sphere(n):
+    """Near-isotropic point distribution on the sphere (golden-angle spiral)."""
+    i = np.arange(n, dtype=np.float64)
+    z = 1.0 - (2.0 * i + 1.0) / n
+    phi = i * np.pi * (3.0 - np.sqrt(5.0))
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
+
+
+def fps_directions(dirs, n, seed=0):
+    """Farthest-point subsample of unit directions (geodesic ~ chordal here)."""
+    dirs = unit(np.asarray(dirs, np.float64))
+    rs = np.random.RandomState(seed)
+    chosen = [int(rs.randint(dirs.shape[0]))]
+    d = np.linalg.norm(dirs - dirs[chosen[0]], axis=1)
+    for _ in range(n - 1):
+        nxt = int(np.argmax(d))
+        chosen.append(nxt)
+        d = np.minimum(d, np.linalg.norm(dirs - dirs[nxt], axis=1))
+    return dirs[np.asarray(chosen)]
+
+
+def build_mutations(rs):
+    """The six reference mutation methods realized on the sphere family
+    (faust_with_robust_test_dataset.py:85). Each value is (verts, faces|None)
+    BEFORE the bumpy deformation; jitter is applied to the deformed verts."""
+    muts = {}
+    v, f = icosphere(subdivisions=2)
+    muts["orig"] = (v, f)
+    muts["iso"] = sphere_hull_mesh(fibonacci_sphere(162))
+    v3, _ = icosphere(subdivisions=3)
+    muts["qes"] = sphere_hull_mesh(fps_directions(v3, 100, seed=3))
+    muts["mc"] = sphere_hull_mesh(unit(rs.randn(300, 3)))
+    v, f = icosphere(subdivisions=3)             # finer remeshing, 642 verts
+    muts["dense"] = (v, f)
+    v, _ = icosphere(subdivisions=3)
+    muts["cloud"] = (v, None)
+    return muts
+
+
 def build_sets(n_train=12, seed=0):
     rs = np.random.RandomState(seed)
     template, _ = icosphere(subdivisions=2)
@@ -66,16 +135,9 @@ def build_sets(n_train=12, seed=0):
         train.add(v, f, np.arange(v.shape[0], dtype=np.int32))
     train.precompute(k_eig=32, verbose=False)
 
-    muts = {}
-    v, f = icosphere(subdivisions=2)
-    muts["orig"] = (bumpy(v) * (1.0 + 0.02 * rs.randn(*v.shape)), f)
-    v, f = icosphere(subdivisions=3)             # finer remeshing, 642 verts
-    muts["dense"] = (bumpy(v) * (1.0 + 0.02 * rs.randn(*v.shape)), f)
-    v, _ = icosphere(subdivisions=3)
-    muts["cloud"] = (bumpy(v) * (1.0 + 0.02 * rs.randn(*v.shape)), None)
-
     tests = {}
-    for name, (v, f) in muts.items():
+    for name, (v, f) in build_mutations(rs).items():
+        v = bumpy(v) * (1.0 + 0.02 * rs.randn(*v.shape))
         ds = SurfaceDataset(labels_kind="vertex")
         ds.add(v, f, nearest_template_labels(v, template))
         ds.precompute(k_eig=32, verbose=False)
@@ -83,17 +145,13 @@ def build_sets(n_train=12, seed=0):
     return template, train, tests
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n_epoch", type=int, default=30)
-    args = ap.parse_args()
-
-    template, train_ds, tests = build_sets()
+def run(n_epoch=30, out_path=None, gate=False, seed=0):
+    template, train_ds, tests = build_sets(seed=seed)
     n_class = template.shape[0]
 
     # small config: this is a property demo; compile time dominates on slow
     # toolchains, so keep the jitted programs small
-    cfg = FitConfig(n_epoch=args.n_epoch, lr=2e-3, decay_every=50,
+    cfg = FitConfig(n_epoch=n_epoch, lr=2e-3, decay_every=50,
                     batch_size=6, input_features="xyz", labels_kind="vertex")
     model = build_model(n_class=n_class, c_width=32, outputs_at="vertices",
                         dropout=False, input_features="xyz", n_block=2)
@@ -116,13 +174,60 @@ def main():
         labels = np.asarray(batch.labels)[0]
         valid = labels >= 0
         acc = float((pred_labels[valid] == labels[valid]).mean())
-        ang = np.arccos(np.clip(
+        ang = np.degrees(np.arccos(np.clip(
             np.sum(t_unit[pred_labels[valid]] * t_unit[labels[valid]], -1),
-            -1, 1))
-        results[name] = (acc, float(np.mean(ang)))
+            -1, 1)))
+        results[name] = {"exact_label_acc_pct": round(100 * acc, 2),
+                         "mean_angular_err_deg": round(float(np.mean(ang)), 3),
+                         "n_verts": int(valid.sum()),
+                         "is_cloud": name == "cloud"}
         print(f"  {name:>6}: exact-label acc {100 * acc:6.2f}%   "
-              f"mean angular err {np.degrees(np.mean(ang)):6.2f} deg")
-    return results
+              f"mean angular err {np.mean(ang):6.2f} deg")
+
+    # the discretization-invariance gate (VERDICT r3 item 3): every mutation
+    # must transfer — mean angular error <= max(2x the training
+    # tessellation's error, one template edge length). The 2x-orig term is
+    # the reference table's shape; the edge-length floor is the label
+    # quantization scale (orig here is the SAME tessellation as training, so
+    # its error is ~0.1 deg and a bare 2x-orig gate would be vacuous).
+    # Collapse shows up as ~90 deg (random template vertex), >4x this limit.
+    v_t, f_t = icosphere(subdivisions=2)
+    e = np.concatenate([f_t[:, [0, 1]], f_t[:, [1, 2]], f_t[:, [2, 0]]])
+    tu = unit(v_t)
+    edge_deg = float(np.degrees(np.mean(np.arccos(np.clip(
+        np.sum(tu[e[:, 0]] * tu[e[:, 1]], -1), -1, 1)))))
+    orig = results["orig"]["mean_angular_err_deg"]
+    gate_limit = max(2.0 * orig, edge_deg)
+    gate_ok = all(r["mean_angular_err_deg"] <= gate_limit
+                  for r in results.values())
+    record = {"suite": "sampling_invariance_synthetic", "n_epoch": n_epoch,
+              "per_mutation": results,
+              "gate": {"rule": "err <= max(2*orig, template edge length)",
+                       "template_edge_deg": round(edge_deg, 2),
+                       "limit_deg": round(gate_limit, 3), "ok": gate_ok}}
+    if out_path:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "a") as f:
+            import json
+            f.write(json.dumps(record) + "\n")
+        print(f"appended table to {out_path}")
+    if gate and not gate_ok:
+        raise SystemExit(f"GATE FAILED: some mutation error exceeds "
+                         f"{gate_limit:.2f} deg: "
+                         f"{ {k: v['mean_angular_err_deg'] for k, v in results.items()} }")
+    return record
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_epoch", type=int, default=30)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "docs", "results", "synthetic.jsonl"))
+    ap.add_argument("--gate", action="store_true",
+                    help="exit nonzero if any mutation's error exceeds "
+                         "max(2x orig, one template edge length)")
+    args = ap.parse_args()
+    return run(n_epoch=args.n_epoch, out_path=args.out, gate=args.gate)
 
 
 if __name__ == "__main__":

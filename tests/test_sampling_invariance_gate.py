@@ -1,0 +1,39 @@
+"""Discretization-invariance gate (VERDICT r3 item 3): train on ONE
+tessellation of the synthetic bumpy-sphere family, evaluate on the six
+reference mutation methods (orig/iso/qes/mc/dense/cloud,
+reference faust_with_robust_test_dataset.py:85), and FAIL if transfer
+collapses. A collapsed model predicts an unrelated template vertex — mean
+angular error ~90 deg; a transferring one stays within a couple of template
+edge lengths (~19 deg each). The full-strength table (30 epochs, tight
+max(2*orig, 1-edge) gate) is produced by
+examples/sampling_invariance_synthetic.py into docs/results/synthetic.jsonl;
+this test runs the same pipeline at reduced epochs with a collapse-level
+threshold so the suite stays fast but still dies when the property breaks.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def test_six_mutation_transfer_does_not_collapse():
+    from examples.sampling_invariance_synthetic import run
+
+    record = run(n_epoch=25, out_path=None, gate=False, seed=0)
+    per = record["per_mutation"]
+    assert set(per) == {"orig", "iso", "qes", "mc", "dense", "cloud"}
+
+    # the training tessellation itself must be learned — otherwise the
+    # mutation errors below say nothing about *transfer* (30 epochs reach
+    # 99%; 25 keeps the test fast while clearing this bar comfortably)
+    assert per["orig"]["exact_label_acc_pct"] >= 60.0, per
+    # every mutation: mean angular error far below collapse (~90 deg);
+    # 45 deg = halfway to collapse, >= 2x any healthy run's worst mutation
+    for name, r in per.items():
+        assert r["mean_angular_err_deg"] <= 45.0, (name, r)
+    # gate metadata present for the RESULTS.md rendering
+    assert record["gate"]["rule"].startswith("err <= max(2*orig")
+    assert record["gate"]["template_edge_deg"] > 10.0
