@@ -22,8 +22,8 @@ Metric: mean angular (great-circle) error between the predicted template vertex
 and the true nearest template vertex — the analogue of the reference's
 per-mutation geodesic error table (sampling_invariance.py:212-225).
 
-The per-mutation table is appended to --out (docs/results/synthetic.jsonl by
-default) and, with --gate, each mutation's mean angular error is asserted
+The per-mutation table is appended to --out
+(docs/results/sampling_invariance.jsonl by default) and, with --gate, each mutation's mean angular error is asserted
 <= max(2x orig's, one template edge length ~19 deg — the label quantization
 scale; collapse reads ~90 deg): the discretization-invariance property as a
 failing check, not just a printout.
@@ -222,7 +222,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_epoch", type=int, default=30)
     ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(__file__), "..", "docs", "results", "synthetic.jsonl"))
+        os.path.dirname(__file__), "..", "docs", "results",
+        "sampling_invariance.jsonl"))
     ap.add_argument("--gate", action="store_true",
                     help="exit nonzero if any mutation's error exceeds "
                          "max(2x orig, one template edge length)")

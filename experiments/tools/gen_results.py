@@ -60,6 +60,8 @@ def section_bench() -> None:
         if not (fname.startswith(("BENCH", "MULTICHIP"))
                 and fname.endswith(".json")):
             continue
+        if fname == "BENCH_SERVING.json":
+            continue  # rendered as its own Serving section
         with open(os.path.join(REPO, fname)) as f:
             data = json.load(f)
         if isinstance(data, dict):
@@ -154,7 +156,9 @@ def section_synthetic() -> None:
                       r"Overall test accuracy:\s*([\d.]+)%"}),
         _run_example("fmaps_synthetic.py", [],
                      {"heldout_fmap_l2": r"held-out pair: fmap L2 ([\d.e+-]+)"}),
-        _run_example("sampling_invariance_synthetic.py", [],
+        # also appends its per-mutation table to sampling_invariance.jsonl
+        # and exits nonzero if the invariance gate fails
+        _run_example("sampling_invariance_synthetic.py", ["--gate"],
                      {"last_exact_label_acc_pct":
                       r"exact-label acc\s+([\d.]+)%"}),
     ]
@@ -235,6 +239,54 @@ def section_render() -> None:
             elif "suite" in r:
                 lines.append(f"- full torch-parity test run: {r['passed']} "
                              f"passed (rc={r['returncode']})")
+        lines.append("")
+
+    serving = []
+    serving_path = os.path.join(REPO, "BENCH_SERVING.json")
+    if os.path.exists(serving_path):
+        with open(serving_path) as f:
+            serving = json.load(f)
+    if serving:
+        lines += ["## Serving (AOT StableHLO artifacts)", "",
+                  "Latency evidence for serving/export.py (flagship 4x128, "
+                  "k=128): export cost, fresh-process time-to-first-"
+                  "inference (AOT-load vs jit-from-source), steady-state "
+                  "throughput per bucket, the same artifact on CPU, and the "
+                  "vertex-sharded artifact on an 8-device mesh. Source: "
+                  "BENCH_SERVING.json (python bench_serving.py).", ""]
+        for r in serving:
+            extras = {k: v for k, v in r.items()
+                      if k in ("meshes_per_sec", "aot_speedup",
+                               "first_call_s", "export_s", "load_s")}
+            kv = (" — " + ", ".join(f"{k}={v}" for k, v in extras.items())
+                  if extras else "")
+            lines.append(f"- {r['metric']}: {r['value']} {r['unit']}{kv}")
+        lines.append("")
+
+    mut = _read_jsonl("sampling_invariance")
+    if mut:
+        r = mut[-1]
+        g = r["gate"]
+        lines += ["## Discretization invariance (six-mutation table + gate)",
+                  "",
+                  "The reference's headline property, per-mutation "
+                  "(sampling_invariance.py:212-225's table, realized on the "
+                  "synthetic sphere family; examples/"
+                  "sampling_invariance_synthetic.py). Gate: every mutation's "
+                  f"mean angular error <= {g['limit_deg']} deg "
+                  f"({g['rule']}); collapse reads ~90 deg. "
+                  f"Gate {'PASSED' if g['ok'] else 'FAILED'}; "
+                  "tests/test_sampling_invariance_gate.py enforces a "
+                  "collapse-level bound in the suite.", "",
+                  "| mutation | exact-label acc | mean angular err (deg) | "
+                  "n_verts |", "|---|---|---|---|"]
+        for name in ("orig", "iso", "qes", "mc", "dense", "cloud"):
+            if name not in r["per_mutation"]:
+                continue
+            pm = r["per_mutation"][name]
+            tag = " (point cloud)" if pm.get("is_cloud") else ""
+            lines.append(f"| {name}{tag} | {pm['exact_label_acc_pct']}% | "
+                         f"{pm['mean_angular_err_deg']} | {pm['n_verts']} |")
         lines.append("")
 
     syn = _read_jsonl("synthetic")

@@ -323,3 +323,28 @@ def test_explicit_platforms_honored(tmp_path, monkeypatch):
     export_forward(model, params, v_buckets=(V_BUCKET,), out_dir=d2, k_eig=K)
     with open(f"{d2}/manifest.json") as f:
         assert _json.load(f)["platforms"] == [jax.default_backend()]
+
+
+def test_format_version_mismatch_rejected(vertex_artifact, tmp_path):
+    """A loader from a different format generation must refuse the artifact
+    with a clear error, not mis-read it (VERDICT r3 item 4)."""
+    import shutil
+    from diffusionnet_tpu.serving.export import MANIFEST_NAME
+
+    d = str(tmp_path / "stale_artifact")
+    shutil.copytree(vertex_artifact["dir"], d)
+    mpath = os.path.join(d, MANIFEST_NAME)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["format_version"] = 999
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="format_version"):
+        load_serving_model(d)
+    # a manifest with NO version field (pre-versioning artifact) is also
+    # refused, not treated as current
+    del manifest["format_version"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="format_version"):
+        load_serving_model(d)
