@@ -151,15 +151,34 @@ def main():
         return jnp.sum((out * mask) ** 2) / jnp.sum(mask)
 
     if MODE == "fwd":
-        @jax.jit
-        def train_step(params, opt_state, x, ops):
+        def step_body(params, opt_state, x, ops):
             return params, opt_state, loss_fn(params, x, ops)
     else:
-        @jax.jit
-        def train_step(params, opt_state, x, ops):
+        def step_body(params, opt_state, x, ops):
             loss, grads = jax.value_and_grad(loss_fn)(params, x, ops)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
+
+    # SCAN steps per device program (BENCH_SCAN, default 16; 1 = one program
+    # per step). The per-call dispatch through this environment's tunneled
+    # TPU costs a measurable fraction of a 6.8 ms step (~5-7%); scanning N
+    # steps inside one jitted program amortizes it to noise, so the number
+    # reflects device throughput — the same shape a production loop gets
+    # from an on-device epoch scan.
+    SCAN = max(1, int(os.environ.get("BENCH_SCAN", "16")))
+    if SCAN == 1:
+        @jax.jit
+        def train_step(params, opt_state, x, ops):
+            return step_body(params, opt_state, x, ops)
+    else:
+        @jax.jit
+        def train_step(params, opt_state, x, ops):
+            def body(carry, _):
+                p, o, _ = carry
+                return step_body(p, o, x, ops), None
+            (params, opt_state, loss), _ = jax.lax.scan(
+                body, (params, opt_state, jnp.zeros(())), None, length=SCAN)
+            return params, opt_state, loss
 
     # measured cost of the compiled step (honest FLOP/byte accounting).
     # NOTE: XLA's cost analysis cannot see inside Pallas custom calls, so for
@@ -169,8 +188,8 @@ def main():
     cost = compiled.cost_analysis() or {}
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
-    xla_flops = float(cost.get("flops", 0.0))
-    xla_bytes = float(cost.get("bytes accessed", 0.0))
+    xla_flops = float(cost.get("flops", 0.0)) / SCAN
+    xla_bytes = float(cost.get("bytes accessed", 0.0)) / SCAN
     V, K, C = V_PAD, K_EIG, C_WIDTH
     per_block_fwd = 8 * V * K * C + 18 * V * C * C   # xhat/xd/gx/gy + A/MLP
     flops_per_step = 3 * N_BLOCK * per_block_fwd * BATCH
@@ -198,13 +217,13 @@ def main():
     # reported as median + min/max spread: a single slope number through the
     # tunnel has ~3-8% run-to-run spread, which is exactly the resolution
     # needed to tell a real regression from noise (VERDICT r03 weak #4).
-    n1, n2 = 6, 18
+    n1, n2 = (6, 18) if SCAN == 1 else (2, 6)
     n_rep = int(os.environ.get("BENCH_REPEATS", "5"))
     dts = []
     for _ in range(max(n_rep, 3)):
         t1 = run(n1)
         t2 = run(n2)
-        dts.append(max((t2 - t1) / (n2 - n1), 1e-9))
+        dts.append(max((t2 - t1) / ((n2 - n1) * SCAN), 1e-9))
     rates = sorted(BATCH / d for d in dts)
     meshes_per_sec = float(np.median(rates))
     rate_min, rate_max = rates[0], rates[-1]
@@ -227,6 +246,7 @@ def main():
         "median_of": len(rates),
         "spread_min": round(rate_min, 3),
         "spread_max": round(rate_max, 3),
+        "scan_steps_per_call": SCAN,
         "flops_per_step": flops_per_step,
         "xla_flops_per_step": xla_flops,
         "xla_bytes_per_step": xla_bytes,

@@ -455,6 +455,48 @@ def _dev_filter_gram_banded(band, starts, inv_sqrt_m, mask, X, lo, bound,
     return Y, G
 
 
+def _mv_dia(data, offsets: tuple, inv_sqrt_m, mask, bound, eps, col_chunk):
+    from ..ops.banded import dia_matvec
+
+    def mv_block(x):
+        y = dia_matvec(data, offsets, inv_sqrt_m[:, None] * x)
+        y = inv_sqrt_m[:, None] * y + eps * (inv_sqrt_m[:, None] ** 2) * x
+        return jnp.where(mask[:, None], y, bound * x)
+
+    def mv(x):
+        n = x.shape[1]
+        if col_chunk is None or n <= col_chunk:
+            return mv_block(x)
+        return jnp.concatenate([mv_block(x[:, i:i + col_chunk])
+                                for i in range(0, n, col_chunk)], axis=1)
+    return mv
+
+
+@_partial(jax.jit, static_argnames=("offsets", "cheb_degree", "col_chunk"))
+def _dev_filter_gram_dia(data, offsets: tuple, inv_sqrt_m, mask, X, lo,
+                         bound, eps, cheb_degree: int,
+                         col_chunk: int | None = None):
+    """Stage 1 (DIA operator — structured meshes, ops/banded.py
+    dia_matvec): statically-shifted elementwise SpMM, no gather."""
+    mv = _mv_dia(data, offsets, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        X = jnp.where(mask[:, None], X, 0.0)
+        Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
+        G = Y.T @ Y
+    return Y, G
+
+
+@_partial(jax.jit, static_argnames=("offsets", "col_chunk"))
+def _dev_rotate_apply_dia(data, offsets: tuple, inv_sqrt_m, mask, bound,
+                          eps, Y, F, col_chunk: int | None = None):
+    mv = _mv_dia(data, offsets, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        Y = Y @ F
+        W = mv(Y)
+        T = Y.T @ W
+    return Y, W, T
+
+
 # --- segmented filter (large-V single-chip path) -------------------------
 # One degree-m filter as ONE device program runs for minutes at 1M x 160 and
 # reliably kills this environment's tunneled TPU worker (measured: a
@@ -515,6 +557,39 @@ def _dev_cheb_seg_banded(band, starts, inv_sqrt_m, mask, Zm1, Zm0, sigma, lo,
                          bound, eps, steps: int,
                          col_chunk: int | None = None):
     mv = _mv_banded(band, starts, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        e = (bound - lo) / 2.0
+        c = (bound + lo) / 2.0
+        l0 = -c / e
+
+        def body(_, carry):
+            Zm1, Zm0, sigma = carry
+            sigma_new = 1.0 / (2.0 * l0 - sigma)
+            Zn = (mv(Zm0) - c * Zm0) * (2.0 * sigma_new / e) \
+                - (sigma * sigma_new) * Zm1
+            return (Zm0, Zn, sigma_new)
+
+        return jax.lax.fori_loop(0, steps, body, (Zm1, Zm0, sigma))
+
+
+@_partial(jax.jit, static_argnames=("offsets", "col_chunk"))
+def _dev_cheb_start_dia(data, offsets: tuple, inv_sqrt_m, mask, X, lo,
+                        bound, eps, col_chunk: int | None = None):
+    mv = _mv_dia(data, offsets, inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        X = jnp.where(mask[:, None], X, 0.0)
+        e = (bound - lo) / 2.0
+        c = (bound + lo) / 2.0
+        sigma1 = 1.0 / (-c / e)
+        Z1 = (mv(X) - c * X) * (sigma1 / e)
+    return X, Z1, sigma1
+
+
+@_partial(jax.jit, static_argnames=("offsets", "steps", "col_chunk"))
+def _dev_cheb_seg_dia(data, offsets: tuple, inv_sqrt_m, mask, Zm1, Zm0,
+                      sigma, lo, bound, eps, steps: int,
+                      col_chunk: int | None = None):
+    mv = _mv_dia(data, offsets, inv_sqrt_m, mask, bound, eps, col_chunk)
     with jax.default_matmul_precision("highest"):
         e = (bound - lo) / 2.0
         c = (bound + lo) / 2.0
@@ -804,15 +879,76 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                   else jax.default_backend() == "cpu")
         banded = None if not on_cpu else False
     band_rep = None
+    dia_rep = None
     if banded is not False:
-        from ..ops.banded import banded_from_sparse_device
+        from ..ops.banded import banded_from_sparse_device, dia_from_sparse
         t0 = _time.perf_counter()
         L_host = polish[0] if polish is not None else _ell_to_scipy(L_ell)
-        band_rep = banded_from_sparse_device(L_host)
+        if banded in (None, "dia") and L_host.shape[0] == V:
+            # STRUCTURED meshes (few distinct col-row offsets, e.g. grids):
+            # DIA — statically-shifted elementwise matvec, no gather, memory
+            # exactly D*V. Beats the dense band in memory AND FLOPs, and is
+            # the only single-chip fast path at 1M where the RCM band needs
+            # ~10 GB (over budget) and the ELL gather measures ~1.5 s/matvec
+            dia_rep = dia_from_sparse(L_host)
+        if banded == "dia" and dia_rep is None:
+            raise RuntimeError("banded='dia' but the operator is not "
+                               "diagonal-structured (or the ELL was padded)")
+        if dia_rep is None:
+            # band-size budget: leave room for the 3 live (V, n_cols)
+            # blocks, the chunked window gather (~1.5 GB) and matmul temps
+            # on a 16 GB chip
+            block_bytes = 3 * V * n_cols * 4
+            budget = min(6_500_000_000,
+                         max(2_500_000_000, 11_000_000_000 - block_bytes))
+            band_rep = banded_from_sparse_device(L_host,
+                                                 max_band_bytes=budget)
         _mark("eigen_band_build", t0)
-        if band_rep is None and banded is True:
+        if band_rep is None and dia_rep is None and banded is True:
             raise RuntimeError("banded=True but the RCM-reordered bandwidth "
                                "exceeds the band-size budget")
+
+    if dia_rep is not None:
+        data_j = jnp.asarray(dia_rep[0])
+        offsets = dia_rep[1]
+        inv_j = jnp.asarray(inv_sqrt_m)
+        mask_j = jnp.asarray(mask)
+        # bound the fused per-offset (V, chunk) streams at large V
+        col_chunk = 64 if V * n_cols * 4 > 1.0e9 else None
+        X0 = jnp.where(mask_j[:, None],
+                       jax.random.normal(key, (V, n_cols), jnp.float32), 0.0)
+        if cheb_segment:
+            filter_gram = lambda Xs, los: _segmented_filter_gram(
+                lambda X_, lo_: _dev_cheb_start_dia(
+                    data_j, offsets, inv_j, mask_j, X_, lo_, bound_j, eps_j,
+                    col_chunk),
+                lambda Zm1, Zm0, sig, lo_, steps: _dev_cheb_seg_dia(
+                    data_j, offsets, inv_j, mask_j, Zm1, Zm0, sig, lo_,
+                    bound_j, eps_j, steps, col_chunk),
+                Xs, los, cheb_degree, cheb_segment)
+        else:
+            filter_gram = lambda Xs, los: _dev_filter_gram_dia(
+                data_j, offsets, inv_j, mask_j, Xs, los, bound_j, eps_j,
+                cheb_degree, col_chunk)
+        t0 = _time.perf_counter()
+        X, w = _converge(
+            lambda X, lo: _split_sweep(
+                filter_gram,
+                lambda Ys, Fs: _dev_rotate_apply_dia(
+                    data_j, offsets, inv_j, mask_j, bound_j, eps_j, Ys, Fs,
+                    col_chunk),
+                X, lo),
+            X0, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
+            "eigensolve_device[dia]")
+        t0 = _mark("eigen_sweeps", t0)
+        if polish is not None:
+            L_sp, mass_f64 = polish
+            out = _rr_polish_host(L_sp, mass_f64, np.asarray(X), k_eig, eps)
+            _mark("eigen_polish", t0)
+            return out
+        evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
+        evecs = inv_j[:, None] * X[:, :k_eig]
+        return evals, evecs
 
     if band_rep is not None:
         T_, TR, Wd = band_rep.band.shape

@@ -155,3 +155,47 @@ def banded_matvec(b: Banded, x):
     y = jnp.einsum("trw,twc->trc", b.band, xw,
                    preferred_element_type=jnp.float32)
     return y.reshape(T * TR, C)
+
+
+# ---------------------------------------------------------------------------
+# DIA (diagonal) format — the gather-free special case for STRUCTURED meshes.
+# A grid-structured triangulation's Laplacian has a handful of distinct
+# (col - row) offsets (flat_grid: exactly 7 at any size); its matvec is then
+# a sum of statically-shifted elementwise products — no gather, no dense
+# window, memory exactly D*V. At 1M x 160 columns this is the only
+# single-chip fast path: the RCM band needs W ~ 2*bandwidth ~ 2560 lanes
+# (10 GB, over budget) while ELL's row gather measures ~1.5 s per matvec.
+# ---------------------------------------------------------------------------
+
+
+def dia_from_sparse(mat, max_diags: int = 48, dtype=np.float32):
+    """Row-wise DIA extraction: data[d, i] = A[i, i + offsets[d]].
+    Returns (data (D, V) numpy, offsets tuple[int]) or None when the matrix
+    has more than max_diags distinct diagonals (unstructured mesh)."""
+    coo = mat.tocoo()
+    off = coo.col - coo.row
+    offsets = np.unique(off)
+    if offsets.size > max_diags:
+        return None
+    V = mat.shape[0]
+    data = np.zeros((offsets.size, V), dtype)
+    d_idx = np.searchsorted(offsets, off)
+    np.add.at(data, (d_idx, coo.row), coo.data.astype(dtype))
+    return data, tuple(int(o) for o in offsets)
+
+
+def dia_matvec(data, offsets: tuple, x):
+    """y = A @ x, row-wise DIA: y[i] = sum_d data[d, i] * x[i + offsets[d]].
+    offsets are STATIC Python ints — every slice below is static, so XLA
+    sees pure elementwise work (fusable, HBM-bandwidth-bound) with no
+    gather. x: (V, C)."""
+    V = x.shape[0]
+    y = jnp.zeros_like(x)
+    for d, off in enumerate(offsets):
+        if off == 0:
+            y = y + data[d][:, None] * x
+        elif off > 0:
+            y = y.at[:V - off].add(data[d, :V - off, None] * x[off:])
+        else:
+            y = y.at[-off:].add(data[d, -off:, None] * x[:V + off])
+    return y

@@ -495,3 +495,60 @@ def test_cheb_segmented_filter_matches_unsegmented():
     P0 = np.asarray(evec0, np.float64) @ (np.asarray(evec0, np.float64).T * M.T)
     P1 = np.asarray(evec1, np.float64) @ (np.asarray(evec1, np.float64).T * M.T)
     np.testing.assert_allclose(P1, P0, atol=5e-4)
+
+
+def test_dia_path_matches_ell(sphere_mesh):
+    """The DIA operator path (structured meshes: statically-shifted
+    elementwise matvec, no gather — the 1M single-chip fast path) produces
+    the same eigenpairs as the ELL gather path on a grid mesh, and
+    banded='dia' on an unstructured mesh raises loudly."""
+    from tests.meshgen import flat_grid
+    from diffusionnet_tpu.ops.banded import dia_from_sparse, dia_matvec
+
+    verts, faces = flat_grid(n=40, jitter=0.3, seed=7)    # 1600 verts
+    L = cotan_laplacian(verts, faces)
+    mass = vertex_areas(verts, faces)
+    k = 12
+
+    # raw matvec parity vs scipy
+    rep = dia_from_sparse(L)
+    assert rep is not None and len(rep[1]) == 7, rep and rep[1]
+    rng = np.random.RandomState(0)
+    X = rng.randn(L.shape[0], 5).astype(np.float32)
+    y_dia = np.asarray(dia_matvec(jnp.asarray(rep[0]), rep[1],
+                                  jnp.asarray(X)))
+    np.testing.assert_allclose(y_dia, (L @ X.astype(np.float64)),
+                               rtol=1e-4, atol=1e-5)
+
+    ev_ell, evec_ell = eigensolve_device(
+        _ell_of(L), jnp.asarray(mass.astype(np.float32)), k_eig=k,
+        banded=False)
+    ev_dia, evec_dia = eigensolve_device(
+        _ell_of(L), jnp.asarray(mass.astype(np.float32)), k_eig=k,
+        banded="dia")
+    # atol scaled to the band top: the zero mode lands at f32 noise (~1e-5)
+    # under either operator, with different noise
+    np.testing.assert_allclose(np.asarray(ev_dia), np.asarray(ev_ell),
+                               rtol=1e-4, atol=1e-5 * float(ev_ell[-1]))
+    M = np.asarray(mass, np.float64)[:, None]
+    P = lambda E: np.asarray(E, np.float64) @ (np.asarray(E, np.float64).T
+                                               * M.T)
+    np.testing.assert_allclose(P(evec_dia), P(evec_ell), atol=5e-4)
+
+    # segmented DIA filter (the 1M configuration) agrees too
+    ev_seg, _ = eigensolve_device(
+        _ell_of(L), jnp.asarray(mass.astype(np.float32)), k_eig=k,
+        banded="dia", cheb_segment=7)
+    np.testing.assert_allclose(np.asarray(ev_seg), np.asarray(ev_dia),
+                               rtol=1e-5, atol=1e-6)
+
+    # unstructured mesh: banded='dia' must refuse, not silently fall back
+    sverts, sfaces = sphere_mesh
+    Ls = cotan_laplacian(sverts, sfaces)
+    ms = vertex_areas(sverts, sfaces)
+    if dia_from_sparse(Ls) is None:   # icosphere is unstructured enough
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="dia"):
+            eigensolve_device(_ell_of(Ls),
+                              jnp.asarray(ms.astype(np.float32)), k_eig=6,
+                              banded="dia")
