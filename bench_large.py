@@ -419,26 +419,32 @@ def main():
         V_PAD = 1_001_472  # 2048 * 489
 
     results = []
+
+    def add(recs):
+        # stream each record as it lands: a late-stage failure (e.g. the
+        # sharded stage missing its virtual-device flag) must not discard a
+        # 20-minute run's earlier measurements
+        for r in recs:
+            results.append(r)
+            print(json.dumps(r), flush=True)
+
     if not args.skip_eigen:
-        # 1M runs the segmented-filter ELL path on chip (round 4: the
+        # 1M runs the DIA segmented-filter path on chip (round 4: the
         # round-3 worker fault was a per-program execution watchdog — see
         # eigen.py cheb_segment); ARPACK at 1M takes tens of minutes at
         # k=128, so the host comparison is spot-checked at k=16 instead.
         host_k = 16 if args.v1m else None
         run_host = args.eigen_host if args.eigen_host is not None else True
-        results.extend(eigensolver_bench(run_host=run_host, host_k=host_k))
+        add(eigensolver_bench(run_host=run_host, host_k=host_k))
 
     ops, x, pre_records = build_inputs(cold=not args.warm_precompute)
-    results.extend(pre_records)
+    add(pre_records)
     if not args.skip_tpu:
-        results.append(tpu_forward(ops, x, x.shape[0]))
+        add([tpu_forward(ops, x, x.shape[0])])
     if not args.skip_tpu and not args.skip_train:
-        results.append(tpu_train_step(ops, x, x.shape[0]))
+        add([tpu_train_step(ops, x, x.shape[0])])
     if not args.skip_sharded:
-        results.append(sharded_forward(ops, x))
-
-    for r in results:
-        print(json.dumps(r))
+        add([sharded_forward(ops, x)])
     name = "BENCH_LARGE_1M.json" if args.v1m else "BENCH_LARGE.json"
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(results, f, indent=1)

@@ -75,6 +75,9 @@ def export_artifacts():
 
     model, params = build_model_params()
     records = []
+    # warm, untimed dummy export: the first export in a process pays jax
+    # tracing/lowering machinery warm-up (~80 s) that is not per-bucket cost
+    export_forward(model, params, [256], ARTIFACT + "_warm", k_eig=K_EIG)
     # per-bucket export timing (separate dirs so each is a full artifact)
     for v in BUCKETS:
         d = ARTIFACT + f"_single{v}"
@@ -110,11 +113,16 @@ def bench_steady(platform_label):
     """Steady-state latency per (bucket, batch) on the current backend."""
     from diffusionnet_tpu.serving.export import load_serving_model
 
+    import jax
+
     sm = load_serving_model(ARTIFACT)
     out = []
     for v in BUCKETS:
         for b in (1, 8):
-            xs = synth_inputs(v, b)
+            # operators/features live on device in a serving replica; feeding
+            # numpy here would time the tunnel's H2D transfer (~100 ms for
+            # 4 MB), not the model
+            xs = jax.device_put(synth_inputs(v, b))
             dt, (lo, hi) = steady_state(sm, xs)
             out.append({
                 "metric": f"AOT serving steady-state fwd @ V={v}, batch={b} "
@@ -171,7 +179,7 @@ def cpu_worker():
 
     sm = load_serving_model(ARTIFACT)
     v = BUCKETS[0]
-    xs = synth_inputs(v, 1)
+    xs = jax.device_put(synth_inputs(v, 1))
     t0 = time.perf_counter()
     out = sm(*xs)
     jax.block_until_ready(out)
@@ -195,7 +203,7 @@ def cpu_worker():
     ssm = load_sharded_serving_model(SHARDED_ARTIFACT, devices=devices)
     t_load = time.perf_counter() - t0
     x, mass, evals, evecs, gX, gY = synth_inputs(BUCKETS[1], 1)
-    args = (x[0], mass[0], evals[0], evecs[0], gX[0], gY[0])
+    args = jax.device_put((x[0], mass[0], evals[0], evecs[0], gX[0], gY[0]))
     t0 = time.perf_counter()
     out = ssm(*args)
     jax.block_until_ready(out)

@@ -717,7 +717,7 @@ def _converge(sweep_fn, X, lo0: float, k_eig: int, eps: float, tol: float,
         worst = float(np.max(np.asarray(res)[:k_eig]))
         if verbose:
             print(f"  {name} sweep {it}: worst wanted residual {worst:.3e} "
-                  f"(tol*scale {tol * scale:.3e})")
+                  f"(tol*scale {tol * scale:.3e})", flush=True)
         if not np.isfinite(worst):
             raise RuntimeError(f"{name}: non-finite residual at sweep {it}")
         if worst <= tol * scale:
