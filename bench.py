@@ -152,12 +152,19 @@ def main():
 
     if MODE == "fwd":
         def step_body(params, opt_state, x, ops):
-            return params, opt_state, loss_fn(params, x, ops)
+            loss = loss_fn(params, x, ops)
+            # thread the loss back into the input stream: without a data
+            # dependency between iterations the scanned forward is
+            # loop-invariant and XLA hoists it — one real forward per 16
+            # "steps" (observed as an impossible 10x-peak MFU)
+            xc, evecs, gXc, gYc = x
+            xc = xc + (loss * 1e-30).astype(xc.dtype)
+            return params, opt_state, loss, (xc, evecs, gXc, gYc)
     else:
         def step_body(params, opt_state, x, ops):
             loss, grads = jax.value_and_grad(loss_fn)(params, x, ops)
             updates, opt_state = optimizer.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+            return optax.apply_updates(params, updates), opt_state, loss, x
 
     # SCAN steps per device program (BENCH_SCAN, default 16; 1 = one program
     # per step). The per-call dispatch through this environment's tunneled
@@ -169,13 +176,27 @@ def main():
     if SCAN == 1:
         @jax.jit
         def train_step(params, opt_state, x, ops):
-            return step_body(params, opt_state, x, ops)
+            p, o, loss, _ = step_body(params, opt_state, x, ops)
+            return p, o, loss
+    elif MODE == "fwd":
+        # x must ride the carry (see step_body: the loss->x feedback is what
+        # keeps the scanned forward from being hoisted as loop-invariant)
+        @jax.jit
+        def train_step(params, opt_state, x, ops):
+            def body(carry, _):
+                p, o, _, xs = carry
+                return step_body(p, o, xs, ops), None
+            (params, opt_state, loss, _), _ = jax.lax.scan(
+                body, (params, opt_state, jnp.zeros(()), x), None,
+                length=SCAN)
+            return params, opt_state, loss
     else:
         @jax.jit
         def train_step(params, opt_state, x, ops):
             def body(carry, _):
                 p, o, _ = carry
-                return step_body(p, o, x, ops), None
+                p, o, loss, _ = step_body(p, o, x, ops)
+                return (p, o, loss), None
             (params, opt_state, loss), _ = jax.lax.scan(
                 body, (params, opt_state, jnp.zeros(())), None, length=SCAN)
             return params, opt_state, loss

@@ -58,6 +58,14 @@ def _lowp_for(evecs):
         return True
     return evecs.dtype == jnp.bfloat16
 _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# batch grid dim is embarrassingly parallel in the chained FORWARD kernel
+# (each b has its own x_hat chain; scratch acc is re-zeroed at i==0), letting
+# Mosaic overlap DMA across the b boundary; the tile dim accumulates -> keep
+# it "arbitrary". The bwd kernel accumulates parameter grads ACROSS b, so its
+# whole grid stays "arbitrary".
+_VMEM_LIMIT_FWD = pltpu.CompilerParams(
+    vmem_limit_bytes=100 * 1024 * 1024,
+    dimension_semantics=("parallel", "arbitrary"))
 
 
 def _hash_bits(shape, *seeds):
@@ -361,7 +369,7 @@ def _fwd_impl_chained(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
-        compiler_params=_VMEM_LIMIT,
+        compiler_params=_VMEM_LIMIT_FWD,
         interpret=interpret,
     )(*args)
     return res if emit_next else (res, None)
