@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -395,6 +396,32 @@ def sharded_forward(ops, x, n_devices=8):
     }
 
 
+def _sharded_record(ops, x, v1m: bool):
+    """Run sharded_forward, spawning a subprocess with the virtual-device
+    flag when this process lacks 8 CPU devices — the flag must be set before
+    the first jax import, and requiring it on the MAIN process couples an
+    env detail to the eigensolve/precompute timings (a missing flag once
+    discarded a 20-minute run at the last stage)."""
+    import jax
+    if len(jax.devices("cpu")) >= 8:
+        return sharded_forward(ops, x)
+    import subprocess
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    cmd = [sys.executable, os.path.abspath(__file__), "--sharded_only"]
+    if v1m:
+        cmd.append("--v1m")
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=3600)
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"sharded subprocess produced no record:\n"
+                       f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip_tpu", action="store_true")
@@ -413,10 +440,20 @@ def main():
     ap.add_argument("--warm_precompute", action="store_true",
                     help="skip the forced-recompute COLD precompute timing "
                          "(report only the cache-hit WARM load)")
+    ap.add_argument("--sharded_only", action="store_true",
+                    help="(internal) load cached operators and print ONLY "
+                         "the vertex-sharded record — run by _sharded_record "
+                         "in a subprocess that carries the virtual-device "
+                         "XLA flag")
     args = ap.parse_args()
     if args.v1m:
         global V_PAD
         V_PAD = 1_001_472  # 2048 * 489
+
+    if args.sharded_only:
+        ops, x, _ = build_inputs(cold=False)
+        print(json.dumps(sharded_forward(ops, x)), flush=True)
+        return
 
     results = []
 
@@ -444,7 +481,7 @@ def main():
     if not args.skip_tpu and not args.skip_train:
         add([tpu_train_step(ops, x, x.shape[0])])
     if not args.skip_sharded:
-        add([sharded_forward(ops, x)])
+        add([_sharded_record(ops, x, v1m=args.v1m)])
     name = "BENCH_LARGE_1M.json" if args.v1m else "BENCH_LARGE.json"
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(results, f, indent=1)
