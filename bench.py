@@ -267,6 +267,10 @@ def main():
         "median_of": len(rates),
         "spread_min": round(rate_min, 3),
         "spread_max": round(rate_max, 3),
+        # the round-2 number (1268.6) was a MAX-of-2 estimator; this field
+        # is the same-estimator view of THIS run so cross-round comparisons
+        # can separate estimator change from real throughput change
+        "best_rate": round(rate_max, 3),
         "scan_steps_per_call": SCAN,
         "flops_per_step": flops_per_step,
         "xla_flops_per_step": xla_flops,
