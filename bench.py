@@ -209,8 +209,12 @@ def main():
     cost = compiled.cost_analysis() or {}
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
-    xla_flops = float(cost.get("flops", 0.0)) / SCAN
-    xla_bytes = float(cost.get("bytes accessed", 0.0)) / SCAN
+    # HloCostAnalysis counts a while (scan) body ONCE, not trip-count times —
+    # verified empirically on this backend (scan length 1 vs 16 report
+    # identical flops) — so the raw program cost already approximates ONE
+    # step's cost (plus outside-scan setup ops); do NOT divide by SCAN.
+    xla_flops = float(cost.get("flops", 0.0))
+    xla_bytes = float(cost.get("bytes accessed", 0.0))
     V, K, C = V_PAD, K_EIG, C_WIDTH
     per_block_fwd = 8 * V * K * C + 18 * V * C * C   # xhat/xd/gx/gy + A/MLP
     flops_per_step = 3 * N_BLOCK * per_block_fwd * BATCH

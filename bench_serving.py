@@ -110,7 +110,15 @@ def steady_state(fn, args, n1=5, n2=20, repeats=3):
 
 
 def bench_steady(platform_label):
-    """Steady-state latency per (bucket, batch) on the current backend."""
+    """Steady-state latency per (bucket, batch) on the current backend.
+
+    Two paths per (bucket, batch):
+      * full-args: every operator passed per call (device-resident already —
+        measures the dispatch + padding overhead of the generic entrypoint);
+      * prepared: `sm.prepare(...)` handle holding the operators resident on
+        device; each request streams ONLY x. This is the production serving
+        pattern (the round-4 bug was re-shipping ~200 MB of operators per
+        request through host numpy)."""
     from diffusionnet_tpu.serving.export import load_serving_model
 
     import jax
@@ -118,6 +126,8 @@ def bench_steady(platform_label):
     sm = load_serving_model(ARTIFACT)
     out = []
     for v in BUCKETS:
+        x1, mass, evals, evecs, gX, gY = synth_inputs(v, 1)
+        h = sm.prepare(mass[0], evals[0], evecs[0], gX[0], gY[0])
         for b in (1, 8):
             # operators/features live on device in a serving replica; feeding
             # numpy here would time the tunnel's H2D transfer (~100 ms for
@@ -126,7 +136,17 @@ def bench_steady(platform_label):
             dt, (lo, hi) = steady_state(sm, xs)
             out.append({
                 "metric": f"AOT serving steady-state fwd @ V={v}, batch={b} "
-                          f"({platform_label})",
+                          f"({platform_label}, full-args)",
+                "value": round(dt * 1e3, 2), "unit": "ms/batch",
+                "meshes_per_sec": round(b / dt, 1),
+                "spread_ms": [round(lo * 1e3, 2), round(hi * 1e3, 2)]})
+            xb = jax.device_put(
+                x1[0] if b == 1 else np.repeat(x1, b, axis=0))
+            dt, (lo, hi) = steady_state(h, (xb,))
+            out.append({
+                "metric": f"AOT serving steady-state fwd @ V={v}, batch={b} "
+                          f"({platform_label}, prepared handle, streams x "
+                          "only)",
                 "value": round(dt * 1e3, 2), "unit": "ms/batch",
                 "meshes_per_sec": round(b / dt, 1),
                 "spread_ms": [round(lo * 1e3, 2), round(hi * 1e3, 2)]})
@@ -187,9 +207,18 @@ def cpu_worker():
     dt, (lo, hi) = steady_state(sm, xs, n1=2, n2=6)
     print(json.dumps({
         "metric": f"AOT serving steady-state fwd @ V={v}, batch=1 (CPU, same "
-                  "artifact as TPU)",
+                  "artifact as TPU, full-args)",
         "value": round(dt * 1e3, 2), "unit": "ms/batch",
         "first_call_s": round(t_first, 2),
+        "spread_ms": [round(lo * 1e3, 2), round(hi * 1e3, 2)]}))
+    x1, mass, evals, evecs, gX, gY = synth_inputs(v, 1)
+    h = sm.prepare(mass[0], evals[0], evecs[0], gX[0], gY[0])
+    xd = jax.device_put(x1[0])
+    dt, (lo, hi) = steady_state(h, (xd,), n1=2, n2=6)
+    print(json.dumps({
+        "metric": f"AOT serving steady-state fwd @ V={v}, batch=1 (CPU, same "
+                  "artifact as TPU, prepared handle)",
+        "value": round(dt * 1e3, 2), "unit": "ms/batch",
         "spread_ms": [round(lo * 1e3, 2), round(hi * 1e3, 2)]}))
 
     # sharded artifact: export here (needs the 8-device mesh) + load + run
@@ -215,6 +244,13 @@ def cpu_worker():
         "value": round(dt * 1e3, 2), "unit": "ms/surface",
         "export_s": round(t_export, 2), "load_s": round(t_load, 2),
         "first_call_s": round(t_first, 2),
+        "spread_ms": [round(lo * 1e3, 2), round(hi * 1e3, 2)]}))
+    hs = ssm.prepare(mass[0], evals[0], evecs[0], gX[0], gY[0])
+    dt, (lo, hi) = steady_state(hs, (args[0],), n1=2, n2=6)
+    print(json.dumps({
+        "metric": f"8-way vertex-sharded AOT serving @ V={BUCKETS[1]} "
+                  "(virtual CPU mesh, prepared handle, streams x only)",
+        "value": round(dt * 1e3, 2), "unit": "ms/surface",
         "spread_ms": [round(lo * 1e3, 2), round(hi * 1e3, 2)]}))
 
 

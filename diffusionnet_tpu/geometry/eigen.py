@@ -347,8 +347,15 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
         # polished bases sit orders below this tolerance (band error ~1e-12
         # at 20k, docs/RESULTS.md); garbage sits at O(1) relative.
         res = matvec(BS) - BS * w[None, :k_eig]
+        # denominator floor: when the whole requested band is (near-)kernel
+        # (k_eig <= #connected components) w[k-1] ~ eps, but f64 roundoff in
+        # the residual scales with the operator's magnitude (~bound on
+        # ill-scaled sliver meshes) — a correct basis would spuriously fail.
+        # Floor by the f64 noise floor of one matvec, ~u64 * ||C||; the
+        # largest Ritz value of the augmented subspace estimates that scale.
+        f64_floor = 2.22e-16 * max(float(w[-1]), 1.0)
         rel = float(np.linalg.norm(res, axis=0).max()
-                    / max(float(w[k_eig - 1]), eps))
+                    / max(float(w[k_eig - 1]), eps, f64_floor))
         if rel > certify_tol:
             raise RuntimeError(
                 f"f64 certification failed after polish: max relative "

@@ -389,7 +389,10 @@ def run_multiprocess_dryrun(n_processes: int = 2, devices_per_process: int = 2,
     if not all(r["all_cached_after_barrier"] for r in reports):
         raise RuntimeError("some process missed cache entries after the "
                            "barrier")
-    if devices_per_process >= 2:
+    # the child only runs the two-axis step when BOTH axes are non-trivial
+    # (n_local >= 2 and num_processes >= 2 in _mp_child_main) — mirror that
+    # here so a 1-process/2-device dryrun doesn't spuriously fail
+    if n_processes >= 2 and devices_per_process >= 2:
         ta = [r.get("two_axis") for r in reports]
         if any(t is None for t in ta):
             raise RuntimeError("two-axis cross-process step missing from a "

@@ -3,6 +3,8 @@
 model definition. See serving.export module docstring."""
 
 from .export import (
+    PreparedMesh,
+    PreparedSurface,
     ServingModel,
     ShardedServingModel,
     export_forward,
@@ -12,6 +14,8 @@ from .export import (
 )
 
 __all__ = [
+    "PreparedMesh",
+    "PreparedSurface",
     "ServingModel",
     "ShardedServingModel",
     "export_forward",

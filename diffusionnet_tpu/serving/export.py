@@ -40,6 +40,7 @@ Artifact directory layout:
 
 from __future__ import annotations
 
+import functools as _functools
 import json
 import os
 from typing import Any, Sequence
@@ -328,6 +329,108 @@ def _call_from_operators(serving_model, x, ops, **kw):
                          ops.gradY_spec, **kw)
 
 
+def _as_f32(a):
+    """Device-put/convert WITHOUT a host round-trip: a jax Array stays on
+    device (dtype cast runs there); host data uploads once."""
+    import jax.numpy as jnp
+
+    return jnp.asarray(a, jnp.float32)
+
+
+@_functools.lru_cache(maxsize=None)
+def _padder(ndim: int, axis: int, amount: int):
+    import jax
+    import jax.numpy as jnp
+
+    pads = [(0, 0)] * ndim
+    pads[axis] = (0, amount)
+    return jax.jit(lambda a: jnp.pad(a, pads))
+
+
+def _pad_axis(a, axis: int, amount: int):
+    """Zero-pad one axis on device. Runs under jit so the fill constant is
+    baked into the executable — eager jnp.pad implicitly uploads its scalar,
+    which trips jax.transfer_guard('disallow') on the serving hot path."""
+    if amount == 0:
+        return a
+    return _padder(a.ndim, axis % a.ndim, amount)(a)
+
+
+@_functools.lru_cache(maxsize=None)
+def _trunc_v(v: int):
+    """jitted `a[..., :v, :]` — eager __getitem__ implicitly uploads index
+    scalars, tripping jax.transfer_guard('disallow') on the hot path."""
+    import jax
+
+    return jax.jit(lambda a: a[..., :v, :])
+
+
+@_functools.lru_cache(maxsize=None)
+def _first_row():
+    """jitted `a[0]` (see _trunc_v)."""
+    import jax
+
+    return jax.jit(lambda a: a[0])
+
+
+class PreparedMesh:
+    """Device-resident per-mesh serving handle (the production hot path).
+
+    `ServingModel.prepare(...)` validates, K-truncates, pads to the bucket and
+    uploads the per-mesh operators ONCE; each `handle(x)` then moves only the
+    signal `x` (V, c_in) or (B, V, c_in) — the operators never re-cross the
+    host<->device boundary. This mirrors how the reference serves: operators
+    go `.to(device)` once per mesh, not per request
+    (reference experiments/human_segmentation_original/human_segmentation_original.py:121-130).
+
+    Batched requests broadcast the resident operators to (B, ...) on device;
+    the broadcast result is cached per batch size.
+    """
+
+    def __init__(self, sm: "ServingModel", v: int, bucket: int, ops1, inds1):
+        self._sm = sm
+        self.v = v
+        self.bucket = bucket
+        self._ops1 = ops1    # (mass, evals, evecs, gX, gY) each batch-1 padded
+        self._inds1 = inds1  # (1, E, w) int32 or None
+        self._cache = {}     # batch size -> broadcasted operand tuple
+
+    def _batched(self, b: int):
+        import jax.numpy as jnp
+
+        got = self._cache.get(b)
+        if got is None:
+            bc = lambda a: jnp.broadcast_to(a, (b,) + a.shape[1:])
+            got = tuple(bc(a) for a in self._ops1) + (
+                (None if self._inds1 is None else bc(self._inds1)),)
+            self._cache[b] = got
+        return got
+
+    def __call__(self, x):
+        m = self._sm.manifest
+        unbatched = np.ndim(x) == 2
+        x = _as_f32(x)
+        if unbatched:
+            x = x[None]
+        if x.shape[-1] != m["c_in"]:
+            raise ValueError(f"x has {x.shape[-1]} channels; artifact "
+                             f"expects c_in={m['c_in']}")
+        if x.shape[-2] != self.v:
+            raise ValueError(f"x has {x.shape[-2]} vertices; this handle was "
+                             f"prepared for V={self.v}")
+        x = _pad_axis(x, -2, self.bucket - self.v)
+        mass, evals, evecs, gX, gY, inds = self._batched(x.shape[0])
+        args = (self._sm.params, x, mass, evals, evecs, gX, gY)
+        if inds is not None:
+            args = args + (inds,)
+        out = self._sm._fns[self.bucket](*args)
+        if m["outputs_at"] == "vertices" and self.bucket != self.v:
+            out = _trunc_v(self.v)(out)
+        if unbatched:
+            out = _first_row()(out)
+        return out
+
+
 class ServingModel:
     """A loaded serving artifact: callable, bucket-dispatching forward.
 
@@ -343,9 +446,12 @@ class ServingModel:
 
     def __init__(self, manifest: dict, params: dict, buckets: dict):
         import jax
+        import jax.numpy as jnp
 
         self.manifest = manifest
-        self.params = params
+        # params live on device from load time — passing the npz's numpy
+        # arrays through jit would re-upload them on EVERY request
+        self.params = jax.tree.map(jnp.asarray, params)
         self._buckets = buckets  # v -> jax.export.Exported
         # jit-wrap each module's call once: Exported.call alone rebuilds its
         # wrapper and dispatches eagerly per request; under jit the serving
@@ -372,50 +478,101 @@ class ServingModel:
 
         m = self.manifest
         unbatched = np.ndim(x) == 2
-        atleast3 = (lambda a: a[None]) if unbatched else (lambda a: a)
-        x, mass = atleast3(np.asarray(x)), atleast3(np.asarray(mass))
-        evals, evecs = atleast3(np.asarray(evals)), atleast3(np.asarray(evecs))
-        gX, gY = atleast3(np.asarray(gradX_spec)), atleast3(
-            np.asarray(gradY_spec))
+        x, mass, evals, evecs, gX, gY = (
+            _as_f32(a) for a in (x, mass, evals, evecs, gradX_spec,
+                                 gradY_spec))
+        if unbatched:
+            x, mass, evals = x[None], mass[None], evals[None]
+            evecs, gX, gY = evecs[None], gX[None], gY[None]
         if m["index_input"] is not None:
             if inds is None:
                 raise ValueError(
                     f"artifact was exported with outputs_at="
                     f"{m['outputs_at']!r}; pass inds={m['index_input']}")
-            inds = atleast3(np.asarray(inds, np.int32))
+            inds = jnp.asarray(inds, jnp.int32)
+            if unbatched:
+                inds = inds[None]
 
         if x.shape[-1] != m["c_in"]:
             raise ValueError(f"x has {x.shape[-1]} channels; artifact "
                              f"expects c_in={m['c_in']}")
-        k = evals.shape[-1]
-        if k < m["k_eig"]:
-            raise ValueError(f"operators have K={k} < artifact k_eig="
-                             f"{m['k_eig']}; recompute with larger k_eig")
-        if k > m["k_eig"]:  # ordered spectral basis: truncation is exact
-            kk = m["k_eig"]
-            evals, evecs = evals[..., :kk], evecs[..., :kk]
-            gX, gY = gX[..., :kk], gY[..., :kk]
+        evals, evecs, gX, gY = self._truncate_k(evals, evecs, gX, gY)
 
         v = x.shape[-2]
         bucket = self.pick_bucket(v)
-        if bucket != v:
-            pad_v = lambda a: np.pad(
-                a, [(0, 0)] * (a.ndim - 2) + [(0, bucket - v), (0, 0)])
-            x, evecs, gX, gY = pad_v(x), pad_v(evecs), pad_v(gX), pad_v(gY)
-            mass = np.pad(mass, [(0, 0), (0, bucket - v)])
+        if bucket != v:  # all padding on device (no host round-trip)
+            pad = bucket - v
+            x, evecs = _pad_axis(x, -2, pad), _pad_axis(evecs, -2, pad)
+            gX, gY = _pad_axis(gX, -2, pad), _pad_axis(gY, -2, pad)
+            mass = _pad_axis(mass, -1, pad)
 
-        f32 = lambda a: jnp.asarray(a, jnp.float32)
-        args = (self.params, f32(x), f32(mass), f32(evals), f32(evecs),
-                f32(gX), f32(gY))
+        args = (self.params, x, mass, evals, evecs, gX, gY)
         if m["index_input"] is not None:
-            args = args + (jnp.asarray(inds, jnp.int32),)
+            args = args + (inds,)
         out = self._fns[bucket](*args)
 
         if m["outputs_at"] == "vertices" and bucket != v:
-            out = out[..., :v, :]
+            out = _trunc_v(v)(out)
         if unbatched:
-            out = out[0]
+            out = _first_row()(out)
         return out
+
+    def _truncate_k(self, evals, evecs, gX, gY):
+        """K wider than the artifact's k_eig truncates exactly (the spectral
+        basis is ordered); narrower is an error."""
+        k, want = evals.shape[-1], self.manifest["k_eig"]
+        if k < want:
+            raise ValueError(f"operators have K={k} < artifact k_eig="
+                             f"{want}; recompute with larger k_eig")
+        if k > want:
+            evals, evecs = evals[..., :want], evecs[..., :want]
+            gX, gY = gX[..., :want], gY[..., :want]
+        return evals, evecs, gX, gY
+
+    def prepare(self, mass, evals, evecs, gradX_spec, gradY_spec,
+                inds=None) -> PreparedMesh:
+        """Upload + pad the per-mesh operators ONCE; returns a PreparedMesh
+        handle whose `handle(x)` streams only the signal per request.
+
+        Operators are UNBATCHED: mass (V,), evals (K,), evecs/gradX_spec/
+        gradY_spec (V, K); inds (E, 2)/(F, 3) when the artifact was exported
+        with outputs_at='edges'/'faces'. Use this for the serving hot loop —
+        per-request operator shipping is pure data-motion waste (operators
+        are per-mesh constants)."""
+        import jax.numpy as jnp
+
+        m = self.manifest
+        mass, evals, evecs, gX, gY = (
+            _as_f32(a) for a in (mass, evals, evecs, gradX_spec, gradY_spec))
+        if evecs.ndim != 2 or mass.ndim != 1 or evals.ndim != 1:
+            raise ValueError("prepare() takes UNBATCHED operators: mass (V,),"
+                             " evals (K,), evecs/gradX_spec/gradY_spec (V, K)")
+        evals, evecs, gX, gY = self._truncate_k(evals, evecs, gX, gY)
+        v = evecs.shape[0]
+        bucket = self.pick_bucket(v)
+        pad = bucket - v
+        evecs, gX, gY = (_pad_axis(a, 0, pad) for a in (evecs, gX, gY))
+        mass = _pad_axis(mass, 0, pad)
+        ops1 = tuple(a[None] for a in (mass, evals, evecs, gX, gY))
+        inds1 = None
+        if m["index_input"] is not None:
+            if inds is None:
+                raise ValueError(
+                    f"artifact was exported with outputs_at="
+                    f"{m['outputs_at']!r}; pass inds={m['index_input']}")
+            inds1 = jnp.asarray(inds, jnp.int32)[None]
+        elif inds is not None:
+            raise ValueError("artifact takes no index input")
+        return PreparedMesh(self, v, bucket, ops1, inds1)
+
+    def prepare_operators(self, ops) -> PreparedMesh:
+        """prepare() from a geometry.Operators bundle (needs ops.gradX_spec;
+        faces/edges indices must be passed to prepare() directly)."""
+        if ops.gradX_spec is None:
+            raise ValueError("Operators bundle lacks spectral gradient "
+                             "operators (computed by compute_operators)")
+        return self.prepare(ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                            ops.gradY_spec)
 
     def call_operators(self, x, ops, inds=None):
         """Convenience: forward from a geometry.Operators bundle (uses the
@@ -449,14 +606,14 @@ class ShardedServingModel:
         self._repl = NamedSharding(self.mesh, P())
         self.params = jax.device_put(params, self._repl)
 
-    def __call__(self, x, mass, evals, evecs, gradX_spec, gradY_spec):
+    def _normalize(self, x, mass, evals, evecs, gX, gY):
+        """Validate + K-truncate + pad to the bucket, all device-side;
+        returns sharded (x, mass, evals, evecs, gX, gY) and the true V."""
         import jax
-        import jax.numpy as jnp
 
         m = self.manifest
-        x, mass = np.asarray(x), np.asarray(mass)
-        evals, evecs = np.asarray(evals), np.asarray(evecs)
-        gX, gY = np.asarray(gradX_spec), np.asarray(gradY_spec)
+        x, mass, evals, evecs, gX, gY = (
+            _as_f32(a) for a in (x, mass, evals, evecs, gX, gY))
         if x.ndim != 2:
             raise ValueError("sharded serving takes ONE surface: x (V, c_in)")
         if x.shape[-1] != m["c_in"]:
@@ -475,26 +632,74 @@ class ShardedServingModel:
         if v > bucket:
             raise ValueError(f"surface has {v} vertices > exported bucket "
                              f"{bucket}; re-export with a larger bucket")
-        if v < bucket:
-            pad2 = lambda a: np.pad(a, [(0, bucket - v), (0, 0)])
-            x, evecs, gX, gY = pad2(x), pad2(evecs), pad2(gX), pad2(gY)
-            mass = np.pad(mass, (0, bucket - v))
+        pad = bucket - v
+        x, evecs = _pad_axis(x, 0, pad), _pad_axis(evecs, 0, pad)
+        gX, gY = _pad_axis(gX, 0, pad), _pad_axis(gY, 0, pad)
+        mass = _pad_axis(mass, 0, pad)
+        put = jax.device_put
+        return (put(x, self._vs2), put(mass, self._vs1),
+                put(evals, self._repl), put(evecs, self._vs2),
+                put(gX, self._vs2), put(gY, self._vs2)), v
 
-        put1 = lambda a: jax.device_put(jnp.asarray(a, jnp.float32),
-                                        self._vs1)
-        put2 = lambda a: jax.device_put(jnp.asarray(a, jnp.float32),
-                                        self._vs2)
-        out = self._fn(
-            self.params, put2(x), put1(mass),
-            jax.device_put(jnp.asarray(evals, jnp.float32), self._repl),
-            put2(evecs), put2(gX), put2(gY))
-        if m["outputs_at"] == "vertices" and bucket != v:
-            out = out[:v]
+    def __call__(self, x, mass, evals, evecs, gradX_spec, gradY_spec):
+        (x, mass, evals, evecs, gX, gY), v = self._normalize(
+            x, mass, evals, evecs, gradX_spec, gradY_spec)
+        out = self._fn(self.params, x, mass, evals, evecs, gX, gY)
+        m = self.manifest
+        if m["outputs_at"] == "vertices" and m["v_bucket"] != v:
+            out = _trunc_v(v)(out)
         return out
+
+    def prepare(self, mass, evals, evecs, gradX_spec,
+                gradY_spec) -> "PreparedSurface":
+        """Shard + pad the surface's operators over the mesh ONCE; returns a
+        PreparedSurface handle whose `handle(x)` streams only the signal."""
+        dummy_x = np.zeros((evecs.shape[0], self.manifest["c_in"]),
+                           np.float32)
+        (_, mass, evals, evecs, gX, gY), v = self._normalize(
+            dummy_x, mass, evals, evecs, gradX_spec, gradY_spec)
+        return PreparedSurface(self, v, (mass, evals, evecs, gX, gY))
+
+    def prepare_operators(self, ops) -> "PreparedSurface":
+        """prepare() from a geometry.Operators bundle (needs ops.gradX_spec)."""
+        if ops.gradX_spec is None:
+            raise ValueError("Operators bundle lacks spectral gradient "
+                             "operators (computed by compute_operators)")
+        return self.prepare(ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                            ops.gradY_spec)
 
     def call_operators(self, x, ops):
         """Forward from a geometry.Operators bundle (needs ops.gradX_spec)."""
         return _call_from_operators(self, x, ops)
+
+
+class PreparedSurface:
+    """Device-resident sharded-serving handle: the surface's operators live
+    sharded over the mesh; each call ships only x (V, c_in)."""
+
+    def __init__(self, ssm: ShardedServingModel, v: int, ops):
+        self._ssm = ssm
+        self.v = v
+        self._ops = ops  # (mass, evals, evecs, gX, gY), sharded + padded
+
+    def __call__(self, x):
+        import jax
+
+        ssm, m = self._ssm, self._ssm.manifest
+        x = _as_f32(x)
+        if x.ndim != 2:
+            raise ValueError("sharded serving takes ONE surface: x (V, c_in)")
+        if x.shape[-1] != m["c_in"]:
+            raise ValueError(f"x has {x.shape[-1]} channels; artifact "
+                             f"expects c_in={m['c_in']}")
+        if x.shape[0] != self.v:
+            raise ValueError(f"x has {x.shape[0]} vertices; this handle was "
+                             f"prepared for V={self.v}")
+        x = jax.device_put(_pad_axis(x, 0, m["v_bucket"] - self.v), ssm._vs2)
+        out = ssm._fn(ssm.params, x, *self._ops)
+        if m["outputs_at"] == "vertices" and m["v_bucket"] != self.v:
+            out = _trunc_v(self.v)(out)
+        return out
 
 
 def _read_manifest_params(artifact_dir: str):

@@ -37,11 +37,34 @@ def ensure_dir_exists(d: str) -> None:
     os.makedirs(d, exist_ok=True)
 
 
+def _machine_fingerprint() -> str:
+    """Short stable fingerprint of THIS host's ISA surface. XLA:CPU AOT
+    executables bake in the compile machine's feature set; reusing a cache
+    entry compiled on a different host risks SIGILL (observed as
+    machine-feature-mismatch warnings when a shared cache dir crossed machine
+    types). Keying the cache dir per fingerprint scopes entries per-machine."""
+    import hashlib
+    import platform as _platform
+
+    bits = [_platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    bits.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                    break
+    except OSError:
+        bits.append(_platform.processor())
+    return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str = "~/.cache/jax_compilation") -> None:
     """Enable JAX's persistent compilation cache (large jitted programs on slow
-    toolchains recompile in seconds instead of minutes across processes)."""
+    toolchains recompile in seconds instead of minutes across processes).
+    The directory is suffixed with a per-machine ISA fingerprint so AOT
+    executables never cross machine types (SIGILL hazard)."""
     import jax
-    path = os.path.expanduser(path)
+    path = os.path.join(os.path.expanduser(path), _machine_fingerprint())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
 

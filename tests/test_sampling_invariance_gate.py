@@ -6,7 +6,9 @@ collapses. A collapsed model predicts an unrelated template vertex — mean
 angular error ~90 deg; a transferring one stays within a couple of template
 edge lengths (~19 deg each). The full-strength table (30 epochs, tight
 max(2*orig, 1-edge) gate) is produced by
-examples/sampling_invariance_synthetic.py into docs/results/synthetic.jsonl;
+examples/sampling_invariance_synthetic.py into
+docs/results/sampling_invariance.jsonl (its default --out, read by
+gen_results);
 this test runs the same pipeline at reduced epochs with a collapse-level
 threshold so the suite stays fast but still dies when the property breaks.
 """

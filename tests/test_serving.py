@@ -154,6 +154,95 @@ def test_faces_output_artifact(tmp_path):
                                np.asarray(ref)[:, ::2], rtol=2e-5, atol=2e-6)
 
 
+def test_prepared_mesh_parity_and_guards(vertex_artifact):
+    """prepare() uploads operators once; handle(x) parity unbatched + batched
+    (the batched path broadcasts the resident operators on device)."""
+    a = vertex_artifact
+    sm = load_serving_model(a["dir"])
+    ops, v = a["ops"], a["verts"].shape[0]
+    h = sm.prepare(ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                   ops.gradY_spec)
+    assert h.v == v and h.bucket == V_BUCKET
+    x = a["verts"].astype(np.float32)
+    np.testing.assert_allclose(np.asarray(h(x)), a["ref"][0, :v],
+                               rtol=2e-5, atol=2e-6)
+    out3 = h(np.tile(x, (3, 1, 1)))
+    assert out3.shape == (3, v, a["ref"].shape[-1])
+    for i in range(3):
+        np.testing.assert_allclose(np.asarray(out3[i]), a["ref"][0, :v],
+                                   rtol=2e-5, atol=2e-6)
+    # prepare_operators convenience + K-truncation through prepare
+    h2 = sm.prepare_operators(ops)
+    np.testing.assert_allclose(np.asarray(h2(x)), a["ref"][0, :v],
+                               rtol=2e-5, atol=2e-6)
+    pad_k = lambda arr: np.pad(np.asarray(arr), [(0, 0)] * (arr.ndim - 1)
+                               + [(0, 4)])
+    h3 = sm.prepare(ops.mass, pad_k(ops.evals), pad_k(ops.evecs),
+                    pad_k(ops.gradX_spec), pad_k(ops.gradY_spec))
+    np.testing.assert_allclose(np.asarray(h3(x)), a["ref"][0, :v],
+                               rtol=2e-5, atol=2e-6)
+    # guards
+    with pytest.raises(ValueError, match="UNBATCHED"):
+        sm.prepare(a["sops"].mass, a["sops"].evals, a["sops"].evecs,
+                   a["sops"].gradX_spec, a["sops"].gradY_spec)
+    with pytest.raises(ValueError, match="prepared for V"):
+        h(np.zeros((v + 1, 3), np.float32))
+    with pytest.raises(ValueError, match="c_in"):
+        h(np.zeros((v, 7), np.float32))
+    with pytest.raises(ValueError, match="no index input"):
+        sm.prepare(ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                   ops.gradY_spec, inds=np.zeros((4, 3), np.int32))
+
+
+def test_hot_path_no_implicit_host_transfers(vertex_artifact):
+    """THE round-4 serving bug: __call__ round-tripped device operators
+    through host numpy per request. With device-resident inputs, neither
+    __call__ nor a prepared handle may perform ANY implicit host<->device
+    transfer (jax.transfer_guard('disallow') raises on one)."""
+    a = vertex_artifact
+    sm = load_serving_model(a["dir"])
+    s = a["sops"]
+    dev = jax.device_put((jnp.asarray(a["x"]), jnp.asarray(s.mass),
+                          jnp.asarray(s.evals), jnp.asarray(s.evecs),
+                          jnp.asarray(s.gradX_spec),
+                          jnp.asarray(s.gradY_spec)))
+    ops = a["ops"]
+    h = sm.prepare(ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                   ops.gradY_spec)
+    xd = jax.device_put(jnp.asarray(a["verts"], jnp.float32))
+    sm(*dev)   # warm both paths (compile outside the guard)
+    h(xd)
+    with jax.transfer_guard("disallow"):
+        out1 = sm(*dev)
+        out2 = h(xd)
+        out2b = h(jnp.broadcast_to(xd, (4,) + xd.shape))
+    jax.block_until_ready((out1, out2, out2b))
+    v = a["verts"].shape[0]
+    np.testing.assert_allclose(np.asarray(out2), a["ref"][0, :v],
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_prepared_mesh_faces_artifact(tmp_path):
+    """prepare() with an index-input artifact: faces indices are resident in
+    the handle; requests stream x only."""
+    verts, faces, ops, sops, model, params, x, kw = _setup(
+        outputs_at="faces", c_out=4)
+    f_inds = jnp.asarray(faces, jnp.int32)[None]
+    ref = model.apply(params, jnp.asarray(x), jnp.asarray(sops.mass),
+                      faces=f_inds, **kw)
+    d = str(tmp_path / "faces_prepared")
+    export_forward(model, params, v_buckets=(V_BUCKET,), out_dir=d, k_eig=K)
+    sm = load_serving_model(d)
+    with pytest.raises(ValueError, match="inds"):
+        sm.prepare(ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                   ops.gradY_spec)
+    h = sm.prepare(ops.mass, ops.evals, ops.evecs, ops.gradX_spec,
+                   ops.gradY_spec, inds=faces)
+    out = h(verts.astype(np.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref)[0],
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_call_operators_convenience(vertex_artifact):
     a = vertex_artifact
     sm = load_serving_model(a["dir"])
