@@ -31,12 +31,18 @@ K_EIG = 128
 C_WIDTH = 128
 N_BLOCK = 4
 PEAK_BF16_FLOPS = 197e12  # v5e bf16 MXU peak (same convention as bench.py)
+MESH_KIND = "grid"  # 'grid' | 'sphere' (irregular Delaunay — see meshgen)
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _bench_mesh():
-    from tests.meshgen import flat_grid
+    from tests.meshgen import delaunay_sphere, flat_grid
+    if MESH_KIND == "sphere":
+        # genuinely irregular connectivity (real-scan-like adversarial
+        # input): DIA refuses it and the dense RCM band exceeds memory at
+        # 1M — the eigensolve runs the blocked-ELL Pallas path
+        return delaunay_sphere(1_000_000 if V_PAD > 500_000 else 200_000)
     if V_PAD > 500_000:
         return flat_grid(n=1000, jitter=0.3)   # 1,000,000 verts
     return flat_grid(n=448, jitter=0.4)
@@ -99,7 +105,8 @@ def eigensolver_parity_errs(ev_h, evec_h, ev_d, evec_d, mass, x, ts,
 
 
 def eigensolver_bench(run_host: bool = True, mesh=None, k_eig: int = K_EIG,
-                      host_k: int | None = None):
+                      host_k: int | None = None,
+                      analytic_sphere: bool = False):
     """Device (TPU subspace-filter) vs host (ARPACK ladder) eigensolve at the
     bench scale — time AND gauge-invariant accuracy (VERDICT r2 item 1: the
     device solver is the primary path; this records the evidence). Accuracy
@@ -156,6 +163,19 @@ def eigensolver_bench(run_host: bool = True, mesh=None, k_eig: int = K_EIG,
         weyl = 4.0 * np.pi * np.arange(1, k_eig) / area
         out["band_vs_weyl_ratio"] = round(float(
             np.median(ev_d[1:] / weyl)), 3)
+        if analytic_sphere:
+            # unit sphere: continuum spectrum l(l+1), multiplicity 2l+1 —
+            # an independent correctness gate with no host solve. Compare up
+            # to the largest COMPLETE multiplet <= k (a band cut inside a
+            # multiplet is a truncation artifact, not solver error).
+            ls = np.repeat(np.arange(64), 2 * np.arange(64) + 1)[:k_eig]
+            full = int(np.searchsorted(ls, ls[k_eig - 1]))  # first of the cut multiplet
+            expect = (ls * (ls + 1.0))[:full]
+            got = np.asarray(ev_p, np.float64)[:full]
+            err = float(np.abs(got[1:] - expect[1:]).max()
+                        / max(expect.max(), 1e-30))
+            out["polished_band_vs_analytic_sphere_max_rel_err"] = err
+            out["analytic_multiplets_compared"] = full
         return [out]
 
     kh = k_eig if host_k is None else int(host_k)
@@ -186,6 +206,83 @@ def eigensolver_bench(run_host: bool = True, mesh=None, k_eig: int = K_EIG,
         "polished_hks_max_rel_err": hks_err_p,
     })
     return [out]
+
+
+def unstructured_matvec_record(k_cols: int = 256):
+    """Blocked-ELL SpMM timing on the irregular mesh (VERDICT r4 item 3:
+    'unstructured 1M' needs matvec <= ~50 ms): build + steady-state matvec
+    at (V, k_cols), plus one ELL-gather matvec for contrast."""
+    import jax
+    import jax.numpy as jnp
+    from diffusionnet_tpu.geometry import cotan_laplacian, vertex_areas
+    from diffusionnet_tpu.ops.blocked_ell import (blocked_ell_from_sparse,
+                                                  blocked_ell_matvec)
+    from diffusionnet_tpu.ops.sparse import Ell, ell_from_coo, ell_matvec
+    from diffusionnet_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+
+    verts, faces = _bench_mesh()
+    V = verts.shape[0]
+    L = cotan_laplacian(verts, faces)
+    t0 = time.perf_counter()
+    b = blocked_ell_from_sparse(L)
+    t_build = time.perf_counter() - t0
+    if b is None:
+        return [{"metric": f"blocked-ELL SpMM @ {V} (REFUSED: over budget)",
+                 "value": 0.0, "unit": "ms"}]
+    rs = np.random.RandomState(0)
+    x = np.zeros((b.n_pad, k_cols), np.float32)
+    x[:V] = rs.randn(V, k_cols)
+
+    # format arrays MUST be jit arguments, not closure constants — closed-
+    # over device arrays are inlined into the shipped MLIR as literals
+    # (4.1 GB of panels at 1M would blow the compile request)
+    from functools import partial
+    from diffusionnet_tpu.ops.blocked_ell import BlockedEll
+
+    @partial(jax.jit, static_argnames=("W", "NPX"))
+    def fn(blocks, offs, starts, ovr, ovc, ovv, xx, W, NPX):
+        fmt = BlockedEll(blocks, offs, starts, ovr, ovc, ovv, 0, NPX, W,
+                         None)
+        return blocked_ell_matvec(fmt, xx)
+
+    fargs = (b.blocks, b.offs, b.starts, b.ov_rows, b.ov_cols, b.ov_vals)
+    kw = dict(W=int(b.w_window), NPX=int(b.n_pad_x))
+    t0 = time.perf_counter()
+    y = fn(*fargs, jnp.asarray(x), **kw)
+    jax.block_until_ready(y)
+    t_compile = time.perf_counter() - t0
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = fn(*fargs, y, **kw)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter() - t0) / reps
+    # ELL gather contrast (the XLA fallback this kernel replaces)
+    coo = L.tocoo()
+    ell_np = ell_from_coo(coo.row, coo.col, coo.data, V)
+    ell = Ell(jnp.asarray(ell_np.idx), jnp.asarray(ell_np.val))
+    gfn = jax.jit(lambda xx: ell_matvec(ell, xx))
+    xg = jnp.asarray(x[:V, :64])  # narrower: the full gather temp OOMs at 1M
+    yg = gfn(xg)
+    jax.block_until_ready(yg)
+    t0 = time.perf_counter()
+    for _ in range(2):
+        yg = gfn(yg)
+    jax.block_until_ready(yg)
+    dt_gather = (time.perf_counter() - t0) / 2 * (k_cols / 64)
+    T, GROUPS, NB, G, _ = b.blocks.shape
+    return [{
+        "metric": f"blocked-ELL Pallas SpMM @ {V} verts x {k_cols} cols "
+                  f"(irregular mesh; W={b.w_window}, NB={NB}, G={G})",
+        "value": round(dt * 1e3, 2), "unit": "ms/matvec",
+        "build_s": round(t_build, 1),
+        "first_call_incl_compile_s": round(t_compile, 1),
+        "panels_gbytes": round(b.blocks.size * 4 / 1e9, 2),
+        "overflow_nnz": int(np.asarray(b.ov_vals != 0).sum()),
+        "ell_gather_ms_scaled": round(dt_gather * 1e3, 1),
+        "speedup_vs_gather": round(dt_gather / max(dt, 1e-9), 1),
+    }]
 
 
 def tpu_forward(ops, x, v_true):
@@ -440,15 +537,21 @@ def main():
     ap.add_argument("--warm_precompute", action="store_true",
                     help="skip the forced-recompute COLD precompute timing "
                          "(report only the cache-hit WARM load)")
+    ap.add_argument("--mesh_kind", choices=["grid", "sphere"],
+                    default="grid",
+                    help="'sphere' = irregular 1M Delaunay sphere (the "
+                         "unstructured adversarial input: blocked-ELL "
+                         "eigensolve path, analytic-spectrum gate)")
     ap.add_argument("--sharded_only", action="store_true",
                     help="(internal) load cached operators and print ONLY "
                          "the vertex-sharded record — run by _sharded_record "
                          "in a subprocess that carries the virtual-device "
                          "XLA flag")
     args = ap.parse_args()
+    global V_PAD, MESH_KIND
     if args.v1m:
-        global V_PAD
         V_PAD = 1_001_472  # 2048 * 489
+    MESH_KIND = args.mesh_kind
 
     if args.sharded_only:
         ops, x, _ = build_inputs(cold=False)
@@ -470,9 +573,17 @@ def main():
         # round-3 worker fault was a per-program execution watchdog — see
         # eigen.py cheb_segment); ARPACK at 1M takes tens of minutes at
         # k=128, so the host comparison is spot-checked at k=16 instead.
+        # The irregular sphere runs the blocked-ELL path; at 1M the ARPACK
+        # shift-invert factorization is impractical on this 1-core host, so
+        # the gate is the ANALYTIC sphere spectrum instead.
         host_k = 16 if args.v1m else None
-        run_host = args.eigen_host if args.eigen_host is not None else True
-        add(eigensolver_bench(run_host=run_host, host_k=host_k))
+        sphere_1m = MESH_KIND == "sphere" and args.v1m
+        run_host = (args.eigen_host if args.eigen_host is not None
+                    else not sphere_1m)
+        add(eigensolver_bench(run_host=run_host, host_k=host_k,
+                              analytic_sphere=MESH_KIND == "sphere"))
+    if MESH_KIND == "sphere":
+        add(unstructured_matvec_record())
 
     ops, x, pre_records = build_inputs(cold=not args.warm_precompute)
     add(pre_records)
@@ -483,6 +594,8 @@ def main():
     if not args.skip_sharded:
         add([_sharded_record(ops, x, v1m=args.v1m)])
     name = "BENCH_LARGE_1M.json" if args.v1m else "BENCH_LARGE.json"
+    if MESH_KIND == "sphere":
+        name = name.replace(".json", "_UNSTRUCTURED.json")
     with open(os.path.join(REPO, name), "w") as f:
         json.dump(results, f, indent=1)
 

@@ -579,6 +579,102 @@ def _dev_cheb_seg_banded(band, starts, inv_sqrt_m, mask, Zm1, Zm0, sigma, lo,
         return jax.lax.fori_loop(0, steps, body, (Zm1, Zm0, sigma))
 
 
+# --- blocked-ELL stage functions (unstructured large meshes) -------------
+# Same four-stage split driven through ops/blocked_ell.py's Pallas SpMM —
+# the format for meshes where DIA refuses (unstructured sparsity) and the
+# dense RCM band exceeds memory (1M irregular: band 22 GB vs blocked 4 GB).
+# The w_window/n_pad_x ints are static (they size the kernel's VMEM window).
+
+
+def _mv_blocked(blocks, offs, starts, ovr, ovc, ovv, w_window: int,
+                n_pad_x: int, inv_sqrt_m, mask, bound, eps, col_chunk):
+    from ..ops.blocked_ell import BlockedEll, blocked_ell_matvec
+    b = BlockedEll(blocks=blocks, offs=offs, starts=starts, ov_rows=ovr,
+                   ov_cols=ovc, ov_vals=ovv, n=0, n_pad_x=n_pad_x,
+                   w_window=w_window, perm=None)
+
+    def mv_block(x):
+        y = blocked_ell_matvec(b, inv_sqrt_m[:, None] * x)
+        y = inv_sqrt_m[:, None] * y + eps * (inv_sqrt_m[:, None] ** 2) * x
+        return jnp.where(mask[:, None], y, bound * x)
+
+    def mv(x):
+        n = x.shape[1]
+        if col_chunk is None or n <= col_chunk:
+            return mv_block(x)
+        return jnp.concatenate([mv_block(x[:, i:i + col_chunk])
+                                for i in range(0, n, col_chunk)], axis=1)
+    return mv
+
+
+@_partial(jax.jit, static_argnames=("w_window", "n_pad_x", "cheb_degree",
+                                    "col_chunk"))
+def _dev_filter_gram_blocked(blocks, offs, starts, ovr, ovc, ovv,
+                             w_window: int, n_pad_x: int, inv_sqrt_m, mask,
+                             X, lo, bound, eps, cheb_degree: int,
+                             col_chunk: int | None = None):
+    mv = _mv_blocked(blocks, offs, starts, ovr, ovc, ovv, w_window, n_pad_x,
+                     inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        X = jnp.where(mask[:, None], X, 0.0)
+        Y = _cheb_filter(mv, X, lo, bound, cheb_degree)
+        G = Y.T @ Y
+    return Y, G
+
+
+@_partial(jax.jit, static_argnames=("w_window", "n_pad_x", "col_chunk"))
+def _dev_cheb_start_blocked(blocks, offs, starts, ovr, ovc, ovv,
+                            w_window: int, n_pad_x: int, inv_sqrt_m, mask,
+                            X, lo, bound, eps,
+                            col_chunk: int | None = None):
+    mv = _mv_blocked(blocks, offs, starts, ovr, ovc, ovv, w_window, n_pad_x,
+                     inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        X = jnp.where(mask[:, None], X, 0.0)
+        e = (bound - lo) / 2.0
+        c = (bound + lo) / 2.0
+        sigma1 = 1.0 / (-c / e)
+        Z1 = (mv(X) - c * X) * (sigma1 / e)
+    return X, Z1, sigma1
+
+
+@_partial(jax.jit, static_argnames=("w_window", "n_pad_x", "steps",
+                                    "col_chunk"))
+def _dev_cheb_seg_blocked(blocks, offs, starts, ovr, ovc, ovv,
+                          w_window: int, n_pad_x: int, inv_sqrt_m, mask,
+                          Zm1, Zm0, sigma, lo, bound, eps, steps: int,
+                          col_chunk: int | None = None):
+    mv = _mv_blocked(blocks, offs, starts, ovr, ovc, ovv, w_window, n_pad_x,
+                     inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        e = (bound - lo) / 2.0
+        c = (bound + lo) / 2.0
+        l0 = -c / e
+
+        def body(_, carry):
+            Zm1, Zm0, sigma = carry
+            sigma_new = 1.0 / (2.0 * l0 - sigma)
+            Zn = (mv(Zm0) - c * Zm0) * (2.0 * sigma_new / e) \
+                - (sigma * sigma_new) * Zm1
+            return (Zm0, Zn, sigma_new)
+
+        return jax.lax.fori_loop(0, steps, body, (Zm1, Zm0, sigma))
+
+
+@_partial(jax.jit, static_argnames=("w_window", "n_pad_x", "col_chunk"))
+def _dev_rotate_apply_blocked(blocks, offs, starts, ovr, ovc, ovv,
+                              w_window: int, n_pad_x: int, inv_sqrt_m, mask,
+                              bound, eps, Y, F,
+                              col_chunk: int | None = None):
+    mv = _mv_blocked(blocks, offs, starts, ovr, ovc, ovv, w_window, n_pad_x,
+                     inv_sqrt_m, mask, bound, eps, col_chunk)
+    with jax.default_matmul_precision("highest"):
+        Y = Y @ F
+        W = mv(Y)
+        T = Y.T @ W
+    return Y, W, T
+
+
 @_partial(jax.jit, static_argnames=("offsets", "col_chunk"))
 def _dev_cheb_start_dia(data, offsets: tuple, inv_sqrt_m, mask, X, lo,
                         bound, eps, col_chunk: int | None = None):
@@ -780,7 +876,7 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                       n_iter: int | None = None,
                       seed: int = 777,
                       polish=None,
-                      banded: bool | None = None,
+                      banded: bool | str | None = None,
                       cheb_segment: int | None = None,
                       verbose: bool = False,
                       timings: dict | None = None):
@@ -809,6 +905,12 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
     sqrt(bound/lambda_cut), the Chebyshev convergence exponent).
     n_iter: deprecated (the pre-round-3 LOBPCG iteration count); ignored.
     seed: deterministic start-vector seed (the host ladder's 777 convention).
+    banded: operator format. None (default, accelerators) auto-selects
+    DIA (structured) -> dense RCM band (narrow bandwidth) -> blocked-ELL
+    Pallas panels (unstructured/wide, ops/blocked_ell.py) -> ELL gather;
+    False forces the ELL gather (and is the CPU default); True requires the
+    dense band; 'dia'/'blocked' require that specific format (raise if the
+    operator does not fit it).
     cheb_segment: max Chebyshev steps per device program (None = auto: 32
     when V >= 400k, unsegmented below). Large-V filter sweeps as ONE XLA
     program run for minutes and trip per-program execution watchdogs
@@ -887,8 +989,10 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         banded = None if not on_cpu else False
     band_rep = None
     dia_rep = None
+    blocked_rep = None
     if banded is not False:
-        from ..ops.banded import banded_from_sparse_device, dia_from_sparse
+        from ..ops.banded import (banded_from_sparse_device, dia_from_sparse,
+                                  rcm_permutation)
         t0 = _time.perf_counter()
         L_host = polish[0] if polish is not None else _ell_to_scipy(L_ell)
         if banded in (None, "dia") and L_host.shape[0] == V:
@@ -901,19 +1005,36 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         if banded == "dia" and dia_rep is None:
             raise RuntimeError("banded='dia' but the operator is not "
                                "diagonal-structured (or the ELL was padded)")
-        if dia_rep is None:
-            # band-size budget: leave room for the 3 live (V, n_cols)
-            # blocks, the chunked window gather (~1.5 GB) and matmul temps
-            # on a 16 GB chip
-            block_bytes = 3 * V * n_cols * 4
-            budget = min(6_500_000_000,
-                         max(2_500_000_000, 11_000_000_000 - block_bytes))
+        # band-size budget: leave room for the 3 live (V, n_cols) blocks,
+        # the chunked window gather (~1.5 GB) and matmul temps on a 16 GB
+        # chip
+        block_bytes = 3 * V * n_cols * 4
+        budget = min(6_500_000_000,
+                     max(2_500_000_000, 11_000_000_000 - block_bytes))
+        rcm = None
+        if dia_rep is None and banded in (None, True):
+            rcm = rcm_permutation(L_host)
             band_rep = banded_from_sparse_device(L_host,
-                                                 max_band_bytes=budget)
+                                                 max_band_bytes=budget,
+                                                 perm=rcm)
+        if dia_rep is None and band_rep is None and banded in (None,
+                                                               "blocked"):
+            # UNSTRUCTURED meshes too wide for the dense band (irregular 1M:
+            # RCM bandwidth ~2600, band 22 GB): blocked-ELL Pallas SpMM —
+            # only the occupied 128-column panels are stored (~4 GB at 1M),
+            # the matvec stays MXU matmuls against a VMEM-resident window
+            from ..ops.blocked_ell import blocked_ell_from_sparse
+            if rcm is None:
+                rcm = rcm_permutation(L_host)
+            blocked_rep = blocked_ell_from_sparse(L_host, max_bytes=budget,
+                                                  perm=rcm)
         _mark("eigen_band_build", t0)
         if band_rep is None and dia_rep is None and banded is True:
             raise RuntimeError("banded=True but the RCM-reordered bandwidth "
                                "exceeds the band-size budget")
+        if blocked_rep is None and banded == "blocked":
+            raise RuntimeError("banded='blocked' but the blocked-ELL panels "
+                               "exceed the memory budget")
 
     if dia_rep is not None:
         data_j = jnp.asarray(dia_rep[0])
@@ -997,6 +1118,58 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
                 X, lo),
             X0, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
             "eigensolve_device[banded]")
+        # back to the original vertex order
+        X_orig = np.zeros((V, n_cols), np.float32)
+        X_orig[perm] = np.asarray(X)[:V]
+        t0 = _mark("eigen_sweeps", t0)
+        if polish is not None:
+            L_sp, mass_f64 = polish
+            out = _rr_polish_host(L_sp, mass_f64, X_orig, k_eig, eps)
+            _mark("eigen_polish", t0)
+            return out
+        evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
+        evecs = inv_sqrt_m[:, None] * jnp.asarray(X_orig[:, :k_eig])
+        return evals, evecs
+
+    if blocked_rep is not None:
+        br = blocked_rep
+        n_pad = br.n_pad
+        perm = br.perm
+        ww, npx = int(br.w_window), int(br.n_pad_x)
+        fmt = (br.blocks, br.offs, br.starts, br.ov_rows, br.ov_cols,
+               br.ov_vals)
+        imp = np.zeros(n_pad, np.float32)
+        imp[:V] = inv_sqrt_m[perm]
+        mkp = np.zeros(n_pad, bool)
+        mkp[:V] = mask[perm]
+        imp_j, mkp_j = jnp.asarray(imp), jnp.asarray(mkp)
+        col_chunk = None
+        X0 = jnp.where(mkp_j[:, None],
+                       jax.random.normal(key, (n_pad, n_cols), jnp.float32),
+                       0.0)
+        if cheb_segment:
+            filter_gram = lambda Xs, los: _segmented_filter_gram(
+                lambda X_, lo_: _dev_cheb_start_blocked(
+                    *fmt, ww, npx, imp_j, mkp_j, X_, lo_, bound_j, eps_j,
+                    col_chunk),
+                lambda Zm1, Zm0, sig, lo_, steps: _dev_cheb_seg_blocked(
+                    *fmt, ww, npx, imp_j, mkp_j, Zm1, Zm0, sig, lo_,
+                    bound_j, eps_j, steps, col_chunk),
+                Xs, los, cheb_degree, cheb_segment)
+        else:
+            filter_gram = lambda Xs, los: _dev_filter_gram_blocked(
+                *fmt, ww, npx, imp_j, mkp_j, Xs, los, bound_j, eps_j,
+                cheb_degree, col_chunk)
+        t0 = _time.perf_counter()
+        X, w = _converge(
+            lambda X, lo: _split_sweep(
+                filter_gram,
+                lambda Ys, Fs: _dev_rotate_apply_blocked(
+                    *fmt, ww, npx, imp_j, mkp_j, bound_j, eps_j, Ys, Fs,
+                    col_chunk),
+                X, lo),
+            X0, lambda_cut, k_eig, eps, tol, max_sweeps, bound, verbose,
+            "eigensolve_device[blocked]")
         # back to the original vertex order
         X_orig = np.zeros((V, n_cols), np.float32)
         X_orig[perm] = np.asarray(X)[:V]
