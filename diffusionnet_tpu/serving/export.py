@@ -394,6 +394,7 @@ class PreparedMesh:
         self._ops1 = ops1    # (mass, evals, evecs, gX, gY) each batch-1 padded
         self._inds1 = inds1  # (1, E, w) int32 or None
         self._cache = {}     # batch size -> broadcasted operand tuple
+        self._fns = {}       # (batch, unbatched) -> one fused jitted request
 
     def _batched(self, b: int):
         import jax.numpy as jnp
@@ -406,29 +407,52 @@ class PreparedMesh:
             self._cache[b] = got
         return got
 
+    def _request_fn(self, b: int, unbatched: bool):
+        """ONE jitted program per (batch, unbatched): expand + pad + the
+        exported call + truncate/squeeze. Chaining those as eager ops costs
+        one dispatch each — through a tunneled device that overhead dwarfed
+        the model itself (measured 2.3 ms vs 0.75 ms at V=2048)."""
+        import jax
+        import jax.numpy as jnp
+
+        key = (b, unbatched)
+        fn = self._fns.get(key)
+        if fn is None:
+            m = self._sm.manifest
+            bucket, v = self.bucket, self.v
+            inner = self._sm._fns[bucket]
+            trunc = m["outputs_at"] == "vertices" and bucket != v
+
+            def f(params, x, *ops):
+                if unbatched:
+                    x = x[None]
+                if bucket != v:
+                    x = jnp.pad(x, ((0, 0), (0, bucket - v), (0, 0)))
+                out = inner(params, x, *ops)
+                if trunc:
+                    out = out[..., :v, :]
+                if unbatched:
+                    out = out[0]
+                return out
+
+            fn = jax.jit(f)
+            self._fns[key] = fn
+        return fn
+
     def __call__(self, x):
         m = self._sm.manifest
         unbatched = np.ndim(x) == 2
         x = _as_f32(x)
-        if unbatched:
-            x = x[None]
         if x.shape[-1] != m["c_in"]:
             raise ValueError(f"x has {x.shape[-1]} channels; artifact "
                              f"expects c_in={m['c_in']}")
         if x.shape[-2] != self.v:
             raise ValueError(f"x has {x.shape[-2]} vertices; this handle was "
                              f"prepared for V={self.v}")
-        x = _pad_axis(x, -2, self.bucket - self.v)
-        mass, evals, evecs, gX, gY, inds = self._batched(x.shape[0])
-        args = (self._sm.params, x, mass, evals, evecs, gX, gY)
-        if inds is not None:
-            args = args + (inds,)
-        out = self._sm._fns[self.bucket](*args)
-        if m["outputs_at"] == "vertices" and self.bucket != self.v:
-            out = _trunc_v(self.v)(out)
-        if unbatched:
-            out = _first_row()(out)
-        return out
+        b = 1 if unbatched else x.shape[0]
+        ops_inds = self._batched(b)
+        args = ops_inds[:-1] if ops_inds[-1] is None else ops_inds
+        return self._request_fn(b, unbatched)(self._sm.params, x, *args)
 
 
 class ServingModel:
