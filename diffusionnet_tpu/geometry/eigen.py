@@ -239,7 +239,8 @@ def _dense_eigh_tiny(L_ell: Ell, massvec, mask, k_eig: int, eps: float,
 
 def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
                     eps: float, augment: bool = True,
-                    certify_tol: float | None = 1e-3):
+                    certify_tol: float | None = 1e-3,
+                    timings: dict | None = None):
     """Float64 Rayleigh–Ritz polish of a device-converged basis Y (V, n).
 
     The f32 device sweeps converge the SUBSPACE to the f32 matvec noise
@@ -254,6 +255,15 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     the f32 noise floor alone would leave ~1e-2 band-edge subspace error.
     Returns (evals (k,), evecs (V, k)) float64, evecs M-orthonormal."""
     import scipy.linalg
+    import time as _time
+
+    def _mark(stage, t0):
+        if timings is not None:
+            timings[stage] = (timings.get(stage, 0.0)
+                              + _time.perf_counter() - t0)
+        return _time.perf_counter()
+
+    _t = _time.perf_counter()
     V = Y.shape[0]
     m = np.asarray(massvec, np.float64)
     r = np.zeros(V)
@@ -281,7 +291,12 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
         _spmm = lambda A, B: A @ B
 
     def matvec(B):
-        return _spmm(C_sp, B)
+        t0 = _time.perf_counter()
+        out = _spmm(C_sp, B)
+        _mark("polish_spmm", t0)
+        return out
+
+    _t = _mark("polish_setup", _t)
 
     # No QR: the generalized eigh(T, G) handles a non-orthonormal basis
     # directly (Y arrives f32-SVQB'd, so G ~ I), and the big O(V n^2) GEMMs
@@ -294,6 +309,7 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     # ~29 GFLOPS (the allocating path takes a degenerate kernel); the
     # (n, n)-output Gram products are fast either way (~46 GFLOPS).
     Y = np.asarray(Y, np.float64)
+    _t = _mark("polish_cast", _t)
     CY = matvec(Y)
     T0 = Y.T @ CY
     G0 = Y.T @ Y
@@ -319,12 +335,14 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
         T, G, Z = T0, G0, None
     T = 0.5 * (T + T.T)
     G = 0.5 * (G + G.T)
+    _t = _mark("polish_gram", _t)  # CY/CZ SpMMs + all Gram GEMMs
     try:
         w, S = scipy.linalg.eigh(T, G)
     except scipy.linalg.LinAlgError:
         # near-dependent augmentation columns: regularize and retry
         G = G + 1e-10 * np.eye(G.shape[0])
         w, S = scipy.linalg.eigh(T, G)
+    _t = _mark("polish_eigh", _t)
     evals = np.clip(w[:k_eig] - eps, 0.0, None)
     # B @ S without materializing B = [Y, Z] (a second (V, 2n) copy)
     n = Y.shape[1]
@@ -333,6 +351,7 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     if Z is not None:
         BS += np.matmul(Z, np.ascontiguousarray(S[n:, :k_eig]),
                         out=np.empty_like(BS))
+    _t = _mark("polish_recombine", _t)
 
     if certify_tol is not None:
         # f64 CERTIFICATION of the final pairs (one extra SpMM): the f32
@@ -363,6 +382,7 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
                 "converged to a wrong subspace (ill-scaled operator?); "
                 "falling back to the host ladder is required")
     evecs = r[:, None] * BS
+    _mark("polish_certify", _t)
     return evals, evecs
 
 
@@ -1071,7 +1091,10 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         t0 = _mark("eigen_sweeps", t0)
         if polish is not None:
             L_sp, mass_f64 = polish
-            out = _rr_polish_host(L_sp, mass_f64, np.asarray(X), k_eig, eps)
+            Xh = np.asarray(X)
+            t0 = _mark("eigen_fetch", t0)
+            out = _rr_polish_host(L_sp, mass_f64, Xh, k_eig, eps,
+                                  timings=timings)
             _mark("eigen_polish", t0)
             return out
         evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
@@ -1124,7 +1147,8 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         t0 = _mark("eigen_sweeps", t0)
         if polish is not None:
             L_sp, mass_f64 = polish
-            out = _rr_polish_host(L_sp, mass_f64, X_orig, k_eig, eps)
+            out = _rr_polish_host(L_sp, mass_f64, X_orig, k_eig, eps,
+                                  timings=timings)
             _mark("eigen_polish", t0)
             return out
         evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
@@ -1176,7 +1200,8 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
         t0 = _mark("eigen_sweeps", t0)
         if polish is not None:
             L_sp, mass_f64 = polish
-            out = _rr_polish_host(L_sp, mass_f64, X_orig, k_eig, eps)
+            out = _rr_polish_host(L_sp, mass_f64, X_orig, k_eig, eps,
+                                  timings=timings)
             _mark("eigen_polish", t0)
             return out
         evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
@@ -1224,7 +1249,10 @@ def eigensolve_device(L_ell: Ell, massvec, k_eig: int, n_valid: int | None = Non
 
     if polish is not None:
         L_sp, mass_f64 = polish
-        out = _rr_polish_host(L_sp, mass_f64, np.asarray(X), k_eig, eps)
+        Xh = np.asarray(X)
+        t0 = _mark("eigen_fetch", t0)
+        out = _rr_polish_host(L_sp, mass_f64, Xh, k_eig, eps,
+                              timings=timings)
         _mark("eigen_polish", t0)
         return out
     evals = jnp.clip(w[:k_eig] - eps, 0.0, None)
