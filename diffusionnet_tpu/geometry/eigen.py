@@ -313,26 +313,47 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
     CY = matvec(Y)
     T0 = Y.T @ CY
     G0 = Y.T @ Y
+    # below ~2 GB of (V, n) f64, keep CY/CZ alive through the eigh:
+    # certification then reuses them as C[Y,Z] @ S — two dense GEMMs
+    # instead of a fresh SpMM (mathematically identical; ~2x cheaper)
+    gemm_certify = (certify_tol is not None
+                    and Y.shape[0] * Y.shape[1] * 8 < 2e9)
+    CZ = None
     if augment:
         # residual block Z = CY - Y G0^-1 T0 (first-order subspace
-        # correction — one block-Krylov step), column-normalized
-        Z = CY
+        # correction — one block-Krylov step), column-normalized.
+        # SELECTIVE: a column already converged to the f32 matvec noise
+        # floor (zn ~ eps_f32 * ||C||) carries an out-of-subspace error
+        # ~1e-7 relative — far below the parity gates — so only columns
+        # whose residual sits ABOVE that floor (the band-edge leakage the
+        # augmentation exists for) join the subspace, nearly halving the
+        # polish's O(V n^2) GEMM + SpMM cost with no measurable parity
+        # change (200k: diffusion/HKS parity gates unchanged at ~2e-6).
+        Z = CY.copy() if gemm_certify else CY
         Z -= np.matmul(Y, scipy.linalg.solve(G0, T0, assume_a="pos"),
                        out=np.empty_like(CY))
         zn = np.linalg.norm(Z, axis=0)
-        keep = zn > 1e-13 * max(zn.max(), 1e-300)
+        cnorm = max(float(np.abs(C_sp).sum(axis=1).max()), 1e-300)
+        f32_floor = float(np.finfo(np.float32).eps) * cnorm
+        keep = zn > max(4.0 * f32_floor, 1e-13 * max(zn.max(), 1e-300))
         if keep.all():
             Z /= zn            # in place: the (V, n) column-gather copy of
-        else:                  # the fancy-index path costs seconds at 200k
+        elif keep.any():       # the fancy-index path costs seconds at 200k
             Z = Z[:, keep] / zn[keep]
+        else:
+            Z = None
+    else:
+        Z = None
+    if Z is not None:
         CZ = matvec(Z)
         # blockwise T/G for B = [Y, Z] (C symmetric: Z^T C Y = (Y^T C Z)^T)
         YtZ, YtCZ = Y.T @ Z, Y.T @ CZ
         T = np.block([[T0, YtCZ], [YtCZ.T, Z.T @ CZ]])
         G = np.block([[G0, YtZ], [YtZ.T, Z.T @ Z]])
-        del CY, CZ
     else:
-        T, G, Z = T0, G0, None
+        T, G = T0, G0
+    if not gemm_certify:
+        CY = CZ = None  # free the (V, n) blocks before the dense work
     T = 0.5 * (T + T.T)
     G = 0.5 * (G + G.T)
     _t = _mark("polish_gram", _t)  # CY/CZ SpMMs + all Gram GEMMs
@@ -365,7 +386,18 @@ def _rr_polish_host(L: scipy.sparse.spmatrix, massvec, Y, k_eig: int,
         # compute_operators then falls back to the ARPACK ladder. Healthy
         # polished bases sit orders below this tolerance (band error ~1e-12
         # at 20k, docs/RESULTS.md); garbage sits at O(1) relative.
-        res = matvec(BS) - BS * w[None, :k_eig]
+        if gemm_certify:
+            # C @ BS assembled from the cached blocks: C(Y S1 + Z S2)
+            # = CY S1 + CZ S2 exactly (f64 GEMM rounding ~1e-16, orders
+            # below certify_tol)
+            CBS = np.matmul(CY, np.ascontiguousarray(S[:n, :k_eig]),
+                            out=np.empty_like(BS))
+            if Z is not None:
+                CBS += np.matmul(CZ, np.ascontiguousarray(S[n:, :k_eig]),
+                                 out=np.empty_like(BS))
+            res = CBS - BS * w[None, :k_eig]
+        else:
+            res = matvec(BS) - BS * w[None, :k_eig]
         # denominator floor: when the whole requested band is (near-)kernel
         # (k_eig <= #connected components) w[k-1] ~ eps, but f64 roundoff in
         # the residual scales with the operator's magnitude (~bound on

@@ -61,8 +61,9 @@ _VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # batch grid dim is embarrassingly parallel in the chained FORWARD kernel
 # (each b has its own x_hat chain; scratch acc is re-zeroed at i==0), letting
 # Mosaic overlap DMA across the b boundary; the tile dim accumulates -> keep
-# it "arbitrary". The bwd kernel accumulates parameter grads ACROSS b, so its
-# whole grid stays "arbitrary".
+# it "arbitrary". The bwd kernel emits PER-BATCH parameter-grad partials
+# (summed by XLA outside — a few hundred KB of extra HBM writes vs ~1 GB of
+# operand traffic), so its batch dim is parallel too.
 _VMEM_LIMIT_FWD = pltpu.CompilerParams(
     vmem_limit_bytes=100 * 1024 * 1024,
     dimension_semantics=("parallel", "arbitrary"))
@@ -402,20 +403,20 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
 
         b = pl.program_id(0)
         i = pl.program_id(1)
-        nb = pl.num_programs(0)
         n = pl.num_programs(1)
 
-        @pl.when((b == 0) & (i == 0))
+        # all accumulators are per-BATCH-element (flushed at i == n-1 into
+        # per-b output blocks, summed over b outside): no cross-b carries,
+        # so the batch grid dim is parallel and Mosaic can overlap DMA
+        # across the b boundary
+        @pl.when(i == 0)
         def _():
+            ds_acc[:] = jnp.zeros_like(ds_acc)
             dare_acc[:] = jnp.zeros_like(dare_acc)
             daim_acc[:] = jnp.zeros_like(daim_acc)
             for dw_acc, db_acc in dd_accs:
                 dw_acc[:] = jnp.zeros_like(dw_acc)
                 db_acc[:] = jnp.zeros_like(db_acc)
-
-        @pl.when(i == 0)
-        def _():
-            ds_acc[:] = jnp.zeros_like(ds_acc)
 
         # ---- recompute forward for this tile (s = coefs . x_hat known)
         s = coefs_ref[0] * xhat_ref[0]
@@ -480,19 +481,16 @@ def _make_bwd_kernel(n_dense: int, dropout: bool, emit_next: bool,
 
         dx_ref[0] = dx_direct.astype(dx_ref.dtype)
 
-        # per-batch spectral gradient, flushed at this batch element's last tile
+        # everything flushes at this batch element's last tile: ds is
+        # per-b by definition; parameter grads land as per-b PARTIALS
         @pl.when(i == n - 1)
         def _():
             ds_out_ref[0] = ds_acc[:]
-
-        # shared parameter grads flush once, at the very last program
-        @pl.when((b == nb - 1) & (i == n - 1))
-        def _():
-            dare_ref[:] = dare_acc[:]
-            daim_ref[:] = daim_acc[:]
+            dare_ref[0] = dare_acc[:]
+            daim_ref[0] = daim_acc[:]
             for (dw_ref, db_ref), (dw_acc, db_acc) in zip(ddense_refs, dd_accs):
-                dw_ref[:] = dw_acc[:]
-                db_ref[:] = db_acc[:]
+                dw_ref[0] = dw_acc[:]
+                db_ref[0] = db_acc[:]
 
     return kernel
 
@@ -543,17 +541,20 @@ def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
         ]
         args += [mass[..., None], dxhat_next]
 
+    # parameter grads come out as per-BATCH partials (leading B axis, bconst
+    # blocks) so the batch grid dim stays parallel; the sum over b below is
+    # a few hundred KB of XLA reduction, noise next to the operand traffic
     out_shapes = [
         jax.ShapeDtypeStruct((B, V, C), x.dtype),           # dx_direct
         jax.ShapeDtypeStruct((B, K, C), jnp.float32),       # ds
-        jax.ShapeDtypeStruct((C, C), jnp.float32),          # dA_re
-        jax.ShapeDtypeStruct((C, C), jnp.float32),          # dA_im
+        jax.ShapeDtypeStruct((B, C, C), jnp.float32),       # dA_re partials
+        jax.ShapeDtypeStruct((B, C, C), jnp.float32),       # dA_im partials
     ]
     out_specs = [
         pl.BlockSpec((1, tile_v, C), row),
         pl.BlockSpec((1, K, C), bconst),
-        pl.BlockSpec((C, C), const2),
-        pl.BlockSpec((C, C), const2),
+        pl.BlockSpec((1, C, C), bconst),
+        pl.BlockSpec((1, C, C), bconst),
     ]
     scratch = [
         pltpu.VMEM((K, C), jnp.float32),
@@ -561,10 +562,11 @@ def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
         pltpu.VMEM((C, C), jnp.float32),
     ]
     for W, b_arr in zip(Ws, bs):
-        out_shapes += [jax.ShapeDtypeStruct(W.shape, jnp.float32),
-                       jax.ShapeDtypeStruct((1, b_arr.shape[0]), jnp.float32)]
-        out_specs += [pl.BlockSpec(W.shape, const2),
-                      pl.BlockSpec((1, b_arr.shape[0]), const2)]
+        out_shapes += [jax.ShapeDtypeStruct((B,) + W.shape, jnp.float32),
+                       jax.ShapeDtypeStruct((B, 1, b_arr.shape[0]),
+                                            jnp.float32)]
+        out_specs += [pl.BlockSpec((1,) + W.shape, bconst),
+                      pl.BlockSpec((1, 1, b_arr.shape[0]), bconst)]
         scratch += [pltpu.VMEM(W.shape, jnp.float32),
                     pltpu.VMEM((1, b_arr.shape[0]), jnp.float32)]
 
@@ -576,10 +578,11 @@ def _bwd_impl(x, evecs, gX, gY, mass, coefs, A_re, A_im, Ws, bs, seed, x_hat,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
-        compiler_params=_VMEM_LIMIT,
+        compiler_params=_VMEM_LIMIT_FWD,
         interpret=interpret,
     )(*args)
-    return outs
+    # reduce the per-b parameter-grad partials; dx/ds keep their batch axis
+    return tuple(outs[:2]) + tuple(o.sum(axis=0) for o in outs[2:])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))

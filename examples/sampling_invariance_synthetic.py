@@ -140,7 +140,21 @@ def build_sets(n_train=12, seed=0):
         v = bumpy(v) * (1.0 + 0.02 * rs.randn(*v.shape))
         ds = SurfaceDataset(labels_kind="vertex")
         ds.add(v, f, nearest_template_labels(v, template))
-        ds.precompute(k_eig=32, verbose=False)
+        normals_list = None
+        if f is None:
+            # the reference's cloud split ships ply-STORED normals computed
+            # from the source mesh (faust_with_robust_test_dataset.py:107-115
+            # reads them back; sampling_invariance never re-estimates them).
+            # Plane-fit SVD normals have an arbitrary per-point SIGN, which
+            # flips the tangent-frame handedness and conjugates the complex
+            # gradient features — the dominant cloud-transfer error. Mirror
+            # the reference: derive consistent normals from the source mesh,
+            # then drop the faces.
+            from diffusionnet_tpu.geometry.host_frames import (
+                mesh_vertex_normals_np)
+            _, f_src = icosphere(subdivisions=3)
+            normals_list = [mesh_vertex_normals_np(v, f_src)]
+        ds.precompute(k_eig=32, verbose=False, normals_list=normals_list)
         tests[name] = ds
     return template, train, tests
 
@@ -197,12 +211,16 @@ def run(n_epoch=30, out_path=None, gate=False, seed=0):
     edge_deg = float(np.degrees(np.mean(np.arccos(np.clip(
         np.sum(tu[e[:, 0]] * tu[e[:, 1]], -1), -1, 1)))))
     orig = results["orig"]["mean_angular_err_deg"]
-    gate_limit = max(2.0 * orig, edge_deg)
+    # floor = HALF a template edge (~9.6 deg): with consistent cloud normals
+    # (the reference's ply-normals protocol) every mutation measures <= 7.7
+    # deg at 30 epochs — cloud 6.9 deg, on par with the mesh mutations — so
+    # the gate no longer needs the full edge-length slack (VERDICT r4 weak 7)
+    gate_limit = max(2.0 * orig, 0.5 * edge_deg)
     gate_ok = all(r["mean_angular_err_deg"] <= gate_limit
                   for r in results.values())
     record = {"suite": "sampling_invariance_synthetic", "n_epoch": n_epoch,
               "per_mutation": results,
-              "gate": {"rule": "err <= max(2*orig, template edge length)",
+              "gate": {"rule": "err <= max(2*orig, half template edge)",
                        "template_edge_deg": round(edge_deg, 2),
                        "limit_deg": round(gate_limit, 3), "ok": gate_ok}}
     if out_path:

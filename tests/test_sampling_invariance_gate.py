@@ -32,10 +32,14 @@ def test_six_mutation_transfer_does_not_collapse():
     # mutation errors below say nothing about *transfer* (30 epochs reach
     # 99%; 25 keeps the test fast while clearing this bar comfortably)
     assert per["orig"]["exact_label_acc_pct"] >= 60.0, per
-    # every mutation: mean angular error far below collapse (~90 deg);
-    # 45 deg = halfway to collapse, >= 2x any healthy run's worst mutation
+    # every mutation: mean angular error far below collapse (~90 deg). With
+    # the reference's ply-normals cloud protocol (consistent mesh-derived
+    # normals instead of sign-ambiguous SVD fits) the 30-epoch table measures
+    # <= 7.7 deg on every mutation (cloud 6.9); 25 deg = >2.5x that worst
+    # case at these reduced epochs, yet 3.6x below collapse (VERDICT r4
+    # weak 7: the old 45-deg bound only caught total collapse).
     for name, r in per.items():
-        assert r["mean_angular_err_deg"] <= 45.0, (name, r)
+        assert r["mean_angular_err_deg"] <= 25.0, (name, r)
     # gate metadata present for the RESULTS.md rendering
     assert record["gate"]["rule"].startswith("err <= max(2*orig")
     assert record["gate"]["template_edge_deg"] > 10.0
